@@ -1,0 +1,37 @@
+"""hydrolim_tpu — TPU-native framework for hydrodynamic limits of active
+particle systems with mean-field (Curie–Weiss) interactions.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+`StandeHaas/Hydrodynamic-Limits-of-Active-Particle-Systems-with-Mean-Field-
+Interactions` (see SURVEY.md):
+
+- ``particles``: microscopic stochastic engine — N active particles on a 1-D
+  lattice with symmetric diffusion, sigma-directed active hops, Curie–Weiss
+  spin flips against a local/global magnetization field, site exclusion
+  (capacity K), anchor binding/unbinding and absorbing exits.  The reference's
+  event-serial Gillespie loop (PARTICLE_solver_CLASS.py:450-558) is
+  re-architected as a fixed-Δt synchronous stepper: every particle samples an
+  event each step, exclusion conflicts are resolved by a random-priority
+  scatter, and the whole step is one jitted/vmapped XLA program.
+- ``pde``: macroscopic IMEX finite-difference solver for the coupled
+  hydrodynamic densities rho_plus/rho_minus (IMEX_PDE_solver_class.py), with
+  implicit diffusion via FFT/DCT diagonalization or a dense precomputed
+  inverse (an MXU matmul), explicit upwind transport, Curie–Weiss reaction,
+  and an embedded Euler–Maruyama tracer ensemble.
+- ``observables``: on-device recorder + estimator suite (v_eff, D_eff,
+  magnetization, blocking probability, structure factors).
+- ``sweeps``: vmapped replica/β/σ/N ensembles, shardable over a device mesh.
+- ``theory`` / ``fit``: tanh fixed point, exclusion-corrected v/D prediction
+  family, curve-fit drivers, kinesin-II real-data validation.
+- ``viz``: matplotlib re-creation of the reference figure inventory.
+"""
+
+__version__ = "0.1.0"
+
+from hydrolim_tpu.core.config import ParticleConfig, ParticleParams, PDEConfig, PDEParams  # noqa: F401
+from hydrolim_tpu.particles.system import ParticleSystem  # noqa: F401
+
+try:  # pde facade lands after the particle engine in the build order
+    from hydrolim_tpu.pde.system import IMEXPDE  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

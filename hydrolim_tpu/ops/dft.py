@@ -1,0 +1,117 @@
+"""DFT and circular convolution as MXU matmuls.
+
+At the framework's native problem sizes (L ≈ 10³ lattice sites) a dense
+DFT/circulant matmul is the TPU-idiomatic implementation: one (B, L)·(L, L)
+contraction on the systolic array, batched for free over replicas and sweep
+points, instead of a vector-unit FFT butterfly.  (It also sidesteps the axon
+TPU backend, where XLA's FFT custom-call is unimplemented.)  ``jnp.fft`` is
+kept as an opt-in mode for very large L: set ``HYDROLIM_FFT_MODE=native`` or
+call :func:`set_fft_mode`.
+
+Conventions match ``numpy.fft``: ``rfft``/``irfft``/``fft`` of a real signal
+on the trailing axis.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_FFT_MODE: Optional[str] = None  # 'matmul' | 'native'
+
+
+def fft_mode() -> str:
+    global _FFT_MODE
+    if _FFT_MODE is None:
+        _FFT_MODE = os.environ.get("HYDROLIM_FFT_MODE", "matmul")
+    return _FFT_MODE
+
+
+def set_fft_mode(mode: str) -> None:
+    assert mode in ("matmul", "native")
+    global _FFT_MODE
+    _FFT_MODE = mode
+
+
+@functools.lru_cache(maxsize=16)
+def _rfft_mats(L: int) -> Tuple[np.ndarray, np.ndarray]:
+    """COS/SIN forward matrices: X_k = Σ_j x_j·exp(−2πijk/L), k = 0..L/2."""
+    j = np.arange(L)[:, None]
+    k = np.arange(L // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * j * k / L
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def _irfft_mats(L: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Inverse matrices A, B with x_j = Re(X)·A + Im(X)·B (hermitian input)."""
+    K = L // 2 + 1
+    k = np.arange(K)[:, None]
+    j = np.arange(L)[None, :]
+    ang = 2.0 * np.pi * k * j / L
+    w = np.full((K, 1), 2.0)
+    w[0] = 1.0
+    if L % 2 == 0:
+        w[-1] = 1.0
+    A = (w * np.cos(ang) / L).astype(np.float32)
+    B = (-w * np.sin(ang) / L).astype(np.float32)
+    return A, B
+
+
+def rfft(x: jnp.ndarray, L: Optional[int] = None) -> jnp.ndarray:
+    """Real→hermitian DFT on the trailing axis (batched)."""
+    if L is None:
+        L = x.shape[-1]
+    if fft_mode() == "native":
+        return jnp.fft.rfft(x, n=L)
+    C, S = _rfft_mats(L)
+    xr = x.astype(jnp.float32)
+    re = xr @ jnp.asarray(C)
+    im = -(xr @ jnp.asarray(S))
+    return jax.lax.complex(re, im)
+
+
+def irfft(X: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Hermitian→real inverse DFT on the trailing axis (batched)."""
+    if fft_mode() == "native":
+        return jnp.fft.irfft(X, n=n)
+    A, B = _irfft_mats(n)
+    return jnp.real(X).astype(jnp.float32) @ jnp.asarray(A) + \
+        jnp.imag(X).astype(jnp.float32) @ jnp.asarray(B)
+
+
+def fft_of_real(x: jnp.ndarray) -> jnp.ndarray:
+    """Full L-point complex DFT of a *real* signal (the particle recorder
+    stores the full spectrum, PARTICLE_solver_CLASS.py:503)."""
+    L = x.shape[-1]
+    if fft_mode() == "native":
+        return jnp.fft.fft(x).astype(jnp.complex64)
+    Xh = rfft(x, L)
+    # mirror: F[L-k] = conj(F[k]) for k = 1..ceil(L/2)-1
+    body = jnp.conj(jnp.flip(Xh[..., 1:(L + 1) // 2], axis=-1))
+    return jnp.concatenate([Xh, body], axis=-1).astype(jnp.complex64)
+
+
+@functools.lru_cache(maxsize=32)
+def _circulant_from_kernel(kernel_bytes: bytes, L: int) -> np.ndarray:
+    kernel = np.frombuffer(kernel_bytes, dtype=np.float32)
+    j = np.arange(L)
+    # y_i = Σ_j kernel[(i-j) mod L] x_j  (circular convolution)
+    C = kernel[(j[:, None] - j[None, :]) % L]
+    return np.ascontiguousarray(C.T.astype(np.float32))  # x @ C.T^T = x @ Cmat
+
+
+def circulant_matmul_matrix(kernel: np.ndarray) -> jnp.ndarray:
+    """Matrix M with ``conv(x) = x @ M`` equal to circular convolution with
+    ``kernel`` on the trailing axis."""
+    kernel = np.asarray(kernel, np.float32)
+    L = kernel.shape[0]
+    return jnp.asarray(_circulant_from_kernel(kernel.tobytes(), L))
+
+
+def circular_convolve(x: jnp.ndarray, conv_mat: jnp.ndarray) -> jnp.ndarray:
+    return x.astype(jnp.float32) @ conv_mat

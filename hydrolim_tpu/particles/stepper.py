@@ -1,0 +1,244 @@
+"""Synchronous fixed-Δt particle stepper.
+
+This is the TPU re-architecture of the reference's event-serial Gillespie
+kernel (PARTICLE_solver_CLASS.py:254-448).  The *generator* — the per-particle
+rate functions for all eight event channels — is kept identical; the sampling
+scheme changes from one-event-per-iteration CTMC to a τ-leap: every particle
+independently samples event ∈ {left, right, forward, flip, bind, unbind,
+exit, nothing} with probabilities rate·Δt, and simultaneous hops that would
+violate site capacity K are resolved by a random-priority rank pass.  As
+Δt→0 this converges to the same law (SURVEY.md §7.1); Δt is chosen so the
+per-particle event probability stays below ``config.max_event_prob``.
+
+Rate channels (reference lines):
+- flip  c = exp(−β·σ·m(pos)), zeroed when bound & suppress_flip_when_bound
+  (:262-267)
+- active forward hop: σ=+1 only, target free (:269-272, :317-319)
+- diffusion left/right with exclusion-freeness and boundary masks (:283-305)
+- anchored immobilization + exit rate k_exit (:307-312)
+- crowding suppression (1 − occ/K) (:322-336)
+- bind (σ=−1, on anchor, unbound, site below capacity) / unbind (:342-348)
+
+Everything is a pure function of (state, params) with static shapes, so the
+same compiled step serves single runs, vmapped replica ensembles, and
+mesh-sharded sweep grids.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hydrolim_tpu.core.config import ParticleConfig, ParticleParams
+from hydrolim_tpu.fields.magnetization import MFieldOp, build_mfield_op, local_m_field
+from hydrolim_tpu.ops.segment import masked_bincount, occupancy
+from hydrolim_tpu.particles.init import ParticleState
+
+# event codes
+EV_NONE, EV_LEFT, EV_RIGHT, EV_FWD, EV_FLIP, EV_BIND, EV_UNBIND, EV_EXIT = range(8)
+
+
+class StaticArrays(NamedTuple):
+    """Per-config constant arrays threaded through the jitted step."""
+
+    is_anchor_site: jnp.ndarray   # bool (L,)
+    mfield_op: MFieldOp
+
+
+def build_static_arrays(config: ParticleConfig) -> StaticArrays:
+    return StaticArrays(
+        is_anchor_site=jnp.asarray(config.anchor_mask()),
+        mfield_op=build_mfield_op(config.L, config.dx,
+                                  config.local_kernel_sigma, config.periodic),
+    )
+
+
+def compute_m_field(config: ParticleConfig, statics: StaticArrays,
+                    counts_p: jnp.ndarray, counts_m: jnp.ndarray) -> jnp.ndarray:
+    return local_m_field(
+        counts_p, counts_m, statics.mfield_op,
+        sigma=config.local_kernel_sigma, sigma_grid=config.sigma_grid,
+        periodic=config.periodic)
+
+
+def _default_flip_rate(sigma, m, beta):
+    return jnp.exp(-beta * sigma * m)
+
+
+def assemble_rates(config: ParticleConfig, params: ParticleParams,
+                    state: ParticleState, m_field: jnp.ndarray,
+                    occ_total: Optional[jnp.ndarray],
+                    is_anchor_site: jnp.ndarray):
+    L = config.L
+    pos, sigma, bound, alive = state.pos, state.sigma, state.bound, state.alive
+    is_plus = sigma > 0
+
+    flip_fn = config.flip_rate_fn or _default_flip_rate
+    cvec = flip_fn(sigma.astype(jnp.float32), m_field[pos], params.beta)
+    if config.suppress_flip_when_bound:
+        cvec = jnp.where(bound, 0.0, cvec)
+
+    fwd_raw = pos + is_plus.astype(jnp.int32)
+    left_raw = pos - 1
+    right_raw = pos + 1
+    if config.periodic:
+        fwd_t, left_t, right_t = fwd_raw % L, left_raw % L, right_raw % L
+    else:
+        fwd_t = jnp.clip(fwd_raw, 0, L - 1)
+        left_t = jnp.clip(left_raw, 0, L - 1)
+        right_t = jnp.clip(right_raw, 0, L - 1)
+    same_fwd, same_left, same_right = fwd_t == pos, left_t == pos, right_t == pos
+
+    if config.exclusion:
+        K = float(config.K)
+        fwd_free = (occ_total[fwd_t] < K) & ~same_fwd
+        left_free = (occ_total[left_t] < K) & ~same_left
+        right_free = (occ_total[right_t] < K) & ~same_right
+    else:
+        fwd_free, left_free, right_free = ~same_fwd, ~same_left, ~same_right
+
+    r_act = jnp.where(is_plus & fwd_free, params.rate_active, 0.0)
+    r_left = params.rate_diffusion * left_free
+    r_right = params.rate_diffusion * right_free
+
+    r_exit = jnp.zeros_like(cvec)
+    if config.immobilize_when_anchored:
+        anchored = (~is_plus) & is_anchor_site[pos] & bound
+        r_act = jnp.where(anchored, 0.0, r_act)
+        r_left = jnp.where(anchored, 0.0, r_left)
+        r_right = jnp.where(anchored, 0.0, r_right)
+        r_exit = jnp.where(anchored, params.k_exit, 0.0)
+
+    if config.crowding_suppresses_rates and config.exclusion:
+        K = float(config.K)
+        ffrac = jnp.clip(1.0 - occ_total[fwd_t] / K, 0.0, 1.0)
+        lfrac = jnp.clip(1.0 - occ_total[left_t] / K, 0.0, 1.0)
+        rfrac = jnp.clip(1.0 - occ_total[right_t] / K, 0.0, 1.0)
+        r_act = r_act * ffrac
+        r_left = params.rate_diffusion * left_free * lfrac
+        r_right = params.rate_diffusion * right_free * rfrac
+        if config.immobilize_when_anchored:
+            r_left = jnp.where(anchored, 0.0, r_left)
+            r_right = jnp.where(anchored, 0.0, r_right)
+
+    # binding / unbinding (:342-348)
+    if config.exclusion:
+        below_cap = occ_total[pos] < float(config.K)
+    else:
+        below_cap = jnp.ones_like(is_plus)
+    bind_ok = (~bound) & (~is_plus) & is_anchor_site[pos] & below_cap
+    r_bind = jnp.where(bind_ok, params.k_on, 0.0)
+    r_unbind = jnp.where(bound, params.k_off, 0.0)
+
+    dead = ~alive
+    z = lambda r: jnp.where(dead, 0.0, r)
+    rates = jnp.stack([z(r_left), z(r_right), z(r_act), z(cvec),
+                       z(r_bind), z(r_unbind), z(r_exit)], axis=-1)
+    return rates, (left_raw, right_raw, fwd_raw, left_t, right_t, fwd_t)
+
+
+def _resolve_conflicts(config: ParticleConfig, key: jnp.ndarray,
+                       mover: jnp.ndarray, target: jnp.ndarray,
+                       occ_total: jnp.ndarray) -> jnp.ndarray:
+    """Random-priority acceptance of simultaneous hops under capacity K.
+
+    A hop is accepted iff the particle's random rank among this step's
+    proposals for its target site is below the site's free capacity at the
+    start of the step (occupancy semantics identical to the reference's
+    event-time check ``occ_total[target] < K`` (:299-301); swap chains are not
+    granted, matching sequential Gillespie in the Δt→0 limit)."""
+    n = mover.shape[0]
+    L = config.L
+    prio = jax.random.bits(key, (n,), jnp.uint32)
+    tgt = jnp.where(mover, target, L).astype(jnp.int32)   # sentinel sorts last
+    idx = jnp.arange(n, dtype=jnp.int32)
+    tgt_s, _, idx_s = jax.lax.sort((tgt, prio, idx), num_keys=2)
+    counts = masked_bincount(tgt, mover.astype(jnp.int32), L)
+    seg_start = jnp.cumsum(counts) - counts
+    safe_t = jnp.clip(tgt_s, 0, L - 1)
+    rank = jnp.arange(n, dtype=jnp.int32) - seg_start[safe_t].astype(jnp.int32)
+    free = (config.K - occ_total[safe_t]).astype(jnp.int32)
+    accept_s = (rank < free) & (tgt_s < L)
+    return jnp.zeros((n,), bool).at[idx_s].set(accept_s)
+
+
+def step(config: ParticleConfig, params: ParticleParams,
+         statics: StaticArrays, state: ParticleState, dt: float,
+         t: jnp.ndarray) -> ParticleState:
+    """One synchronous Δt step: rates → per-particle event draw → conflict
+    resolution → simultaneous apply."""
+    L = config.L
+    n = state.pos.shape[0]
+    key, k_ev, k_prio = jax.random.split(state.key, 3)
+
+    # fields
+    need_counts = config.exclusion or config.local_kernel_sigma > 0
+    if need_counts:
+        occ_total, counts_p, counts_m = occupancy(
+            state.pos, state.sigma, state.alive, L)
+        m_field = compute_m_field(config, statics, counts_p, counts_m)
+    else:
+        occ_total = None
+        s_sum = jnp.sum(jnp.where(state.alive, state.sigma, 0))
+        n_alive = jnp.maximum(jnp.sum(state.alive), 1)
+        m_global = s_sum.astype(jnp.float32) / n_alive.astype(jnp.float32)
+        m_field = jnp.full((L,), m_global, jnp.float32)
+
+    rates, targets = assemble_rates(config, params, state, m_field,
+                                    occ_total, statics.is_anchor_site)
+    left_raw, right_raw, fwd_raw, left_t, right_t, fwd_t = targets
+
+    # event draw: u < cum(rates)*dt picks the channel
+    cum = jnp.cumsum(rates, axis=-1) * dt              # (n, 7)
+    u = jax.random.uniform(k_ev, (n,), jnp.float32)
+    in_any = u < cum[..., -1]
+    event = jnp.where(
+        in_any,
+        1 + jnp.sum((u[..., None] >= cum[..., :-1]), axis=-1, dtype=jnp.int32),
+        EV_NONE)
+
+    mover = (event == EV_LEFT) | (event == EV_RIGHT) | (event == EV_FWD)
+    target = jnp.where(event == EV_LEFT, left_t,
+                       jnp.where(event == EV_RIGHT, right_t, fwd_t))
+    target_raw = jnp.where(event == EV_LEFT, left_raw,
+                           jnp.where(event == EV_RIGHT, right_raw, fwd_raw))
+
+    if config.exclusion:
+        accept = _resolve_conflicts(config, k_prio, mover, target, occ_total)
+    else:
+        accept = mover
+    moved = mover & accept
+
+    pos = jnp.where(moved, target, state.pos)
+    if config.periodic:
+        wind = state.wind + jnp.where(
+            moved, (target_raw // L).astype(jnp.int32), 0)
+    else:
+        wind = state.wind
+    sigma = jnp.where(event == EV_FLIP, -state.sigma, state.sigma)
+    bound = jnp.where(event == EV_BIND, True,
+                      jnp.where(event == EV_UNBIND, False, state.bound))
+
+    # exits: absorb + append to the fixed-size exit log (:424-436)
+    exiting = (event == EV_EXIT) & state.alive
+    alive = state.alive & ~exiting
+    n_exit = jnp.sum(exiting, dtype=jnp.int32)
+    slot = state.exit_count + jnp.cumsum(exiting.astype(jnp.int32)) - 1
+    E = config.n_exit_buf
+    write = exiting & (slot >= 0) & (slot < E)
+    wslot = jnp.where(write, slot, E)                  # OOB drops
+    exit_times = state.exit_times.at[wslot].set(
+        jnp.where(write, t, jnp.nan), mode="drop")
+    exit_pos = state.exit_pos.at[wslot].set(
+        jnp.where(write, state.pos, 0), mode="drop")
+    exit_init_bin = state.exit_init_bin.at[wslot].set(
+        jnp.where(write, state.init_bin, 0), mode="drop")
+
+    return ParticleState(
+        pos=pos, wind=wind, sigma=sigma, bound=bound, alive=alive,
+        init_bin=state.init_bin, key=key,
+        exit_count=state.exit_count + n_exit,
+        exit_times=exit_times, exit_pos=exit_pos,
+        exit_init_bin=exit_init_bin)

@@ -1,0 +1,217 @@
+"""``ParticleSystem`` — user-facing facade with the reference's API surface.
+
+Constructor kwargs mirror ``PARTICLE_solver_CLASS.py:14-40`` (same names,
+same defaults); ``run(T, obs_dt, record_fft, record_var)`` returns the same
+``out`` dict schema (:542-557).  Under the hood everything is the static
+config + vmappable params + jitted scan of ``hydrolim_tpu.particles``.
+"""
+from __future__ import annotations
+
+import inspect
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hydrolim_tpu.core.config import (
+    ParticleConfig,
+    ParticleParams,
+    auto_dt,
+    make_particle_params,
+)
+from hydrolim_tpu.particles.init import ParticleState, eval_profile, init_particles
+from hydrolim_tpu.particles.run import ParticleRunResult, run_particles
+
+
+def _wrap_flip_rate_fn(fn: Optional[Callable]) -> Optional[Callable]:
+    """Adapt the reference's 2-arg ``flip_rate_fn(sigma, m)`` (beta closed
+    over, PARTICLE_solver_CLASS.py:59-62) to the framework's
+    ``(sigma, m, beta)`` signature."""
+    if fn is None:
+        return None
+    try:
+        n_args = len(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        n_args = 3
+    if n_args >= 3:
+        return fn
+    return lambda sigma, m, beta: fn(sigma, m)
+
+
+def _seed_from_rng(rng) -> int:
+    if rng is None:
+        return int(np.random.SeedSequence().entropy % (2 ** 63))
+    if isinstance(rng, (int, np.integer)):
+        return int(rng)
+    if isinstance(rng, np.random.Generator):
+        return int(rng.integers(0, 2 ** 63 - 1))
+    raise TypeError(f"unsupported rng {type(rng)}")
+
+
+class ParticleSystem:
+    def __init__(
+        self,
+        L: int,
+        xlim: float,
+        rate_diffusion: float,
+        rate_active: float,
+        beta: float,
+        flip_rate_fn: Optional[Callable] = None,
+        init: str = "fixed",
+        N: int = 1000,
+        rho0_plus: Optional[Callable] = None,
+        rho0_minus: Optional[Callable] = None,
+        rng=None,
+        scale_rates: bool = True,
+        local_kernel_sigma: float = 0.005,
+        periodic: bool = False,
+        minus_anchor: bool = True,
+        immobilize_when_anchored: bool = True,
+        anchor_positions: Optional[list] = None,
+        anchor_radius: float = 0.005,
+        site_capacity: Optional[int] = 1,
+        crowding_suppresses_rates: bool = False,
+        k_on: float = 0.1,
+        k_off: float = 0.01,
+        suppress_flip_when_bound: bool = True,
+        k_exit: float = 0,
+        # --- TPU-native extensions ---
+        dt: Optional[float] = None,
+        max_event_prob: float = 0.10,
+        n_pad: Optional[int] = None,
+        exit_buffer: Optional[int] = None,
+        record_pos: bool = True,
+    ):
+        if exit_buffer is None:
+            # a particle exits at most once, so N slots always suffice
+            exit_buffer = N if k_exit and anchor_positions else 8
+        self.config = ParticleConfig(
+            L=L, xlim=xlim, init=init, N=N, scale_rates=scale_rates,
+            local_kernel_sigma=local_kernel_sigma, periodic=periodic,
+            minus_anchor=minus_anchor,
+            immobilize_when_anchored=immobilize_when_anchored,
+            anchor_positions=tuple(anchor_positions) if anchor_positions else None,
+            anchor_radius=anchor_radius, site_capacity=site_capacity,
+            crowding_suppresses_rates=crowding_suppresses_rates,
+            suppress_flip_when_bound=suppress_flip_when_bound,
+            dt=dt, max_event_prob=max_event_prob, n_pad=n_pad,
+            exit_buffer=exit_buffer,
+            flip_rate_fn=_wrap_flip_rate_fn(flip_rate_fn),
+        )
+        self.params = make_particle_params(
+            self.config, beta=beta, rate_diffusion=rate_diffusion,
+            rate_active=rate_active, k_on=k_on, k_off=k_off, k_exit=k_exit)
+        self.beta = float(beta)
+        self.record_pos = record_pos
+        self.key = jax.random.PRNGKey(_seed_from_rng(rng))
+        if init == "poisson":
+            assert rho0_plus is not None and rho0_minus is not None
+            self.rho0_plus = eval_profile(rho0_plus, L)
+            self.rho0_minus = eval_profile(rho0_minus, L)
+        else:
+            self.rho0_plus = self.rho0_minus = None
+        self._dt = dt if dt is not None else auto_dt(self.config, self.params)
+
+    # -- reference-compatible attributes ------------------------------------
+    @property
+    def L(self):
+        return self.config.L
+
+    @property
+    def dx(self):
+        return self.config.dx
+
+    @property
+    def xlim(self):
+        return self.config.xlim
+
+    @property
+    def K(self):
+        return self.config.site_capacity
+
+    @property
+    def rate_diffusion(self):
+        return float(self.params.rate_diffusion)
+
+    @property
+    def rate_active(self):
+        return float(self.params.rate_active)
+
+    @property
+    def dt(self):
+        return self._dt
+
+    # -----------------------------------------------------------------------
+    def init_particles(self) -> ParticleState:
+        self.key, sub = jax.random.split(self.key)
+        return init_particles(self.config, sub, self.rho0_plus,
+                              self.rho0_minus)
+
+    def run_raw(self, T: float = 10.0, obs_dt: float = 0.01,
+                state0: Optional[ParticleState] = None) -> ParticleRunResult:
+        """Device-side run returning the raw frame pytree (for sweeps)."""
+        if state0 is None:
+            state0 = self.init_particles()
+        return run_particles(self.config, self.params, state0, T=T,
+                             obs_dt=obs_dt, dt=self._dt,
+                             record_pos=self.record_pos)
+
+    def run(self, T: float = 10.0, obs_dt: float = 0.01,
+            record_fft: bool = False, record_var: bool = False
+            ) -> Dict[str, Any]:
+        """Reference-schema output dict (PARTICLE_solver_CLASS.py:542-557).
+
+        Extensions: ``pos_frames``/``alive_frames``/``bound_frames`` (padded
+        arrays with unwrapped positions — stable particle IDs across exits,
+        unlike the reference's ``np.delete`` index shifting, SURVEY.md §2.4),
+        ``exit_init_bin`` and ``dt_eff``."""
+        res = jax.device_get(self.run_raw(T=T, obs_dt=obs_dt))
+        f = res.frames
+        L = self.config.L
+        times_obs = np.arange(0.0, T, obs_dt)
+        M = len(times_obs)
+
+        pos_list = []
+        bound_list = []
+        if self.record_pos:
+            for k in range(M):
+                a = f.alive[k]
+                pos_list.append((f.pos[k][a] % L).astype(np.int64))
+                bound_list.append(f.bound[k][a])
+        ec = int(res.final_state.exit_count)
+        ec = min(ec, self.config.n_exit_buf)
+        out = {
+            "times_obs": times_obs,
+            "pos_list": pos_list,
+            "rho_p_list": np.asarray(f.rho_p, dtype=float),
+            "rho_m_list": np.asarray(f.rho_m, dtype=float),
+            "total_list": np.asarray(f.total, dtype=float),
+            "particle_count_list": [int(c) for c in f.particle_count],
+            "bound_list": bound_list,
+            "m_local_list": np.asarray(f.m_local, dtype=float),
+            "m_global": np.asarray(f.m_global, dtype=float),
+            "rho_hat_complex": np.asarray(f.rho_hat) if record_fft else None,
+            "fft_amp_list": np.asarray(f.fft_amp, dtype=float) if record_fft else None,
+            "var_list": np.asarray(f.var, dtype=float) if record_var else None,
+            "exit_times": list(np.asarray(res.final_state.exit_times[:ec])),
+            "exit_positions": list(np.asarray(res.final_state.exit_pos[:ec])),
+            # --- extensions ---
+            "exit_init_bin": list(np.asarray(res.final_state.exit_init_bin[:ec])),
+            "pos_frames": np.asarray(f.pos) if self.record_pos else None,
+            "alive_frames": np.asarray(f.alive) if self.record_pos else None,
+            "bound_frames": np.asarray(f.bound) if self.record_pos else None,
+            "dt_eff": obs_dt / max(1, int(np.ceil(obs_dt / self._dt - 1e-9))),
+        }
+        return out
+
+    @staticmethod
+    def empirical_densities_from_particles(pos, sigma, L, dx, total_norm=None):
+        """Static-method parity shim (PARTICLE_solver_CLASS.py:197-214)."""
+        pos = np.asarray(pos)
+        sigma = np.asarray(sigma)
+        counts_p = np.bincount(pos[sigma == 1], minlength=L)
+        counts_m = np.bincount(pos[sigma == -1], minlength=L)
+        denom = (float(max(1, pos.size)) if total_norm is None
+                 else float(total_norm)) * dx
+        return counts_p / denom, counts_m / denom

@@ -1,0 +1,251 @@
+"""IMEX stepper for the hydrodynamic-limit PDE.
+
+Re-design of ``IMEXPDE.step``/``solve`` (IMEX_PDE_solver_class.py:187-290) as
+a pure jitted scan:
+
+- implicit diffusion: spectral / dense solve (ops.diffusion) instead of two
+  ``spsolve`` calls per step (:189-190),
+- explicit upwind advection (:168-185) via rolls,
+- Curie–Weiss reaction with clipped rates (:64-66, :199-201),
+- positivity clip + total-mass renormalization (:229-233),
+- embedded Euler–Maruyama tracer ensemble with windowed v_eff/D_eff
+  (:256-287) kept in the scan carry as a circular displacement buffer.
+
+The reference's ``anchored_minus`` branch applies the implicit diffusion
+solve twice per step (:189-190 then :207-208 — SURVEY.md §2.4); the intended
+single solve is the default here and ``config.legacy_double_diffusion=True``
+reproduces the reference behavior bit-for-bit in structure.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hydrolim_tpu.core.config import PDEConfig, PDEParams
+from hydrolim_tpu.fields.magnetization import SmoothOp, build_smooth_op, pde_magnetization
+from hydrolim_tpu.ops import dft
+from hydrolim_tpu.ops.convolve import periodic_gaussian_kernel
+from hydrolim_tpu.ops.diffusion import DiffusionSolveOp, build_diffusion_op, diffusion_solve
+
+
+class PDEOps(NamedTuple):
+    """Per-config constant arrays for the jitted solve."""
+
+    smooth: SmoothOp              # interaction-kernel smoothing operator
+    dense_inv: jnp.ndarray        # (L, L) when solver_kind == 'dense', else (0,0)
+
+
+def build_pde_ops(config: PDEConfig, params: PDEParams) -> PDEOps:
+    if config.gaussian_kernel:
+        k = periodic_gaussian_kernel(config.L, config.dx, config.kernel_sigma)
+        smooth = build_smooth_op(k)
+    else:
+        smooth = build_smooth_op(None)
+    if config.solver_kind == "dense":
+        op = build_diffusion_op(config.L, config.dx, config.dt,
+                                float(np.asarray(params.gamma)), config.bc,
+                                "dense")
+        dense_inv = op.a_inv
+    else:
+        dense_inv = jnp.zeros((0, 0), jnp.float32)
+    return PDEOps(smooth=smooth, dense_inv=dense_inv)
+
+
+def _solve_op(config: PDEConfig, params: PDEParams, ops: PDEOps) -> DiffusionSolveOp:
+    kind = config.solver_kind
+    if kind == "dense":
+        return DiffusionSolveOp(jnp.zeros((0,), jnp.float32), ops.dense_inv)
+    return build_diffusion_op(config.L, config.dx, config.dt, params.gamma,
+                              config.bc, kind)
+
+
+def cw_rate(sigma, m, beta):
+    """Curie–Weiss flip rate with the reference's clipping (:64-66)."""
+    return jnp.clip(jnp.exp(-beta * sigma * m), 1e-8, 1e8)
+
+
+def upwind_derivative(rho: jnp.ndarray, direction: int, dx: float,
+                      bc: str) -> jnp.ndarray:
+    """One-sided difference (:168-185); trailing axis, batched."""
+    if direction > 0:          # right-moving: backward difference
+        d = (rho - jnp.roll(rho, 1, axis=-1)) / dx
+        if bc == "neumann":
+            d = d.at[..., 0].set(0.0)
+        # periodic: roll already gives (rho[0]-rho[-1])/dx at index 0
+    else:                      # left-moving: forward difference
+        d = (jnp.roll(rho, -1, axis=-1) - rho) / dx
+        if bc == "neumann":
+            d = d.at[..., -1].set(0.0)
+    return d
+
+
+def magnetization(config: PDEConfig, ops: PDEOps, rho_p, rho_m):
+    smooth = ops.smooth if config.gaussian_kernel else None
+    return pde_magnetization(rho_p, rho_m, smooth,
+                             kernel_sigma=config.kernel_sigma)
+
+
+def pde_step(config: PDEConfig, params: PDEParams, ops: PDEOps,
+             rho_p: jnp.ndarray, rho_m: jnp.ndarray):
+    """One IMEX step (:187-233)."""
+    dt, dx, bc = config.dt, config.dx, config.bc
+    sop = _solve_op(config, params, ops)
+    kind = config.solver_kind
+
+    rho_p1 = diffusion_solve(sop, rho_p, kind)
+    rho_m1 = diffusion_solve(sop, rho_m, kind)
+
+    if config.active_model == "bidirectional":
+        adv_p = -params.lam * upwind_derivative(rho_p1, +1, dx, bc)
+        adv_m = +params.lam * upwind_derivative(rho_m1, -1, dx, bc)
+        m = magnetization(config, ops, rho_p1, rho_m1)
+        R_p = cw_rate(-1.0, m, params.beta) * rho_m1 - \
+            cw_rate(+1.0, m, params.beta) * rho_p1
+        rho_p2 = jnp.clip(rho_p1 + dt * (adv_p + R_p), 0.0, None)
+        rho_m2 = jnp.clip(rho_m1 + dt * (adv_m - R_p), 0.0, None)
+    else:  # anchored_minus: reaction first, then advection of rho_p only
+        if config.legacy_double_diffusion:
+            rho_p1 = diffusion_solve(sop, rho_p1, kind)
+            rho_m1 = diffusion_solve(sop, rho_m1, kind)
+        m = magnetization(config, ops, rho_p1, rho_m1)
+        R_p = cw_rate(-1.0, m, params.beta) * rho_m1 - \
+            cw_rate(+1.0, m, params.beta) * rho_p1
+        rho_p_star = jnp.clip(rho_p1 + dt * R_p, 0.0, None)
+        rho_m_star = jnp.clip(rho_m1 - dt * R_p, 0.0, None)
+        adv_p = -params.lam * upwind_derivative(rho_p_star, +1, dx, bc)
+        rho_p2 = jnp.clip(rho_p_star + dt * adv_p, 0.0, None)
+        rho_m2 = rho_m_star
+
+    # mass renormalization against the post-diffusion mass (:229-233)
+    M0 = jnp.sum(rho_p1 + rho_m1, axis=-1, keepdims=True)
+    M1 = jnp.sum(rho_p2 + rho_m2, axis=-1, keepdims=True)
+    scale = M0 / jnp.maximum(M1, 1e-30)
+    return rho_p2 * scale, rho_m2 * scale
+
+
+# ---------------------------------------------------------------------------
+# full solve with tracers + per-step observables
+# ---------------------------------------------------------------------------
+
+class TracerState(NamedTuple):
+    pos: jnp.ndarray          # (n_tracers,) wrapped position in [0, xlim)
+    unwrapped: jnp.ndarray    # (n_tracers,)
+    spin: jnp.ndarray         # (n_tracers,) int32 ±1
+    hist: jnp.ndarray         # (window, n_tracers) circular unwrapped buffer
+
+
+class PDECarry(NamedTuple):
+    rho_p: jnp.ndarray
+    rho_m: jnp.ndarray
+    tracers: TracerState
+    key: jnp.ndarray
+
+
+class PDERecord(NamedTuple):
+    """Per-step observables (IMEX_PDE_solver_class.py:245-287)."""
+
+    m_mean: jnp.ndarray
+    var: jnp.ndarray
+    fft: jnp.ndarray          # (kmax,) complex64 = rfft(total)/L
+    v_eff: jnp.ndarray
+    D_eff: jnp.ndarray
+
+
+class PDESolveResult(NamedTuple):
+    rho_p: jnp.ndarray
+    rho_m: jnp.ndarray
+    records: PDERecord        # leading axis nsteps+1
+    snapshots: jnp.ndarray    # (n_snap, L) total density
+    m_snapshots: jnp.ndarray  # (n_snap, L) rho_p - rho_m
+    snap_times: jnp.ndarray   # (n_snap,)
+
+
+def _tracer_update(config: PDEConfig, params: PDEParams, ops: PDEOps,
+                   rho_p, rho_m, tr: TracerState, key, n: jnp.ndarray):
+    """CW spin flips + Euler–Maruyama advance + windowed v/D (:256-287)."""
+    dt, dx, L = config.dt, config.dx, config.L
+    window = config.tracer_window
+    k_flip, k_noise = jax.random.split(key)
+
+    m_field = magnetization(config, ops, rho_p, rho_m)
+    idx = (tr.pos / dx).astype(jnp.int32) % L
+    m_loc = m_field[idx]
+    rate = cw_rate(tr.spin.astype(jnp.float32), m_loc, params.beta)
+    flip = jax.random.uniform(k_flip, tr.spin.shape) < rate * dt
+    spin = jnp.where(flip, -tr.spin, tr.spin)
+
+    v_loc = params.lam * spin.astype(jnp.float32)
+    noise = jnp.sqrt(2.0 * params.gamma * dt) * jax.random.normal(
+        k_noise, tr.pos.shape)
+    unwrapped = tr.unwrapped + v_loc * dt + noise
+    pos = unwrapped % config.xlim
+
+    hist = tr.hist.at[n % window].set(unwrapped)
+    old = hist[(n + 1) % window]
+    dr = unwrapped - old
+    mean_dr = jnp.mean(dr)
+    var_dr = jnp.mean((dr - mean_dr) ** 2)
+    valid = n >= window
+    v_eff = jnp.where(valid, mean_dr / (window * dt), jnp.nan)
+    D_eff = jnp.where(valid, var_dr / (2.0 * window * dt), jnp.nan)
+
+    return TracerState(pos=pos, unwrapped=unwrapped, spin=spin, hist=hist), \
+        v_eff, D_eff
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def pde_solve(config: PDEConfig, params: PDEParams, ops: PDEOps,
+              rho_p0: jnp.ndarray, rho_m0: jnp.ndarray,
+              tracers0: TracerState, key: jnp.ndarray) -> PDESolveResult:
+    """Scan over snapshot blocks; inner scan over `snapshot_interval` steps.
+
+    Iteration n ∈ [0, nsteps]: record observables at state n, update tracers,
+    then step (skipped for n = nsteps), mirroring the reference loop
+    (:242-290)."""
+    nsteps = config.nsteps
+    interval = config.snapshot_interval
+    n_iters = nsteps + 1
+    n_blocks = math.ceil(n_iters / interval)
+    kmax = config.kmax
+    L = config.L
+
+    def one_iter(carry: PDECarry, n):
+        total = carry.rho_p + carry.rho_m
+        m_field = magnetization(config, ops, carry.rho_p, carry.rho_m)
+        fft = (dft.rfft(total) / L)[:kmax].astype(jnp.complex64)
+        key, sub = jax.random.split(carry.key)
+        tracers, v_eff, D_eff = _tracer_update(
+            config, params, ops, carry.rho_p, carry.rho_m, carry.tracers,
+            sub, n)
+        rec = PDERecord(m_mean=jnp.mean(m_field), var=jnp.var(total),
+                        fft=fft, v_eff=v_eff, D_eff=D_eff)
+        do_step = n < nsteps
+        rho_p, rho_m = pde_step(config, params, ops, carry.rho_p, carry.rho_m)
+        rho_p = jnp.where(do_step, rho_p, carry.rho_p)
+        rho_m = jnp.where(do_step, rho_m, carry.rho_m)
+        return PDECarry(rho_p, rho_m, tracers, key), rec
+
+    def block(carry: PDECarry, b):
+        snap_total = carry.rho_p + carry.rho_m
+        snap_m = carry.rho_p - carry.rho_m
+        n0 = b * interval
+        carry, recs = jax.lax.scan(
+            one_iter, carry, n0 + jnp.arange(interval))
+        return carry, (recs, snap_total, snap_m,
+                       n0.astype(jnp.float32) * config.dt)
+
+    carry0 = PDECarry(rho_p0, rho_m0, tracers0, key)
+    carry, (recs, snaps, m_snaps, snap_times) = jax.lax.scan(
+        block, carry0, jnp.arange(n_blocks))
+    # flatten per-block records and truncate the padded tail
+    recs = jax.tree.map(
+        lambda a: a.reshape((n_blocks * interval,) + a.shape[2:])[:n_iters],
+        recs)
+    return PDESolveResult(
+        rho_p=carry.rho_p, rho_m=carry.rho_m, records=recs,
+        snapshots=snaps, m_snapshots=m_snaps, snap_times=snap_times)

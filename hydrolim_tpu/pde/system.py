@@ -1,0 +1,175 @@
+"""``IMEXPDE`` — user-facing facade with the reference's API surface.
+
+Constructor kwargs mirror ``IMEX_PDE_solver_class.py:13-29``;
+``initialize(mode, rho0, noise, n_tracers)`` (:96-131), ``solve()`` (:236),
+``get_output()`` (:293-306), ``plot_all()``/``plot_individual()`` (viz
+module) keep the same names and output schema.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hydrolim_tpu.core.config import PDEConfig, PDEParams, make_pde_params
+from hydrolim_tpu.pde.stepper import (
+    PDEOps,
+    PDESolveResult,
+    TracerState,
+    build_pde_ops,
+    pde_solve,
+)
+
+
+class IMEXPDE:
+    def __init__(
+        self,
+        L: int = 1000,
+        xlim: float = 1.0,
+        T: float = 10.0,
+        dt: float = 5e-4,
+        gamma: float = 2.33e-4,
+        lam: float = 0.6,
+        beta: float = 2.0,
+        bc: str = "periodic",
+        active_model: str = "bidirectional",
+        gaussian_kernel: bool = False,
+        kernel_sigma: float = 0.02,
+        snapshot_interval: int = 50,
+        outdir: str = "IMEX_output",
+        seed: Optional[int] = None,
+        # --- TPU-native extensions ---
+        diffusion_solver: str = "auto",
+        fft_kmax: Optional[int] = None,
+        legacy_double_diffusion: bool = False,
+        make_outdir: bool = False,
+    ):
+        self.config = PDEConfig(
+            L=L, xlim=xlim, T=T, dt=dt, bc=bc, active_model=active_model,
+            gaussian_kernel=gaussian_kernel, kernel_sigma=kernel_sigma,
+            snapshot_interval=snapshot_interval,
+            diffusion_solver=diffusion_solver, fft_kmax=fft_kmax,
+            legacy_double_diffusion=legacy_double_diffusion)
+        self.params = make_pde_params(gamma=gamma, lam=lam, beta=beta)
+        self.outdir = Path(outdir)
+        if make_outdir:
+            self.outdir.mkdir(parents=True, exist_ok=True)
+        self.seed = seed if seed is not None else int(
+            np.random.SeedSequence().entropy % (2 ** 63))
+        self.key = jax.random.PRNGKey(self.seed)
+        self.ops: PDEOps = build_pde_ops(self.config, self.params)
+        self.rho_mean = 1.0 / xlim
+        self._result: Optional[PDESolveResult] = None
+
+    # -- reference-compatible attributes ------------------------------------
+    @property
+    def L(self):
+        return self.config.L
+
+    @property
+    def dx(self):
+        return self.config.dx
+
+    @property
+    def x(self):
+        return np.linspace(0, self.config.xlim, self.config.L, endpoint=False)
+
+    @property
+    def T(self):
+        return self.config.T
+
+    @property
+    def dt(self):
+        return self.config.dt
+
+    @property
+    def nsteps(self):
+        return self.config.nsteps
+
+    @property
+    def gamma(self):
+        return float(self.params.gamma)
+
+    @property
+    def lam(self):
+        return float(self.params.lam)
+
+    @property
+    def beta(self):
+        return float(self.params.beta)
+
+    # -----------------------------------------------------------------------
+    def initialize(self, mode: str = "poisson", rho0: float = 1.0,
+                   noise: float = 0.2, n_tracers: int = 1000) -> None:
+        """Initial conditions (IMEX_PDE_solver_class.py:96-131).
+
+        ``mode='poisson'`` reproduces the reference quirk: a centered
+        exponential bump ``exp(−|x−0.5|/0.05)``, not Poisson noise
+        (SURVEY.md §2.4)."""
+        L = self.config.L
+        self.key, k_p, k_m, k_tr, k_spin = jax.random.split(self.key, 5)
+        x = jnp.asarray(self.x, jnp.float32)
+        if mode == "homogeneous":
+            rho_p = rho0 + noise * jax.random.normal(k_p, (L,))
+            rho_m = rho0 + noise * jax.random.normal(k_m, (L,))
+        elif mode == "poisson":
+            bump = jnp.exp(-jnp.abs(x - 0.5) / 0.05)
+            rho_p = bump + noise * jax.random.normal(k_p, (L,))
+            rho_m = bump + noise * jax.random.normal(k_m, (L,))
+        else:
+            raise ValueError("Unknown init mode.")
+        rho_p = jnp.clip(rho_p, 0.0, None)
+        rho_m = jnp.clip(rho_m, 0.0, None)
+        tot = jnp.sum(rho_p + rho_m)
+        self.rho_p = rho_p / tot
+        self.rho_m = rho_m / tot
+
+        self.n_tracers = n_tracers
+        pos = jax.random.randint(k_tr, (n_tracers,), 0, L).astype(
+            jnp.float32) * self.config.dx
+        spin = jnp.where(jax.random.bernoulli(k_spin, 0.5, (n_tracers,)),
+                         1, -1).astype(jnp.int32)
+        window = self.config.tracer_window
+        self.tracers = TracerState(
+            pos=pos, unwrapped=pos, spin=spin,
+            hist=jnp.zeros((window, n_tracers), jnp.float32))
+
+    def solve(self) -> None:
+        self.key, sub = jax.random.split(self.key)
+        self._result = jax.device_get(pde_solve(
+            self.config, self.params, self.ops, self.rho_p, self.rho_m,
+            self.tracers, sub))
+
+    def get_output(self) -> Dict[str, Any]:
+        """Reference output schema (IMEX_PDE_solver_class.py:293-306)."""
+        assert self._result is not None, "call solve() first"
+        r = self._result
+        rec = r.records
+        n_iters = self.config.nsteps + 1
+        # snapshot times recorded at block starts that are true iterations
+        n_snap = int(np.sum(np.asarray(r.snap_times) <= self.config.T + 1e-9))
+        return dict(
+            rho_p=np.asarray(r.rho_p),
+            rho_m=np.asarray(r.rho_m),
+            m_series=np.asarray(rec.m_mean)[:n_iters],
+            var_series=np.asarray(rec.var)[:n_iters],
+            fft_amp=np.abs(np.asarray(rec.fft))[:n_iters],
+            fft_phase=np.asarray(rec.fft)[:n_iters],
+            snapshots=np.asarray(r.snapshots)[:n_snap],
+            m_snapshots=np.asarray(r.m_snapshots)[:n_snap],
+            times=np.asarray(r.snap_times)[:n_snap],
+            v_eff_series=np.asarray(rec.v_eff)[:n_iters],
+            D_eff_series=np.asarray(rec.D_eff)[:n_iters],
+        )
+
+    # plotting lives in hydrolim_tpu.viz; thin methods for API parity
+    def plot_all(self):
+        from hydrolim_tpu.viz.pde_plots import plot_all
+        plot_all(self, self.get_output())
+
+    def plot_individual(self, k_max: int = 6):
+        from hydrolim_tpu.viz.pde_plots import plot_individual
+        plot_individual(self, self.get_output(), k_max=k_max)

@@ -1,0 +1,129 @@
+"""Particle-engine invariants and statistical checks (SURVEY.md §4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hydrolim_tpu import ParticleSystem
+from hydrolim_tpu.core.config import ParticleConfig, make_particle_params
+from hydrolim_tpu.particles.init import init_particles
+from hydrolim_tpu.particles.stepper import build_static_arrays, step
+
+
+def _mini_system(**over):
+    kw = dict(L=64, xlim=1.0, rate_diffusion=0.5, rate_active=2.0, beta=1.0,
+              init="fixed", N=40, scale_rates=False, local_kernel_sigma=0.0,
+              periodic=True, site_capacity=1, k_on=0, k_off=0, k_exit=0,
+              rng=7)
+    kw.update(over)
+    return ParticleSystem(**kw)
+
+
+def test_run_conserves_particles_without_exits():
+    ps = _mini_system()
+    out = ps.run(T=1.0, obs_dt=0.25, record_fft=True, record_var=True)
+    assert out["particle_count_list"] == [40] * 4
+    # density normalization: ∫(ρ₊+ρ₋)dx = 1
+    mass = out["total_list"].sum(axis=1) * ps.dx
+    np.testing.assert_allclose(mass, 1.0, rtol=1e-5)
+
+
+def test_exclusion_capacity_never_violated():
+    ps = _mini_system(N=50, site_capacity=1, rate_diffusion=5.0,
+                      rate_active=20.0, max_event_prob=0.5)  # stress conflicts
+    out = ps.run(T=1.0, obs_dt=0.1)
+    for pos in out["pos_list"]:
+        assert np.bincount(pos, minlength=64).max() <= 1
+
+
+def test_exclusion_capacity_K3():
+    ps = _mini_system(L=32, N=80, site_capacity=3, rate_diffusion=5.0,
+                      rate_active=10.0, max_event_prob=0.5)
+    out = ps.run(T=0.5, obs_dt=0.1)
+    for pos in out["pos_list"]:
+        assert np.bincount(pos, minlength=32).max() <= 3
+
+
+def test_no_exclusion_fast_path_runs():
+    ps = _mini_system(site_capacity=None, N=200)
+    out = ps.run(T=0.5, obs_dt=0.1)
+    assert out["total_list"].shape == (5, 64)
+
+
+def test_flip_rate_statistics_matches_cw():
+    """Empirical flip rate ≈ exp(−βσm) (SURVEY.md §4 statistical test).
+
+    With all particles +1 and strong β, m=+1: plus flips at exp(−β),
+    a minus particle would flip at exp(+β)."""
+    beta = 1.0
+    config = ParticleConfig(L=16, N=256, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.0, periodic=True,
+                            site_capacity=None, n_pad=256)
+    params = make_particle_params(config, beta=beta, rate_diffusion=0.0,
+                                  rate_active=0.0, k_on=0, k_off=0, k_exit=0)
+    statics = build_static_arrays(config)
+    state = init_particles(config, jax.random.PRNGKey(0))
+    # force all spins +1 -> m = +1 exactly
+    state = state._replace(sigma=jnp.ones_like(state.sigma))
+    dt = 0.01
+    n_steps, flips = 400, 0
+    st = state
+    for k in range(n_steps):
+        prev = st.sigma
+        st = step(config, params, statics, st, dt, jnp.float32(k * dt))
+        flips += int(jnp.sum(prev != st.sigma))
+        st = st._replace(sigma=jnp.abs(st.sigma))  # reset to all-plus
+    # expected flips per particle-step = exp(-beta*1*1)*dt
+    expect = np.exp(-beta) * dt * 256 * n_steps
+    assert abs(flips - expect) < 5 * np.sqrt(expect)
+
+
+def test_diffusion_msd_matches_rate():
+    """Pure symmetric diffusion: MSD grows like 2·D·t with D = r·a² (a=1
+    site), i.e. Var[x_site] ≈ 2·r·t in site units."""
+    ps = _mini_system(L=256, N=500, rate_diffusion=1.0, rate_active=0.0,
+                      beta=0.0, site_capacity=None, rng=3)
+    out = ps.run(T=4.0, obs_dt=1.0)
+    pos = out["pos_frames"]  # unwrapped
+    d = (pos[-1] - pos[0]).astype(float)
+    msd = np.mean(d ** 2)
+    # frames span times_obs[0..3] = 3 time units (arange(0,T,obs_dt), same
+    # grid as the reference); Var = 2·r·Δt_span = 6 site²
+    assert abs(msd - 6.0) < 1.0
+
+
+def test_active_drift_plus_particles():
+    """σ=+1 particles drift right at rate_active·(1 site) per unit time."""
+    ps = _mini_system(L=512, N=400, rate_diffusion=0.0, rate_active=3.0,
+                      beta=0.0, site_capacity=None, rng=5)
+    out = ps.run(T=3.0, obs_dt=1.0)
+    pos = out["pos_frames"].astype(float)
+    # spins never flip sign on average drift: select by initial sigma sign via
+    # displacement direction statistics: plus particles moved, minus stayed.
+    disp = pos[-1] - pos[0]
+    moved = disp[disp > 0]
+    # β=0 ⇒ flip rate 1 both ways; displacement mean over all particles is
+    # rate_active·E[time in +]·... just check total drift is positive & sane
+    assert disp.mean() > 0.5 * 3.0 * 3.0 * 0.5 * 0.5
+
+
+def test_exit_events_recorded():
+    ps = ParticleSystem(L=64, xlim=1.0, rate_diffusion=0.0, rate_active=0.0,
+                        beta=0.0, init="fixed", N=30, scale_rates=False,
+                        local_kernel_sigma=0.0, periodic=False,
+                        site_capacity=None, anchor_positions=[0.5],
+                        anchor_radius=0.5,  # whole lattice anchored
+                        k_on=50.0, k_off=0.0, k_exit=50.0, rng=11,
+                        exit_buffer=64)
+    out = ps.run(T=2.0, obs_dt=0.5)
+    # minus particles bind then exit; plus particles never do
+    assert len(out["exit_times"]) > 0
+    assert out["particle_count_list"][-1] < 30
+    assert all(np.isfinite(out["exit_times"]))
+
+
+def test_determinism_same_seed():
+    o1 = _mini_system(rng=42).run(T=0.5, obs_dt=0.25)
+    o2 = _mini_system(rng=42).run(T=0.5, obs_dt=0.25)
+    np.testing.assert_array_equal(o1["total_list"], o2["total_list"])
+    np.testing.assert_array_equal(o1["m_global"], o2["m_global"])

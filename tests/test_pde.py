@@ -1,0 +1,129 @@
+"""PDE engine: step math vs an independent NumPy oracle, conservation, and
+solve-loop schema."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.sparse import diags
+from scipy.sparse.linalg import spsolve
+
+from hydrolim_tpu import IMEXPDE
+from hydrolim_tpu.core.config import PDEConfig, make_pde_params
+from hydrolim_tpu.pde.stepper import build_pde_ops, pde_step
+
+
+def _oracle_step(rho_p, rho_m, *, L, dx, dt, gamma, lam, beta, bc,
+                 kernel=None):
+    """Independent NumPy implementation of one bidirectional IMEX step,
+    written from the discretization: implicit diffusion solve, upwind
+    advection, Curie–Weiss reaction, clip, mass renormalization."""
+    D = diags([1.0, -2.0, 1.0], [-1, 0, 1], shape=(L, L)).tolil()
+    if bc == "periodic":
+        D[0, -1] = D[-1, 0] = 1.0
+    else:
+        D[0, 1] = 2.0
+        D[-1, -2] = 2.0
+    A = (diags(np.ones(L), 0) - gamma * dt * D / dx ** 2).tocsr()
+    p = spsolve(A, rho_p)
+    m = spsolve(A, rho_m)
+
+    # upwind derivatives
+    dp = np.empty(L)
+    dp[1:] = (p[1:] - p[:-1]) / dx
+    dp[0] = (p[0] - p[-1]) / dx if bc == "periodic" else 0.0
+    dm = np.empty(L)
+    dm[:-1] = (m[1:] - m[:-1]) / dx
+    dm[-1] = (m[0] - m[-1]) / dx if bc == "periodic" else 0.0
+
+    if kernel is None:
+        mag = (p - m) / (p + m + 1e-12)
+    else:
+        mag = np.real(np.fft.ifft(np.fft.fft(p - m) * np.fft.fft(kernel)))
+        mag /= np.real(np.fft.ifft(np.fft.fft(p + m) * np.fft.fft(kernel))) + 1e-12
+    cw = lambda s: np.clip(np.exp(-beta * s * mag), 1e-8, 1e8)
+    R_p = cw(-1) * m - cw(+1) * p
+    p2 = np.clip(p + dt * (-lam * dp + R_p), 0, None)
+    m2 = np.clip(m + dt * (+lam * dm - R_p), 0, None)
+    M0 = (p + m).sum()
+    M1 = (p2 + m2).sum()
+    return p2 * M0 / M1, m2 * M0 / M1
+
+
+@pytest.mark.parametrize("bc", ["periodic", "neumann"])
+def test_pde_step_matches_oracle(bc):
+    L, dx, dt = 64, 1.0 / 64, 5e-4
+    rng = np.random.default_rng(0)
+    rho_p = rng.random(L)
+    rho_m = rng.random(L)
+    s = rho_p.sum() + rho_m.sum()
+    rho_p, rho_m = rho_p / s, rho_m / s
+
+    config = PDEConfig(L=L, xlim=1.0, T=dt, dt=dt, bc=bc)
+    params = make_pde_params(gamma=0.2, lam=0.6, beta=1.5)
+    ops = build_pde_ops(config, params)
+    p1, m1 = pde_step(config, params, ops, jnp.asarray(rho_p, jnp.float32),
+                      jnp.asarray(rho_m, jnp.float32))
+    p_ref, m_ref = _oracle_step(rho_p, rho_m, L=L, dx=dx, dt=dt, gamma=0.2,
+                                lam=0.6, beta=1.5, bc=bc)
+    np.testing.assert_allclose(np.asarray(p1), p_ref, rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1), m_ref, rtol=5e-4, atol=1e-6)
+
+
+def test_pde_step_with_kernel_matches_oracle():
+    L, dx, dt = 64, 1.0 / 64, 5e-4
+    rng = np.random.default_rng(1)
+    rho_p = rng.random(L)
+    rho_m = rng.random(L)
+    config = PDEConfig(L=L, xlim=1.0, T=dt, dt=dt, bc="periodic",
+                       gaussian_kernel=True, kernel_sigma=0.05)
+    params = make_pde_params(gamma=0.1, lam=0.6, beta=2.0)
+    ops = build_pde_ops(config, params)
+    p1, m1 = pde_step(config, params, ops, jnp.asarray(rho_p, jnp.float32),
+                      jnp.asarray(rho_m, jnp.float32))
+    i = np.arange(L)
+    kern = np.exp(-0.5 * (np.minimum(i, L - i) * dx / 0.05) ** 2)
+    kern /= kern.sum()
+    p_ref, m_ref = _oracle_step(rho_p, rho_m, L=L, dx=dx, dt=dt, gamma=0.1,
+                                lam=0.6, beta=2.0, bc="periodic", kernel=kern)
+    np.testing.assert_allclose(np.asarray(p1), p_ref, rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1), m_ref, rtol=1e-3, atol=1e-6)
+
+
+def test_mass_conserved_over_many_steps():
+    config = PDEConfig(L=128, T=0.05, dt=5e-4, bc="periodic")
+    params = make_pde_params(gamma=0.2, lam=0.6, beta=2.0)
+    ops = build_pde_ops(config, params)
+    rng = np.random.default_rng(2)
+    p = jnp.asarray(rng.random(128) / 128, jnp.float32)
+    m = jnp.asarray(rng.random(128) / 128, jnp.float32)
+    M0 = float(jnp.sum(p + m))
+    for _ in range(100):
+        p, m = pde_step(config, params, ops, p, m)
+    assert abs(float(jnp.sum(p + m)) - M0) < 1e-4 * M0
+
+
+def test_imexpde_facade_solve_schema():
+    pde = IMEXPDE(L=64, T=0.05, dt=1e-3, gamma=0.05, lam=0.6, beta=2.0,
+                  bc="periodic", seed=3, snapshot_interval=10)
+    pde.initialize("homogeneous", rho0=1.0, noise=0.1, n_tracers=16)
+    pde.solve()
+    out = pde.get_output()
+    n = pde.nsteps + 1
+    assert out["m_series"].shape == (n,)
+    assert out["var_series"].shape == (n,)
+    assert out["fft_amp"].shape == (n, 33)
+    assert out["v_eff_series"].shape == (n,)
+    assert out["snapshots"].shape[1] == 64
+    assert np.all(np.isfinite(out["m_series"]))
+    # windowed tracer stats appear after the window fills
+    assert np.isnan(out["v_eff_series"][0])
+    assert np.isfinite(out["v_eff_series"][-1])
+
+
+def test_anchored_minus_runs():
+    pde = IMEXPDE(L=64, T=0.02, dt=1e-3, gamma=0.05, lam=0.6, beta=1.0,
+                  bc="neumann", active_model="anchored_minus", seed=4)
+    pde.initialize("homogeneous", noise=0.05, n_tracers=8)
+    pde.solve()
+    out = pde.get_output()
+    assert np.all(np.isfinite(out["rho_p"]))
+    assert np.all(out["rho_p"] >= 0)
