@@ -1,0 +1,117 @@
+"""Throughput benchmark (BASELINE.json target).
+
+Headline metric: particle-steps/sec/chip at N=1e5 with a 64-point β-sweep
+resident on one chip (mean-field bench config: global magnetization,
+bidirectional active hops, no exclusion — BASELINE.json configs 1/4).
+North star: ≥ 1e9; ``vs_baseline`` reports value / 1e9.
+
+Secondary metrics (stderr): IMEX PDE steps/sec (L=1000, reference single-run
+shape) and β-sweep replicas/sec.
+"""
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hydrolim_tpu.core.config import ParticleConfig
+from hydrolim_tpu.particles.init import init_particles
+from hydrolim_tpu.particles.stepper import build_static_arrays, step
+from hydrolim_tpu.sweeps.ensemble import broadcast_params, ensemble_dt
+
+
+def bench_particle_steps(B=64, N=100_000, L=1000, K_steps=100, reps=5):
+    config = ParticleConfig(
+        L=L, N=N, n_pad=N, init="fixed", scale_rates=False,
+        local_kernel_sigma=0.0, periodic=True, site_capacity=None,
+        active_model="bidirectional")
+    params = broadcast_params(config, beta=np.linspace(0.0, 3.0, B),
+                              rate_diffusion=0.5, rate_active=2.0)
+    dt = ensemble_dt(config, beta_max=3.0, rate_diffusion=0.5,
+                     rate_active=2.0)
+    statics = build_static_arrays(config)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    states = jax.jit(jax.vmap(lambda k: init_particles(config, k)))(keys)
+    jax.block_until_ready(states.pos)
+
+    @jax.jit
+    def advance(params, states):
+        def body(st, _):
+            st = jax.vmap(
+                lambda p, s: step(config, p, statics, s, dt,
+                                  jnp.float32(0.0)))(params, st)
+            return st, ()
+        states, _ = jax.lax.scan(body, states, None, length=K_steps)
+        return states
+
+    states = advance(params, states)          # compile + warm
+    jax.block_until_ready(states.pos)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        states = advance(params, states)
+        jax.block_until_ready(states.pos)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return B * N * K_steps / best, best
+
+
+def bench_pde_steps(L=1000, nsteps=2000, reps=3):
+    from hydrolim_tpu.core.config import PDEConfig, make_pde_params
+    from hydrolim_tpu.pde.stepper import build_pde_ops, pde_step
+
+    config = PDEConfig(L=L, T=nsteps * 5e-4, dt=5e-4, bc="periodic",
+                       gaussian_kernel=True, kernel_sigma=0.005)
+    params = make_pde_params(gamma=0.2, lam=0.6, beta=2.0)
+    ops = build_pde_ops(config, params)
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.random(L) / L, jnp.float32)
+    m = jnp.asarray(rng.random(L) / L, jnp.float32)
+
+    @jax.jit
+    def advance(p, m):
+        def body(c, _):
+            return pde_step(config, params, ops, c[0], c[1]), ()
+        (p, m), _ = jax.lax.scan(body, (p, m), None, length=nsteps)
+        return p, m
+
+    p1, m1 = advance(p, m)
+    jax.block_until_ready(p1)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        p1, m1 = advance(p, m)
+        jax.block_until_ready(p1)
+        times.append(time.perf_counter() - t0)
+    return nsteps / min(times)
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    pps, step_time = bench_particle_steps()
+    print(f"# particle bench: {pps:.3e} particle-steps/sec/chip "
+          f"(64x1e5 batch, {step_time * 1e3:.1f} ms / 100 steps)",
+          file=sys.stderr)
+    try:
+        pde_sps = bench_pde_steps()
+        print(f"# pde bench: {pde_sps:.3e} IMEX steps/sec (L=1000)",
+              file=sys.stderr)
+    except Exception as e:  # secondary metric must not kill the headline
+        print(f"# pde bench failed: {e}", file=sys.stderr)
+        pde_sps = None
+
+    print(json.dumps({
+        "metric": "particle-steps/sec/chip (N=1e5, 64-point beta sweep)",
+        "value": pps,
+        "unit": "particle-steps/s",
+        "vs_baseline": pps / 1e9,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,12 @@ class ParticleConfig:
     site_capacity: Optional[int] = 1         # None -> no exclusion (K = inf)
     crowding_suppresses_rates: bool = False
     suppress_flip_when_bound: bool = True
+    # 'plus_forward': only σ=+1 hop actively (reference behavior,
+    # PARTICLE_solver_CLASS.py:317-319); 'bidirectional': σ-directed hops for
+    # both spins — the microscopic counterpart of the PDE's bidirectional
+    # model, needed for the micro↔macro v=λ·tanh(βm_β) validation
+    # (plot_figs.py).
+    active_model: str = "plus_forward"
     # --- TPU-native additions -------------------------------------------------
     dt: Optional[float] = None               # None -> auto from rate bound
     max_event_prob: float = 0.10             # tau-leap bias knob: max R_i*dt
@@ -62,6 +68,7 @@ class ParticleConfig:
 
     def __post_init__(self):
         assert self.init in ("fixed", "poisson")
+        assert self.active_model in ("plus_forward", "bidirectional")
         if self.site_capacity is not None and self.init == "fixed":
             assert self.N <= self.site_capacity * self.L, (
                 "N exceeds lattice capacity")

@@ -27,20 +27,22 @@ from hydrolim_tpu.ops.convolve import periodic_gaussian_kernel, reflect_gaussian
 
 class SmoothOp(NamedTuple):
     """Cached circular-convolution operator (one of the two fields is a
-    size-0 placeholder, depending on the global fft mode)."""
+    size-0 placeholder, depending on the global fft mode).  No complex
+    dtypes anywhere — the TPU backend lacks complex64."""
 
-    kernel_rfft: jnp.ndarray   # complex64 (L//2+1,) — native-fft mode
-    conv_mat: jnp.ndarray      # float32 (L, L)      — matmul mode
+    kernel_rfft_ri: jnp.ndarray   # float32 (L//2+1, 2) — native-fft mode
+    conv_mat: jnp.ndarray         # float32 (L, L)      — matmul mode
 
 
 def build_smooth_op(kernel: Optional[np.ndarray]) -> SmoothOp:
     if kernel is None:
-        return SmoothOp(jnp.zeros((0,), jnp.complex64),
+        return SmoothOp(jnp.zeros((0, 2), jnp.float32),
                         jnp.zeros((0, 0), jnp.float32))
     if dft.fft_mode() == "native":
-        return SmoothOp(jnp.asarray(np.fft.rfft(kernel).astype(np.complex64)),
-                        jnp.zeros((0, 0), jnp.float32))
-    return SmoothOp(jnp.zeros((0,), jnp.complex64),
+        K = np.fft.rfft(kernel)
+        kri = np.stack([K.real, K.imag], axis=-1).astype(np.float32)
+        return SmoothOp(jnp.asarray(kri), jnp.zeros((0, 0), jnp.float32))
+    return SmoothOp(jnp.zeros((0, 2), jnp.float32),
                     dft.circulant_matmul_matrix(kernel))
 
 
@@ -48,7 +50,11 @@ def apply_smooth(op: SmoothOp, x: jnp.ndarray) -> jnp.ndarray:
     if op.conv_mat.shape[0] > 0:
         return dft.circular_convolve(x, op.conv_mat)
     L = x.shape[-1]
-    return dft.irfft(dft.rfft(x) * op.kernel_rfft, n=L)
+    X = dft.rfft_ri(x)
+    kr, ki = op.kernel_rfft_ri[..., 0], op.kernel_rfft_ri[..., 1]
+    re = X[..., 0] * kr - X[..., 1] * ki
+    im = X[..., 0] * ki + X[..., 1] * kr
+    return dft.irfft_ri(jnp.stack([re, im], axis=-1), n=L)
 
 
 # ---------------------------------------------------------------------------

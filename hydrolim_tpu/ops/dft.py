@@ -62,38 +62,65 @@ def _irfft_mats(L: int) -> Tuple[np.ndarray, np.ndarray]:
     return A, B
 
 
-def rfft(x: jnp.ndarray, L: Optional[int] = None) -> jnp.ndarray:
-    """Real→hermitian DFT on the trailing axis (batched)."""
+def rfft_ri(x: jnp.ndarray, L: Optional[int] = None) -> jnp.ndarray:
+    """Real→hermitian DFT on the trailing axis, returned as stacked
+    (..., L//2+1, 2) real/imag float32 channels.
+
+    The axon TPU backend implements neither XLA's FFT custom-call nor
+    complex64 arithmetic, so the entire device path stays in real pairs;
+    complex views are materialized host-side only."""
     if L is None:
         L = x.shape[-1]
     if fft_mode() == "native":
-        return jnp.fft.rfft(x, n=L)
+        X = jnp.fft.rfft(x, n=L)
+        return jnp.stack([jnp.real(X), jnp.imag(X)], axis=-1).astype(jnp.float32)
     C, S = _rfft_mats(L)
     xr = x.astype(jnp.float32)
     re = xr @ jnp.asarray(C)
     im = -(xr @ jnp.asarray(S))
-    return jax.lax.complex(re, im)
+    return jnp.stack([re, im], axis=-1)
+
+
+def irfft_ri(Xri: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(..., K, 2) real/imag → real signal of length n (trailing axis)."""
+    if fft_mode() == "native":
+        X = jax.lax.complex(Xri[..., 0], Xri[..., 1])
+        return jnp.fft.irfft(X, n=n)
+    A, B = _irfft_mats(n)
+    return Xri[..., 0] @ jnp.asarray(A) + Xri[..., 1] @ jnp.asarray(B)
+
+
+def fft_of_real_ri(x: jnp.ndarray) -> jnp.ndarray:
+    """Full L-point DFT of a *real* signal as (..., L, 2) real/imag pairs
+    (the particle recorder stores the full spectrum,
+    PARTICLE_solver_CLASS.py:503)."""
+    L = x.shape[-1]
+    Xh = rfft_ri(x, L)
+    # mirror: F[L-k] = conj(F[k]) for k = 1..ceil(L/2)-1
+    body = jnp.flip(Xh[..., 1:(L + 1) // 2, :], axis=-2)
+    body = body * jnp.asarray([1.0, -1.0], jnp.float32)
+    return jnp.concatenate([Xh, body], axis=-2)
+
+
+def ri_to_complex(Xri) -> np.ndarray:
+    """Host-side view of an ri pair array as complex64."""
+    Xri = np.asarray(Xri)
+    return (Xri[..., 0] + 1j * Xri[..., 1]).astype(np.complex64)
+
+
+# complex-returning convenience wrappers (host / CPU use)
+def rfft(x: jnp.ndarray, L: Optional[int] = None) -> jnp.ndarray:
+    if fft_mode() == "native":
+        return jnp.fft.rfft(x, n=L if L is not None else x.shape[-1])
+    X = rfft_ri(x, L)
+    return jax.lax.complex(X[..., 0], X[..., 1])
 
 
 def irfft(X: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Hermitian→real inverse DFT on the trailing axis (batched)."""
     if fft_mode() == "native":
         return jnp.fft.irfft(X, n=n)
-    A, B = _irfft_mats(n)
-    return jnp.real(X).astype(jnp.float32) @ jnp.asarray(A) + \
-        jnp.imag(X).astype(jnp.float32) @ jnp.asarray(B)
-
-
-def fft_of_real(x: jnp.ndarray) -> jnp.ndarray:
-    """Full L-point complex DFT of a *real* signal (the particle recorder
-    stores the full spectrum, PARTICLE_solver_CLASS.py:503)."""
-    L = x.shape[-1]
-    if fft_mode() == "native":
-        return jnp.fft.fft(x).astype(jnp.complex64)
-    Xh = rfft(x, L)
-    # mirror: F[L-k] = conj(F[k]) for k = 1..ceil(L/2)-1
-    body = jnp.conj(jnp.flip(Xh[..., 1:(L + 1) // 2], axis=-1))
-    return jnp.concatenate([Xh, body], axis=-1).astype(jnp.complex64)
+    Xri = jnp.stack([jnp.real(X), jnp.imag(X)], axis=-1).astype(jnp.float32)
+    return irfft_ri(Xri, n)
 
 
 @functools.lru_cache(maxsize=32)

@@ -84,11 +84,12 @@ def diffusion_solve(op: DiffusionSolveOp, rho: jnp.ndarray,
 
     if kind == "fft":
         L = rho.shape[-1]
-        return dft.irfft(dft.rfft(rho) / op.denom, n=L)
+        return dft.irfft_ri(dft.rfft_ri(rho) / op.denom[..., :, None], n=L)
     if kind == "dct":
         L = rho.shape[-1]
         even = jnp.concatenate([rho, jnp.flip(rho[..., 1:-1], axis=-1)], axis=-1)
-        sol = dft.irfft(dft.rfft(even) / op.denom, n=2 * L - 2)
+        sol = dft.irfft_ri(dft.rfft_ri(even) / op.denom[..., :, None],
+                           n=2 * L - 2)
         return sol[..., :L]
     if kind == "dense":
         return jnp.einsum("...j,ij->...i", rho, op.a_inv,

@@ -36,7 +36,7 @@ class ParticleFrames(NamedTuple):
     m_local: jnp.ndarray          # (M, L)
     m_global: jnp.ndarray         # (M,)
     particle_count: jnp.ndarray   # (M,) int32
-    rho_hat: jnp.ndarray          # (M, L) complex64   (FFT of total density)
+    rho_hat_ri: jnp.ndarray       # (M, L, 2) re/im of the density DFT
     fft_amp: jnp.ndarray          # (M, L)
     var: jnp.ndarray              # (M,)
     pos: jnp.ndarray              # (M, n_buf) int32  unwrapped (pos + wind·L)
@@ -62,8 +62,8 @@ def _record_frame(config: ParticleConfig, statics: StaticArrays,
     m_field = compute_m_field(config, statics, counts_p, counts_m)
     s_sum = jnp.sum(jnp.where(state.alive, state.sigma, 0)).astype(jnp.float32)
     m_global = s_sum / jnp.maximum(n_alive, 1.0)       # mean(sigma) (:498)
-    u_hat = dft.fft_of_real(total)
-    amp = jnp.abs(u_hat)
+    u_hat = dft.fft_of_real_ri(total)
+    amp = jnp.sqrt(u_hat[..., 0] ** 2 + u_hat[..., 1] ** 2)
     var = jnp.var(total)
     if record_pos:
         pos_u = state.pos + state.wind * L
@@ -76,7 +76,7 @@ def _record_frame(config: ParticleConfig, statics: StaticArrays,
     return ParticleFrames(
         rho_p=rho_p, rho_m=rho_m, total=total, m_local=m_field,
         m_global=m_global, particle_count=jnp.sum(state.alive, dtype=jnp.int32),
-        rho_hat=u_hat, fft_amp=amp, var=var, pos=pos_u, alive=alive,
+        rho_hat_ri=u_hat, fft_amp=amp, var=var, pos=pos_u, alive=alive,
         bound=bound)
 
 

@@ -80,7 +80,10 @@ def assemble_rates(config: ParticleConfig, params: ParticleParams,
     if config.suppress_flip_when_bound:
         cvec = jnp.where(bound, 0.0, cvec)
 
-    fwd_raw = pos + is_plus.astype(jnp.int32)
+    if config.active_model == "bidirectional":
+        fwd_raw = pos + sigma            # σ-directed hop for both spins
+    else:  # 'plus_forward' (reference): σ=−1 takes a zero step (:276-277)
+        fwd_raw = pos + is_plus.astype(jnp.int32)
     left_raw = pos - 1
     right_raw = pos + 1
     if config.periodic:
@@ -99,7 +102,11 @@ def assemble_rates(config: ParticleConfig, params: ParticleParams,
     else:
         fwd_free, left_free, right_free = ~same_fwd, ~same_left, ~same_right
 
-    r_act = jnp.where(is_plus & fwd_free, params.rate_active, 0.0)
+    if config.active_model == "bidirectional":
+        r_act = jnp.where(fwd_free, params.rate_active, 0.0)
+    else:
+        # reference: only σ=+1 particles ever take active hops (:317-319)
+        r_act = jnp.where(is_plus & fwd_free, params.rate_active, 0.0)
     r_left = params.rate_diffusion * left_free
     r_right = params.rate_diffusion * right_free
 

@@ -20,6 +20,7 @@ from hydrolim_tpu.core.config import (
     auto_dt,
     make_particle_params,
 )
+from hydrolim_tpu.ops.dft import ri_to_complex as _ri_to_complex
 from hydrolim_tpu.particles.init import ParticleState, eval_profile, init_particles
 from hydrolim_tpu.particles.run import ParticleRunResult, run_particles
 
@@ -77,6 +78,7 @@ class ParticleSystem:
         suppress_flip_when_bound: bool = True,
         k_exit: float = 0,
         # --- TPU-native extensions ---
+        active_model: str = "plus_forward",
         dt: Optional[float] = None,
         max_event_prob: float = 0.10,
         n_pad: Optional[int] = None,
@@ -95,6 +97,7 @@ class ParticleSystem:
             anchor_radius=anchor_radius, site_capacity=site_capacity,
             crowding_suppresses_rates=crowding_suppresses_rates,
             suppress_flip_when_bound=suppress_flip_when_bound,
+            active_model=active_model,
             dt=dt, max_event_prob=max_event_prob, n_pad=n_pad,
             exit_buffer=exit_buffer,
             flip_rate_fn=_wrap_flip_rate_fn(flip_rate_fn),
@@ -191,7 +194,7 @@ class ParticleSystem:
             "bound_list": bound_list,
             "m_local_list": np.asarray(f.m_local, dtype=float),
             "m_global": np.asarray(f.m_global, dtype=float),
-            "rho_hat_complex": np.asarray(f.rho_hat) if record_fft else None,
+            "rho_hat_complex": _ri_to_complex(f.rho_hat_ri) if record_fft else None,
             "fft_amp_list": np.asarray(f.fft_amp, dtype=float) if record_fft else None,
             "var_list": np.asarray(f.var, dtype=float) if record_var else None,
             "exit_times": list(np.asarray(res.final_state.exit_times[:ec])),

@@ -151,7 +151,7 @@ class PDERecord(NamedTuple):
 
     m_mean: jnp.ndarray
     var: jnp.ndarray
-    fft: jnp.ndarray          # (kmax,) complex64 = rfft(total)/L
+    fft_ri: jnp.ndarray       # (kmax, 2) re/im of rfft(total)/L
     v_eff: jnp.ndarray
     D_eff: jnp.ndarray
 
@@ -217,13 +217,13 @@ def pde_solve(config: PDEConfig, params: PDEParams, ops: PDEOps,
     def one_iter(carry: PDECarry, n):
         total = carry.rho_p + carry.rho_m
         m_field = magnetization(config, ops, carry.rho_p, carry.rho_m)
-        fft = (dft.rfft(total) / L)[:kmax].astype(jnp.complex64)
+        fft_ri = (dft.rfft_ri(total) / L)[:kmax]
         key, sub = jax.random.split(carry.key)
         tracers, v_eff, D_eff = _tracer_update(
             config, params, ops, carry.rho_p, carry.rho_m, carry.tracers,
             sub, n)
         rec = PDERecord(m_mean=jnp.mean(m_field), var=jnp.var(total),
-                        fft=fft, v_eff=v_eff, D_eff=D_eff)
+                        fft_ri=fft_ri, v_eff=v_eff, D_eff=D_eff)
         do_step = n < nsteps
         rho_p, rho_m = pde_step(config, params, ops, carry.rho_p, carry.rho_m)
         rho_p = jnp.where(do_step, rho_p, carry.rho_p)

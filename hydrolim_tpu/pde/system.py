@@ -151,13 +151,15 @@ class IMEXPDE:
         n_iters = self.config.nsteps + 1
         # snapshot times recorded at block starts that are true iterations
         n_snap = int(np.sum(np.asarray(r.snap_times) <= self.config.T + 1e-9))
+        fft_c = np.asarray(rec.fft_ri[..., 0] + 1j * rec.fft_ri[..., 1],
+                           dtype=np.complex64)
         return dict(
             rho_p=np.asarray(r.rho_p),
             rho_m=np.asarray(r.rho_m),
             m_series=np.asarray(rec.m_mean)[:n_iters],
             var_series=np.asarray(rec.var)[:n_iters],
-            fft_amp=np.abs(np.asarray(rec.fft))[:n_iters],
-            fft_phase=np.asarray(rec.fft)[:n_iters],
+            fft_amp=np.abs(fft_c)[:n_iters],
+            fft_phase=fft_c[:n_iters],
             snapshots=np.asarray(r.snapshots)[:n_snap],
             m_snapshots=np.asarray(r.m_snapshots)[:n_snap],
             times=np.asarray(r.snap_times)[:n_snap],

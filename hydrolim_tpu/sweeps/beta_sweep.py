@@ -1,0 +1,313 @@
+"""β-sweep driver — the reference's flagship particle experiment.
+
+Mirrors `PARTICLE_solver_BIOLOGY_EXCLUSION_sweep_beta.py`:
+- ``make_exp_gradient`` IC factory (:16-53, duplicated across 5 files there;
+  single canonical copy here),
+- ``sweep_beta_ensemble`` (:56-117) — one β, n replicas,
+- ``sweep_over_betas`` (:828-1028) — full β grid with npz checkpointing
+  (run-flag pattern, :933-970), the (θ,γ) NB fit and the standard figures.
+
+TPU-first difference: the reference's two nested Python loops
+(β × replicas, :75,:895) collapse into ONE vmapped program — the entire
+(n_beta × n_runs) grid advances per compiled step; estimators reduce
+per-replica on host afterwards.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from hydrolim_tpu.core.config import ParticleConfig
+from hydrolim_tpu.observables.estimators import (
+    compute_blocking_probability,
+    compute_D_eff_active,
+    compute_mean_magnetization,
+    compute_rho_eff,
+    compute_v_eff_and_window,
+)
+from hydrolim_tpu.sweeps.ensemble import (
+    broadcast_params,
+    ensemble_dt,
+    frames_to_out,
+    run_particle_ensemble,
+)
+from hydrolim_tpu.fit.veff_fit import fit_and_plot_v_eff
+
+
+# ---------------------------------------------------------------------------
+# IC factory
+# ---------------------------------------------------------------------------
+
+def make_exp_gradient(
+    L: int,
+    N: int,
+    frac_plus: float,
+    decay_length: float,
+    anchor_positions=(0.25, 0.60),
+    anchor_peak_width: float = 0.01,
+    anchor_peak_mass: float = 0.03,
+):
+    """ρ₀± profile factory: exponential + profile, flat − profile with
+    optional Gaussian anchor peaks, mass split by frac_plus (:16-53).
+    Returns [ρ₀₊ callable, ρ₀₋ callable, ρ₊ array, ρ₋ array]."""
+    xs = np.arange(L) / float(L)
+    plus_shape = np.exp(-xs / decay_length)
+    minus_shape = 0.05 * np.ones_like(xs)
+    if anchor_positions is not None:
+        for a in anchor_positions:
+            minus_shape = minus_shape + anchor_peak_mass * np.exp(
+                -0.5 * ((xs - a) / anchor_peak_width) ** 2)
+    plus_shape = plus_shape / plus_shape.sum()
+    minus_shape = minus_shape / minus_shape.sum()
+    rho_plus = N * frac_plus * plus_shape
+    rho_minus = N * (1.0 - frac_plus) * minus_shape
+
+    def rho0_plus(x):
+        idx = int(np.clip(np.round(x * L), 0, L - 1))
+        return float(rho_plus[idx])
+
+    def rho0_minus(x):
+        idx = int(np.clip(np.round(x * L), 0, L - 1))
+        return float(rho_minus[idx])
+
+    return [rho0_plus, rho0_minus, rho_plus, rho_minus]
+
+
+# ---------------------------------------------------------------------------
+# kwargs → config plumbing
+# ---------------------------------------------------------------------------
+
+DEFAULT_PS_KWARGS: Dict = dict(
+    L=1000, xlim=1, rate_diffusion=0.02, rate_active=5, flip_rate_fn=None,
+    init="poisson", N=500, scale_rates=False, local_kernel_sigma=0.005,
+    minus_anchor=True, periodic=False, immobilize_when_anchored=True,
+    anchor_radius=0.003, anchor_positions=None, site_capacity=1,
+    crowding_suppresses_rates=False, k_on=0, k_off=0, k_exit=0,
+)  # reference sweep configuration (:837-857)
+
+DEFAULT_RUN_KWARGS: Dict = dict(T=20, obs_dt=0.1, record_fft=True,
+                                record_var=True)  # (:829-834)
+
+
+class _PsShim:
+    """Minimal `ps`-like object for estimator signatures (dx, L, K)."""
+
+    def __init__(self, config: ParticleConfig):
+        self.config = config
+        self.L = config.L
+        self.dx = config.dx
+        self.K = config.site_capacity
+        self.xlim = config.xlim
+
+
+def config_from_kwargs(ps_kwargs: Dict, **extra) -> ParticleConfig:
+    kw = dict(ps_kwargs)
+    kw.pop("flip_rate_fn", None)
+    anchors = kw.pop("anchor_positions", None)
+    return ParticleConfig(
+        L=int(kw["L"]), xlim=float(kw["xlim"]), init=kw.get("init", "fixed"),
+        N=int(kw["N"]), scale_rates=bool(kw.get("scale_rates", True)),
+        local_kernel_sigma=float(kw.get("local_kernel_sigma", 0.005)),
+        periodic=bool(kw.get("periodic", False)),
+        minus_anchor=bool(kw.get("minus_anchor", True)),
+        immobilize_when_anchored=bool(kw.get("immobilize_when_anchored", True)),
+        anchor_positions=tuple(anchors) if anchors else None,
+        anchor_radius=float(kw.get("anchor_radius", 0.005)),
+        site_capacity=kw.get("site_capacity", 1),
+        crowding_suppresses_rates=bool(kw.get("crowding_suppresses_rates", False)),
+        suppress_flip_when_bound=bool(kw.get("suppress_flip_when_bound", True)),
+        active_model=kw.get("active_model", "plus_forward"),
+        **extra)
+
+
+def _profiles(config: ParticleConfig, init_kwargs: Optional[Dict]):
+    if config.init != "poisson":
+        return None, None
+    assert init_kwargs is not None, "poisson init requires init_kwargs"
+    from hydrolim_tpu.particles.init import eval_profile
+
+    return (eval_profile(init_kwargs["rho0_plus"], config.L),
+            eval_profile(init_kwargs["rho0_minus"], config.L))
+
+
+# ---------------------------------------------------------------------------
+# vmapped sweep core
+# ---------------------------------------------------------------------------
+
+def run_sweep_grid(beta_values, n_runs: int, ps_kwargs: Dict,
+                   init_kwargs: Optional[Dict], run_kwargs: Dict,
+                   seed: int = 0):
+    """Run the full (β × replicas) grid in one vmapped program; returns
+    (config, batched frames on host, dt)."""
+    config = config_from_kwargs(ps_kwargs)
+    rho0_p, rho0_m = _profiles(config, init_kwargs)
+    params = broadcast_params(
+        config, beta=beta_values,
+        rate_diffusion=float(ps_kwargs["rate_diffusion"]),
+        rate_active=float(ps_kwargs["rate_active"]),
+        k_on=float(ps_kwargs.get("k_on", 0)),
+        k_off=float(ps_kwargs.get("k_off", 0)),
+        k_exit=float(ps_kwargs.get("k_exit", 0)),
+        n_runs=n_runs)
+    dt = ensemble_dt(config, beta_max=float(np.max(beta_values)),
+                     rate_diffusion=float(ps_kwargs["rate_diffusion"]),
+                     rate_active=float(ps_kwargs["rate_active"]),
+                     k_on=float(ps_kwargs.get("k_on", 0)),
+                     k_off=float(ps_kwargs.get("k_off", 0)),
+                     k_exit=float(ps_kwargs.get("k_exit", 0)))
+    res = run_particle_ensemble(
+        config, params, jax.random.PRNGKey(seed),
+        T=float(run_kwargs["T"]), obs_dt=float(run_kwargs["obs_dt"]), dt=dt,
+        rho0_plus=rho0_p, rho0_minus=rho0_m)
+    return config, jax.device_get(res), dt
+
+
+def _estimates_for_replica(out: Dict, ps: _PsShim):
+    mean_v, v_ts, times, si, ei, frac = compute_v_eff_and_window(out, ps)
+    D_eff = compute_D_eff_active(out, ps, si, ei)
+    m_mean = compute_mean_magnetization(out, si, ei)
+    rho_eff = compute_rho_eff(out, si, ei)
+    block = compute_blocking_probability(out, si, ei)
+    return mean_v, D_eff, m_mean, rho_eff, block
+
+
+def sweep_beta_ensemble(beta, n_runs: int = 10, ps_kwargs: Optional[Dict] = None,
+                        init_kwargs: Optional[Dict] = None,
+                        run_kwargs: Optional[Dict] = None,
+                        rng_seeds=None, seed: int = 0):
+    """Single-β ensemble with the reference's 14-tuple return (:56-117)."""
+    ps_kwargs = dict(DEFAULT_PS_KWARGS, **(ps_kwargs or {}))
+    run_kwargs = dict(DEFAULT_RUN_KWARGS, **(run_kwargs or {}))
+    if rng_seeds is not None:
+        seed = int(np.asarray(rng_seeds).flat[0])
+    config, res, dt = run_sweep_grid(np.asarray([beta]), n_runs, ps_kwargs,
+                                     init_kwargs, run_kwargs, seed=seed)
+    ps = _PsShim(config)
+    T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
+    v_list, D_list, m_list, rho_list, block_list, out_list = [], [], [], [], [], []
+    for r in range(n_runs):
+        out = frames_to_out(res.frames, r, config, T, obs_dt)
+        v, D, m, rho, blk = _estimates_for_replica(out, ps)
+        v_list.append(v)
+        D_list.append(D)
+        m_list.append(m)
+        rho_list.append(rho)
+        block_list.append(blk)
+        out_list.append(out)
+
+    def _stats(vals):
+        a = np.asarray(vals, dtype=float)
+        std = a.std(ddof=1) if a.size > 1 else 0.0
+        return float(a.mean()), float(std), float(std / np.sqrt(max(1, a.size)))
+
+    mean, std, se = _stats(v_list)
+    m_mean, m_std, m_se = _stats(m_list)
+    rho_mean, _, rho_se = _stats(rho_list)
+    block_mean, _, block_se = _stats(block_list)
+    D_mean, _, D_se = _stats(D_list)
+    return (mean, std, se, np.asarray(v_list), out_list, m_mean, m_std, m_se,
+            rho_mean, rho_se, block_mean, block_se, D_mean, D_se)
+
+
+def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
+                     save_dict: Optional[Dict] = None,
+                     ps_kwargs: Optional[Dict] = None,
+                     init_kwargs: Optional[Dict] = None,
+                     run_kwargs: Optional[Dict] = None,
+                     npz_path: str = "beta_sweep_results.npz",
+                     outdir: str = ".", seed: int = 0,
+                     keep_outs: bool = False, do_fit: bool = True,
+                     plot_result: bool = True) -> Dict:
+    """Full β sweep (:828-1028): one vmapped grid run → estimator means ±
+    SE per β → npz checkpoint → (θ,γ) fit and figures.  ``run=False``
+    reloads ``npz_path`` and re-plots without re-simulating."""
+    beta_values = np.asarray(beta_values, dtype=float)
+    ps_kwargs = dict(DEFAULT_PS_KWARGS, **(ps_kwargs or {}))
+    run_kwargs = dict(DEFAULT_RUN_KWARGS, **(run_kwargs or {}))
+    if init_kwargs is None and ps_kwargs.get("init") == "poisson":
+        grad = make_exp_gradient(L=int(ps_kwargs["L"]), N=int(ps_kwargs["N"]),
+                                 frac_plus=0.75, decay_length=0.35,
+                                 anchor_positions=None)
+        init_kwargs = dict(rho0_plus=grad[0], rho0_minus=grad[1])
+
+    if run:
+        config, res, dt = run_sweep_grid(beta_values, n_runs_per_beta,
+                                         ps_kwargs, init_kwargs, run_kwargs,
+                                         seed=seed)
+        ps = _PsShim(config)
+        T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
+        nb = len(beta_values)
+        per_beta = {k: [] for k in
+                    ("means", "stds", "ses", "D_means", "D_ses", "m_means",
+                     "m_stds", "m_ses", "rho_means", "rho_ses", "block_means",
+                     "block_ses")}
+        raw_by_beta = []
+        outs = []
+        for b in range(nb):
+            vals = {"v": [], "D": [], "m": [], "rho": [], "blk": []}
+            beta_outs = []
+            for r in range(n_runs_per_beta):
+                out = frames_to_out(res.frames, b * n_runs_per_beta + r,
+                                    config, T, obs_dt)
+                v, D, m, rho, blk = _estimates_for_replica(out, ps)
+                for k, x in zip(("v", "D", "m", "rho", "blk"),
+                                (v, D, m, rho, blk)):
+                    vals[k].append(x)
+                if keep_outs:
+                    beta_outs.append(out)
+            stat = lambda a: (np.mean(a),
+                              np.std(a, ddof=1) if len(a) > 1 else 0.0,
+                              (np.std(a, ddof=1) if len(a) > 1 else 0.0)
+                              / np.sqrt(max(1, len(a))))
+            vm, vs, vse = stat(vals["v"])
+            Dm, _, Dse = stat(vals["D"])
+            mm, ms, mse = stat(vals["m"])
+            rm, _, rse = stat(vals["rho"])
+            bm, _, bse = stat(vals["blk"])
+            for k, x in (("means", vm), ("stds", vs), ("ses", vse),
+                         ("D_means", Dm), ("D_ses", Dse), ("m_means", mm),
+                         ("m_stds", ms), ("m_ses", mse), ("rho_means", rm),
+                         ("rho_ses", rse), ("block_means", bm),
+                         ("block_ses", bse)):
+                per_beta[k].append(x)
+            raw_by_beta.append(np.asarray(vals["v"]))
+            if keep_outs:
+                outs.append(beta_outs)
+        arrays = {k: np.asarray(v) for k, v in per_beta.items()}
+        save_dict = {"beta_values": beta_values, **arrays,
+                     "ps_kwargs": ps_kwargs, "dt": dt}
+        np.savez(npz_path, **{k: v for k, v in save_dict.items()
+                              if k != "ps_kwargs"},
+                 ps_kwargs=np.asarray(
+                     {k: v for k, v in ps_kwargs.items()
+                      if not callable(v)}, dtype=object))
+    else:
+        data = np.load(npz_path, allow_pickle=True)
+        save_dict = dict(data)
+        beta_values = save_dict["beta_values"]
+        ps_kwargs = save_dict["ps_kwargs"].item()
+        arrays = {k: save_dict[k] for k in
+                  ("means", "stds", "ses", "D_means", "D_ses", "m_means",
+                   "m_stds", "m_ses", "rho_means", "rho_ses", "block_means",
+                   "block_ses")}
+        outs = []
+
+    if do_fit:
+        popt, pcov, fit_out = fit_and_plot_v_eff(
+            beta_values, ps_kwargs, arrays["means"], arrays["stds"],
+            arrays["ses"], arrays["m_means"], arrays["m_stds"],
+            arrays["m_ses"], arrays["rho_means"], arrays["rho_ses"],
+            arrays["block_means"], arrays["block_ses"],
+            plot_result=plot_result, outdir=outdir)
+        save_dict.update(popt=popt, pcov=pcov, fit_out=fit_out)
+        if plot_result:
+            from hydrolim_tpu.viz.sweep_plots import plot_D_eff_vs_beta
+
+            plot_D_eff_vs_beta(beta_values, arrays["D_means"],
+                               arrays["D_ses"], ps_kwargs, outdir=outdir)
+    if keep_outs:
+        save_dict["outs"] = outs
+    return save_dict

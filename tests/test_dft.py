@@ -26,9 +26,19 @@ def test_fft_of_real_matches_numpy():
     rng = np.random.default_rng(2)
     for L in (8, 9, 50):
         x = rng.normal(size=L).astype(np.float32)
-        ours = np.asarray(dft.fft_of_real(jnp.asarray(x)))
+        ours = dft.ri_to_complex(dft.fft_of_real_ri(jnp.asarray(x)))
         ref = np.fft.fft(x)
         np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_rfft_ri_matches_numpy():
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 24)).astype(np.float32)
+    ours = dft.ri_to_complex(dft.rfft_ri(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, np.fft.rfft(x, axis=-1), rtol=1e-4,
+                               atol=1e-4)
+    back = np.asarray(dft.irfft_ri(dft.rfft_ri(jnp.asarray(x)), n=24))
+    np.testing.assert_allclose(back, x, rtol=1e-4, atol=1e-5)
 
 
 def test_circulant_matmul_is_circular_conv():

@@ -1,0 +1,61 @@
+"""β-sweep driver: end-to-end tiny sweep with fit + persistence round-trip."""
+import numpy as np
+import pytest
+
+from hydrolim_tpu.sweeps.beta_sweep import (
+    make_exp_gradient,
+    sweep_beta_ensemble,
+    sweep_over_betas,
+)
+
+
+TINY_PS = dict(L=100, xlim=1, rate_diffusion=0.02, rate_active=5, N=60,
+               init="poisson", scale_rates=False, local_kernel_sigma=0.005,
+               periodic=False, site_capacity=1, k_on=0, k_off=0, k_exit=0)
+TINY_RUN = dict(T=2.0, obs_dt=0.2, record_fft=True, record_var=True)
+
+
+def _init_kwargs(L=100, N=60):
+    g = make_exp_gradient(L=L, N=N, frac_plus=0.75, decay_length=0.35,
+                          anchor_positions=None)
+    return dict(rho0_plus=g[0], rho0_minus=g[1])
+
+
+def test_make_exp_gradient_mass_split():
+    fp, fm, rp, rm = make_exp_gradient(L=200, N=100, frac_plus=0.7,
+                                       decay_length=0.3,
+                                       anchor_positions=(0.25, 0.6))
+    assert abs(rp.sum() - 70.0) < 1e-6
+    assert abs(rm.sum() - 30.0) < 1e-6
+    assert fp(0.0) == rp[0]
+    assert fm(0.5) == rm[100]
+
+
+def test_sweep_beta_ensemble_returns_reference_tuple():
+    out = sweep_beta_ensemble(1.0, n_runs=2, ps_kwargs=TINY_PS,
+                              init_kwargs=_init_kwargs(),
+                              run_kwargs=TINY_RUN, seed=0)
+    assert len(out) == 14
+    mean, std, se, v_array, out_list, *_rest = out
+    assert np.isfinite(mean)
+    assert v_array.shape == (2,)
+    assert len(out_list) == 2
+    assert out_list[0]["total_list"].shape == (10, 100)
+
+
+def test_sweep_over_betas_end_to_end(tmp_path):
+    betas = np.linspace(0.0, 2.0, 3)
+    npz = str(tmp_path / "sweep.npz")
+    save = sweep_over_betas(betas, n_runs_per_beta=2, ps_kwargs=TINY_PS,
+                            init_kwargs=_init_kwargs(), run_kwargs=TINY_RUN,
+                            npz_path=npz, outdir=str(tmp_path), seed=1)
+    assert save["means"].shape == (3,)
+    assert np.all(np.isfinite(save["means"]))
+    assert np.all(np.isfinite(save["D_means"]))
+    assert "popt" in save
+    assert (tmp_path / "v_eff_beta_plot_theory.png").exists()
+    assert (tmp_path / "D_eff_beta.png").exists()
+    # run=False reload path (re-plot without re-simulating)
+    save2 = sweep_over_betas(betas, run=False, npz_path=npz,
+                             outdir=str(tmp_path))
+    np.testing.assert_allclose(save2["means"], save["means"])
