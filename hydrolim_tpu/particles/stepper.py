@@ -171,11 +171,92 @@ def _resolve_conflicts(config: ParticleConfig, key: jnp.ndarray,
     return jnp.zeros((n,), bool).at[idx_s].set(accept_s)
 
 
+def _is_meanfield_fast_path(config: ParticleConfig) -> bool:
+    """True when the step reduces to pure elementwise work: no exclusion
+    (no occupancy/conflicts), global magnetization (no per-site field, no
+    gather), no anchor sites (bind/unbind/exit channels are structurally
+    zero — anchors gate all three, :307-312, :342-348), default CW flip
+    rate.  This is the throughput-benchmark configuration
+    (BASELINE.json: mean-field, N=1e5, β-sweep resident)."""
+    return (not config.exclusion
+            and config.local_kernel_sigma <= 0
+            and config.anchor_positions is None
+            and config.flip_rate_fn is None)
+
+
+def _step_meanfield_global(config: ParticleConfig, params: ParticleParams,
+                           state: ParticleState, dt: float) -> ParticleState:
+    """Fused mean-field step: one uniform draw per particle, scalar flip
+    rates (σ=±1 ⇒ only exp(∓βm) per replica), threshold comparisons, no
+    gathers/scatters/stacked channel arrays."""
+    L = config.L
+    pos, sigma, alive = state.pos, state.sigma, state.alive
+    n = pos.shape[0]
+    key, k_ev = jax.random.split(state.key)
+
+    s_sum = jnp.sum(jnp.where(alive, sigma, 0))
+    n_alive = jnp.maximum(jnp.sum(alive), 1)
+    m = s_sum.astype(jnp.float32) / n_alive.astype(jnp.float32)
+
+    f32 = jnp.float32
+    p_dif = params.rate_diffusion.astype(f32) * dt
+    p_act = params.rate_active.astype(f32) * dt
+    e_p = jnp.exp(-params.beta * m) * dt      # flip prob of a + particle
+    e_m = jnp.exp(+params.beta * m) * dt      # flip prob of a − particle
+
+    is_plus = sigma > 0
+    u = jax.random.uniform(k_ev, (n,), f32)
+
+    if config.periodic:
+        left_ok = jnp.ones((n,), bool)
+        right_ok = left_ok
+        fwd_ok = left_ok
+    else:
+        left_ok = pos > 0
+        right_ok = pos < L - 1
+        if config.active_model == "bidirectional":
+            fwd_ok = jnp.where(is_plus, pos < L - 1, pos > 0)
+        else:
+            fwd_ok = pos < L - 1
+
+    t1 = jnp.where(left_ok, p_dif, 0.0)
+    t2 = t1 + jnp.where(right_ok, p_dif, 0.0)
+    if config.active_model == "bidirectional":
+        p_act_i = jnp.where(fwd_ok, p_act, 0.0)
+        fwd_dir = sigma
+    else:  # plus_forward: only σ=+1 hop actively (:317-319)
+        p_act_i = jnp.where(is_plus & fwd_ok, p_act, 0.0)
+        fwd_dir = jnp.ones_like(sigma)
+    t3 = t2 + p_act_i
+    t4 = t3 + jnp.where(is_plus, e_p, e_m)
+
+    mv_left = u < t1
+    mv_right = (u >= t1) & (u < t2)
+    mv_fwd = (u >= t2) & (u < t3)
+    flip = (u >= t3) & (u < t4) & alive
+
+    delta = (mv_right.astype(jnp.int32) - mv_left.astype(jnp.int32)
+             + jnp.where(mv_fwd, fwd_dir, 0))
+    delta = jnp.where(alive, delta, 0)
+    raw = pos + delta
+    if config.periodic:
+        pos_new = jnp.where(raw < 0, raw + L, jnp.where(raw >= L, raw - L, raw))
+        wind = state.wind + jnp.where(raw < 0, -1, jnp.where(raw >= L, 1, 0))
+    else:
+        pos_new = raw                          # blocked moves already masked
+        wind = state.wind
+    sigma_new = jnp.where(flip, -sigma, sigma)
+
+    return state._replace(pos=pos_new, wind=wind, sigma=sigma_new, key=key)
+
+
 def step(config: ParticleConfig, params: ParticleParams,
          statics: StaticArrays, state: ParticleState, dt: float,
          t: jnp.ndarray) -> ParticleState:
     """One synchronous Δt step: rates → per-particle event draw → conflict
     resolution → simultaneous apply."""
+    if _is_meanfield_fast_path(config):
+        return _step_meanfield_global(config, params, state, dt)
     L = config.L
     n = state.pos.shape[0]
     key, k_ev, k_prio = jax.random.split(state.key, 3)

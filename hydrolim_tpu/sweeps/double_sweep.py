@@ -1,0 +1,129 @@
+"""(N, β) double sweep — exclusion-constant calibration.
+
+Mirrors `PARTICLE_solver_BIOLOGY_EXCLUSION_double_sweep.py`: per particle
+count N, the blocking probability p_block(β) is fitted with the 2-parameter
+model ρ_block = (ρ̄/K)·(f + g/cosh(β·m_β)) (:290-317); the per-N (f, g) fits
+are then meta-fitted over x = ρ̄ with f(x) = C0 − C1·x and g(x) = C2/x^{3/2}
+(:877-961) — this is the pipeline that produced the frozen C0/C1/C2
+constants (BASELINE.md).  The double-sweep branch scales the tanh fixed
+point by 0.62 (:228, SURVEY.md §2.4) — exposed as ``m_scale``.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+from scipy.optimize import curve_fit
+
+from hydrolim_tpu.sweeps.beta_sweep import DEFAULT_PS_KWARGS, sweep_over_betas
+from hydrolim_tpu.theory.meanfield import compute_m_of_beta_non
+
+
+def rho_model(beta, f, g, rho_bar, K, m_beta):
+    """ρ_block model (:290-292)."""
+    return (rho_bar / K) * (f + g / np.cosh(np.asarray(beta) * m_beta))
+
+
+def fit_blocking_fg(beta_values, block_means, block_ses, rho_bar, K,
+                    p0=(4.0, 1.0), bounds=([0, 0], [100, 20])):
+    """(f, g) fit of p_block(β) (:294-317)."""
+    beta_values = np.asarray(beta_values, dtype=float)
+
+    def model(beta, f, g):
+        m_beta = compute_m_of_beta_non(beta)
+        return rho_model(beta, f, g, rho_bar, K, m_beta)
+
+    sigma = np.asarray(block_ses, dtype=float)
+    sigma = np.where(sigma > 0, sigma, max(1e-6, np.nanmax(sigma)))
+    popt, pcov = curve_fit(model, beta_values, np.asarray(block_means),
+                           sigma=sigma, absolute_sigma=True, p0=list(p0),
+                           bounds=bounds, maxfev=2_000_000)
+    f_err, g_err = np.sqrt(np.diag(pcov))
+    return popt[0], popt[1], f_err, g_err
+
+
+def f_model(x, C0, C1):
+    return C0 - C1 * x
+
+
+def g_model(x, C2):
+    return C2 / x ** 1.5
+
+
+def double_sweep(beta_values, list_N_part: Sequence[float],
+                 n_runs_per_beta: int = 4, ps_kwargs: Optional[Dict] = None,
+                 run_kwargs: Optional[Dict] = None, outdir: str = ".",
+                 seed: int = 0, plot_result: bool = True) -> Dict:
+    """Full (N × β × replicas) pipeline (:851-961).
+
+    Returns {'N_values', 'f_fit', 'f_err', 'g_fit', 'g_err',
+    'C0', 'C1', 'C2', 'per_N'}; also saves f_fit.png / g_fit.png."""
+    beta_values = np.asarray(beta_values, dtype=float)
+    list_N_part = np.asarray(list_N_part, dtype=float)
+    out = Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    base = dict(DEFAULT_PS_KWARGS, **(ps_kwargs or {}))
+    rk = dict(T=10, obs_dt=0.1, record_fft=True, record_var=True)
+    rk.update(run_kwargs or {})
+
+    f_fit, f_err, g_fit, g_err, per_N = [], [], [], [], []
+    for n_idx, N_part in enumerate(list_N_part):
+        pk = dict(base, N=int(N_part))
+        save = sweep_over_betas(
+            beta_values, n_runs_per_beta=n_runs_per_beta, run=True,
+            ps_kwargs=pk, run_kwargs=rk,
+            npz_path=str(out / f"beta_sweep_N{int(N_part)}.npz"),
+            outdir=str(out), seed=seed + 10_000 * n_idx, do_fit=False,
+            plot_result=False)
+        rho_bar = float(N_part) / float(pk["L"])
+        K = int(pk["site_capacity"])
+        f_v, g_v, f_e, g_e = fit_blocking_fg(
+            beta_values, save["block_means"], save["block_ses"], rho_bar, K)
+        f_fit.append(f_v)
+        f_err.append(f_e)
+        g_fit.append(g_v)
+        g_err.append(g_e)
+        per_N.append({"N": float(N_part), "save": {
+            k: save[k] for k in ("means", "ses", "D_means", "D_ses",
+                                 "block_means", "block_ses", "m_means")}})
+
+    x_vals = list_N_part / float(base["L"])
+    f_vals = np.asarray(f_fit)
+    f_errs = np.where(np.asarray(f_err) > 0, f_err, 1e-3)
+    g_vals = np.asarray(g_fit)
+    g_errs = np.where(np.asarray(g_err) > 0, g_err, 1e-3)
+
+    (C0, C1), _ = curve_fit(f_model, x_vals, f_vals, sigma=f_errs,
+                            absolute_sigma=True)
+    (C2,), _ = curve_fit(g_model, x_vals, g_vals, sigma=g_errs,
+                         absolute_sigma=True)
+
+    if plot_result:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        x_dense = np.linspace(x_vals.min(), x_vals.max(), 300)
+        for vals, errs, model, args, label, fname in (
+                (f_vals, f_errs, f_model, (C0, C1), r"$C_0 - C_1 x$",
+                 "f_fit.png"),
+                (g_vals, g_errs, g_model, (C2,), r"$C_2 / x^{3/2}$",
+                 "g_fit.png")):
+            plt.figure(figsize=(6, 4))
+            plt.errorbar(x_vals, vals, yerr=errs, fmt="o", capsize=3,
+                         label="fit data")
+            plt.plot(x_dense, model(x_dense, *args), "--", label=label)
+            plt.xlabel("x")
+            plt.ylabel(fname[0])
+            plt.legend()
+            plt.grid(True)
+            plt.tight_layout()
+            plt.savefig(out / fname, dpi=200)
+            plt.close()
+
+    return {"N_values": list_N_part, "f_fit": f_vals, "f_err": np.asarray(f_err),
+            "g_fit": g_vals, "g_err": np.asarray(g_err),
+            "C0": float(C0), "C1": float(C1), "C2": float(C2),
+            "per_N": per_N}

@@ -1,0 +1,156 @@
+"""Local-structure β-sweep (pattern-formation analysis).
+
+Mirrors `PARTICLE_solver_BIOLOGY_local_structure.py`:
+``sweep_beta_structure_ensemble`` (:105-165),
+``sweep_betas_for_structures`` (:167-193), npz persistence (:625-641) and the
+reference's `__main__` configuration (:671-753).  The ensemble×β grid runs as
+one vmapped program (hydrolim_tpu.sweeps.ensemble).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from hydrolim_tpu.observables.structure import extract_structure_observables_from_out
+from hydrolim_tpu.sweeps.beta_sweep import (
+    DEFAULT_RUN_KWARGS,
+    make_exp_gradient,
+    run_sweep_grid,
+)
+from hydrolim_tpu.sweeps.ensemble import frames_to_out
+
+# reference __main__ configuration (:675-726)
+DEFAULT_STRUCTURE_PS_KWARGS: Dict = dict(
+    L=1000, xlim=1, rate_diffusion=0.02, rate_active=5, flip_rate_fn=None,
+    init="poisson", N=900, scale_rates=False, local_kernel_sigma=0.005,
+    minus_anchor=True, periodic=True, immobilize_when_anchored=True,
+    anchor_radius=0.003, anchor_positions=None, site_capacity=1,
+    crowding_suppresses_rates=False, k_on=0, k_off=0, k_exit=0,
+)
+DEFAULT_STRUCTURE_RUN_KWARGS: Dict = dict(T=40, obs_dt=0.1, record_fft=True,
+                                          record_var=True)
+
+
+def sweep_beta_structure_ensemble(beta, n_runs: int, ps_kwargs: Dict,
+                                  init_kwargs: Optional[Dict],
+                                  run_kwargs: Dict,
+                                  start_fraction: float = 0.5,
+                                  k_max: Optional[int] = None,
+                                  rng_seeds=None, seed: int = 0,
+                                  keep_outs: bool = True) -> Dict:
+    """One β, n replicas → ensemble-averaged structure observables
+    (:105-165 return schema)."""
+    if rng_seeds is not None:
+        seed = int(np.asarray(rng_seeds).flat[0])
+    config, res, _ = run_sweep_grid(np.asarray([beta]), n_runs, ps_kwargs,
+                                    init_kwargs, run_kwargs, seed=seed)
+    T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
+    results = []
+    for r in range(n_runs):
+        out = frames_to_out(res.frames, r, config, T, obs_dt)
+        obs = extract_structure_observables_from_out(
+            out, start_fraction=start_fraction, k_max=k_max)
+        results.append({**obs, "out": out if keep_outs else None})
+
+    arr = lambda key: np.array([r[key] for r in results])
+    se = lambda a: a.std(ddof=1) / np.sqrt(n_runs) if n_runs > 1 else 0.0
+    fft_stack = np.stack([r["fft_mean"] for r in results], axis=0)
+    return {
+        "var_mean": arr("var_mean").mean(),
+        "var_se": se(arr("var_mean")),
+        "low_k_power_mean": arr("low_k_power").mean(),
+        "low_k_power_se": se(arr("low_k_power")),
+        "dominant_k_mode": int(np.round(arr("dominant_k").mean())),
+        "m_local_var_mean": arr("m_local_var").mean(),
+        "m_local_var_se": se(arr("m_local_var")),
+        "fft_mean_mean": fft_stack.mean(axis=0),
+        "fft_mean_se": (fft_stack.std(axis=0, ddof=1) / np.sqrt(n_runs)
+                        if n_runs > 1 else np.zeros(fft_stack.shape[1])),
+        "lowk_var_mean": arr("lowk_variance").mean(),
+        "lowk_var_se": se(arr("lowk_variance")),
+        "raw": results,
+    }
+
+
+def sweep_betas_for_structures(beta_values, n_runs_per_beta: int,
+                               ps_kwargs: Optional[Dict] = None,
+                               init_kwargs: Optional[Dict] = None,
+                               run_kwargs: Optional[Dict] = None,
+                               start_fraction: float = 0.5,
+                               k_max: Optional[int] = None, seed: int = 0,
+                               keep_outs: bool = True) -> Dict:
+    """β grid → {β: ensemble results} (:167-193).  The full
+    (β × replicas) grid runs as one vmapped program."""
+    ps_kwargs = dict(DEFAULT_STRUCTURE_PS_KWARGS, **(ps_kwargs or {}))
+    run_kwargs = dict(DEFAULT_STRUCTURE_RUN_KWARGS, **(run_kwargs or {}))
+    if init_kwargs is None and ps_kwargs.get("init") == "poisson":
+        g = make_exp_gradient(L=int(ps_kwargs["L"]), N=int(ps_kwargs["N"]),
+                              frac_plus=0.5, decay_length=0.35,
+                              anchor_positions=None)
+        init_kwargs = dict(rho0_plus=g[0], rho0_minus=g[1])
+    beta_values = np.asarray(beta_values, dtype=float)
+    config, res, _ = run_sweep_grid(beta_values, n_runs_per_beta, ps_kwargs,
+                                    init_kwargs, run_kwargs, seed=seed)
+    T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
+    results = {}
+    for b_idx, beta in enumerate(beta_values):
+        per_run = []
+        for r in range(n_runs_per_beta):
+            out = frames_to_out(res.frames, b_idx * n_runs_per_beta + r,
+                                config, T, obs_dt)
+            obs = extract_structure_observables_from_out(
+                out, start_fraction=start_fraction, k_max=k_max)
+            per_run.append({**obs, "out": out if keep_outs else None})
+        arr = lambda key: np.array([x[key] for x in per_run])
+        se = lambda a: (a.std(ddof=1) / np.sqrt(n_runs_per_beta)
+                        if n_runs_per_beta > 1 else 0.0)
+        fft_stack = np.stack([x["fft_mean"] for x in per_run], axis=0)
+        results[float(beta)] = {
+            "var_mean": arr("var_mean").mean(),
+            "var_se": se(arr("var_mean")),
+            "low_k_power_mean": arr("low_k_power").mean(),
+            "low_k_power_se": se(arr("low_k_power")),
+            "dominant_k_mode": int(np.round(arr("dominant_k").mean())),
+            "m_local_var_mean": arr("m_local_var").mean(),
+            "m_local_var_se": se(arr("m_local_var")),
+            "fft_mean_mean": fft_stack.mean(axis=0),
+            "fft_mean_se": (fft_stack.std(axis=0, ddof=1)
+                            / np.sqrt(n_runs_per_beta)
+                            if n_runs_per_beta > 1
+                            else np.zeros(fft_stack.shape[1])),
+            "lowk_var_mean": arr("lowk_variance").mean(),
+            "lowk_var_se": se(arr("lowk_variance")),
+            "raw": per_run,
+        }
+    return results
+
+
+def save_structure_results(results: Dict, path: str) -> None:
+    """npz persistence of the β→observables map (:625-633)."""
+    flat = {}
+    for beta, res in results.items():
+        key = f"b{beta:.6f}"
+        for name, val in res.items():
+            if name == "raw":
+                continue
+            flat[f"{key}__{name}"] = np.asarray(val)
+    flat["beta_values"] = np.asarray(sorted(results.keys()))
+    np.savez(path, **flat)
+
+
+def load_structure_results(path: str) -> Dict:
+    """Inverse of :func:`save_structure_results` (:636-641)."""
+    data = np.load(path, allow_pickle=True)
+    betas = data["beta_values"]
+    results = {}
+    for beta in betas:
+        key = f"b{float(beta):.6f}"
+        res = {}
+        for name in data.files:
+            if name.startswith(key + "__"):
+                val = data[name]
+                res[name[len(key) + 2:]] = (val.item() if val.ndim == 0
+                                            else val)
+        results[float(beta)] = res
+    return results
