@@ -208,6 +208,19 @@ class ParticleSystem:
         }
         return out
 
+    # -- visualization (PARTICLE_solver_CLASS.py:561-1093) ------------------
+    def visualize_all(self, out, **kw):
+        from hydrolim_tpu.viz.particle_plots import visualize_all
+        return visualize_all(self, out, **kw)
+
+    def plot_individuals(self, out, **kw):
+        from hydrolim_tpu.viz.particle_plots import plot_individuals
+        return plot_individuals(self, out, **kw)
+
+    def animate_profiles(self, out, **kw):
+        from hydrolim_tpu.viz.particle_plots import animate_profiles
+        return animate_profiles(self, out, **kw)
+
     @staticmethod
     def empirical_densities_from_particles(pos, sigma, L, dx, total_norm=None):
         """Static-method parity shim (PARTICLE_solver_CLASS.py:197-214)."""

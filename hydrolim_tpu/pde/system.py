@@ -109,33 +109,13 @@ class IMEXPDE:
         ``mode='poisson'`` reproduces the reference quirk: a centered
         exponential bump ``exp(−|x−0.5|/0.05)``, not Poisson noise
         (SURVEY.md §2.4)."""
-        L = self.config.L
-        self.key, k_p, k_m, k_tr, k_spin = jax.random.split(self.key, 5)
-        x = jnp.asarray(self.x, jnp.float32)
-        if mode == "homogeneous":
-            rho_p = rho0 + noise * jax.random.normal(k_p, (L,))
-            rho_m = rho0 + noise * jax.random.normal(k_m, (L,))
-        elif mode == "poisson":
-            bump = jnp.exp(-jnp.abs(x - 0.5) / 0.05)
-            rho_p = bump + noise * jax.random.normal(k_p, (L,))
-            rho_m = bump + noise * jax.random.normal(k_m, (L,))
-        else:
-            raise ValueError("Unknown init mode.")
-        rho_p = jnp.clip(rho_p, 0.0, None)
-        rho_m = jnp.clip(rho_m, 0.0, None)
-        tot = jnp.sum(rho_p + rho_m)
-        self.rho_p = rho_p / tot
-        self.rho_m = rho_m / tot
+        from hydrolim_tpu.pde.init import pde_initialize
 
+        self.key, sub = jax.random.split(self.key)
         self.n_tracers = n_tracers
-        pos = jax.random.randint(k_tr, (n_tracers,), 0, L).astype(
-            jnp.float32) * self.config.dx
-        spin = jnp.where(jax.random.bernoulli(k_spin, 0.5, (n_tracers,)),
-                         1, -1).astype(jnp.int32)
-        window = self.config.tracer_window
-        self.tracers = TracerState(
-            pos=pos, unwrapped=pos, spin=spin,
-            hist=jnp.zeros((window, n_tracers), jnp.float32))
+        self.rho_p, self.rho_m, self.tracers = pde_initialize(
+            self.config, sub, mode=mode, rho0=rho0, noise=noise,
+            n_tracers=n_tracers)
 
     def solve(self) -> None:
         self.key, sub = jax.random.split(self.key)
