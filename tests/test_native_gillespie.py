@@ -1,0 +1,104 @@
+"""τ-leap stepper vs the exact native CTMC oracle (SURVEY.md §7.1
+equivalence validation): the synchronous fixed-Δt engine must converge to
+the same law as the event-driven Gillespie sampler.
+"""
+import shutil
+
+import numpy as np
+import jax
+import pytest
+
+from hydrolim_tpu.core.config import ParticleConfig, make_particle_params
+from hydrolim_tpu.particles.init import init_particles
+from hydrolim_tpu.particles.run import run_particles
+from hydrolim_tpu.sweeps.ensemble import broadcast_params, run_particle_ensemble
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ toolchain")
+
+
+def _mean_m_trajectory_tauleap(config, params, n_runs, T, obs_dt, dt, seed):
+    params_b = broadcast_params(
+        config, beta=[float(np.asarray(params.beta))] ,
+        rate_diffusion=float(np.asarray(params.rate_diffusion)),
+        rate_active=float(np.asarray(params.rate_active)), n_runs=n_runs)
+    # rates already resolved: config built with scale_rates=False here
+    res = run_particle_ensemble(config, params_b, jax.random.PRNGKey(seed),
+                                T=T, obs_dt=obs_dt, dt=dt, record_pos=False)
+    return np.asarray(res.frames.m_global)  # (n_runs, M)
+
+
+def test_tauleap_matches_exact_ctmc_meanfield():
+    """Global-m bidirectional mean-field: ⟨|m(t)|⟩ trajectories of the
+    τ-leap engine agree with the exact CTMC within ensemble error."""
+    from hydrolim_tpu.runtime.native import run_exact_gillespie
+
+    L, N, T, obs_dt = 64, 256, 4.0, 0.5
+    beta = 2.0
+    config = ParticleConfig(L=L, N=N, n_pad=N, init="fixed",
+                            scale_rates=False, local_kernel_sigma=0.0,
+                            periodic=True, site_capacity=None,
+                            active_model="bidirectional")
+    params = make_particle_params(config, beta=beta, rate_diffusion=0.5,
+                                  rate_active=1.0, k_on=0, k_off=0, k_exit=0)
+
+    n_runs = 24
+    # exact oracle ensemble
+    m_exact = []
+    for r in range(n_runs):
+        st = init_particles(config, jax.random.PRNGKey(100 + r))
+        out = run_exact_gillespie(config, params,
+                                  np.asarray(st.pos), np.asarray(st.sigma),
+                                  T=T, obs_dt=obs_dt, seed=1234 + r)
+        m_exact.append(out["m_global"])
+        assert out["n_events"] > 0
+    m_exact = np.abs(np.asarray(m_exact))
+
+    # τ-leap ensemble at small dt
+    m_tau = np.abs(_mean_m_trajectory_tauleap(
+        config, params, n_runs, T, obs_dt, dt=2e-3, seed=7))
+
+    # compare ensemble-mean |m|(t): both relax from ~0 to m_beta=0.9575
+    me, mt = m_exact.mean(axis=0), m_tau.mean(axis=0)
+    se = (m_exact.std(axis=0, ddof=1) + m_tau.std(axis=0, ddof=1)) \
+        / np.sqrt(n_runs)
+    assert np.all(np.abs(me - mt) < 4 * se + 0.05), (me, mt, se)
+    # both end near the CW fixed point
+    assert abs(me[-1] - 0.9575) < 0.08
+    assert abs(mt[-1] - 0.9575) < 0.08
+
+
+def test_exact_ctmc_exclusion_occupancy_invariant():
+    """Exclusion: the oracle respects capacity K and conserves N without
+    exits; its final density profile is statistically uniform (periodic)."""
+    from hydrolim_tpu.runtime.native import run_exact_gillespie
+
+    L, N, K = 32, 48, 2
+    config = ParticleConfig(L=L, N=N, n_pad=N, init="fixed",
+                            scale_rates=False, local_kernel_sigma=0.0,
+                            periodic=True, site_capacity=K)
+    params = make_particle_params(config, beta=0.5, rate_diffusion=2.0,
+                                  rate_active=1.0, k_on=0, k_off=0, k_exit=0)
+    st = init_particles(config, jax.random.PRNGKey(0))
+    out = run_exact_gillespie(config, params, np.asarray(st.pos),
+                              np.asarray(st.sigma), T=2.0, obs_dt=0.25,
+                              seed=5)
+    occ = out["counts_p"] + out["counts_m"]
+    assert occ.max() <= K
+    np.testing.assert_array_equal(occ.sum(axis=1), N)
+
+
+def test_exact_ctmc_local_kernel_runs():
+    from hydrolim_tpu.runtime.native import run_exact_gillespie
+
+    config = ParticleConfig(L=48, N=64, n_pad=64, init="fixed",
+                            scale_rates=False, local_kernel_sigma=0.05,
+                            periodic=False, site_capacity=None)
+    params = make_particle_params(config, beta=1.0, rate_diffusion=0.5,
+                                  rate_active=1.0)
+    st = init_particles(config, jax.random.PRNGKey(1))
+    out = run_exact_gillespie(config, params, np.asarray(st.pos),
+                              np.asarray(st.sigma), T=1.0, obs_dt=0.25,
+                              seed=2)
+    assert out["n_events"] > 0
+    assert np.all(np.isfinite(out["m_global"]))
