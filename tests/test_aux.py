@@ -1,0 +1,86 @@
+"""Aux subsystems: profiling, debug checks, config-hash checkpointing,
+structure figure inventory."""
+import numpy as np
+import jax
+import pytest
+
+from hydrolim_tpu.core.config import ParticleConfig, make_particle_params
+from hydrolim_tpu.particles.init import init_particles
+from hydrolim_tpu.sweeps.persistence import cached_run, config_hash, load_result, save_result
+from hydrolim_tpu.utils.debug import check_density_invariants, check_particle_invariants
+from hydrolim_tpu.utils.profiling import PhaseTimer, throughput
+
+
+def test_phase_timer_and_throughput():
+    timer = PhaseTimer()
+    with timer("a"):
+        sum(range(1000))
+    with timer("a"):
+        pass
+    assert timer.counts["a"] == 2
+    assert "a" in timer.summary()
+    r = throughput(lambda: None, items_per_call=100, warmup=0, reps=2)
+    assert r["items_per_sec"] > 0
+
+
+def test_debug_invariants_pass_and_fail():
+    config = ParticleConfig(L=16, N=8, init="fixed", site_capacity=1)
+    state = init_particles(config, jax.random.PRNGKey(0))
+    check_particle_invariants(config, state)
+    bad = state._replace(pos=state.pos.at[0].set(99))
+    with pytest.raises(AssertionError):
+        check_particle_invariants(config, bad)
+    check_density_invariants(np.ones(4), np.zeros(4))
+    with pytest.raises(AssertionError):
+        check_density_invariants(np.array([1.0, -0.1]), np.zeros(2))
+
+
+def test_config_hash_stability_and_cached_run(tmp_path):
+    cfg = {"L": 100, "beta": np.linspace(0, 1, 3), "fn": np.mean,
+           "nested": {"a": 1}}
+    assert config_hash(cfg) == config_hash(dict(cfg))
+    assert config_hash(cfg) != config_hash({**cfg, "L": 101})
+
+    calls = {"n": 0}
+
+    def expensive():
+        calls["n"] += 1
+        return {"x": np.arange(3), "scalar": 1.5}
+
+    r1 = cached_run(expensive, config=cfg, cache_dir=tmp_path, tag="t")
+    r2 = cached_run(expensive, config=cfg, cache_dir=tmp_path, tag="t")
+    assert calls["n"] == 1          # second call hit the checkpoint
+    np.testing.assert_array_equal(r1["x"], r2["x"])
+    r3 = cached_run(expensive, config={**cfg, "L": 7}, cache_dir=tmp_path,
+                    tag="t")
+    assert calls["n"] == 2          # different config -> re-run
+
+
+def test_save_load_roundtrip(tmp_path):
+    res = {"a": np.eye(2), "meta": {"k": 3}}
+    save_result(res, tmp_path / "r.npz", config={"c": 1})
+    back = load_result(tmp_path / "r.npz")
+    np.testing.assert_array_equal(back["a"], res["a"])
+    assert back["meta"]["k"] == 3
+
+
+def test_structure_run_all_plots(tmp_path):
+    from hydrolim_tpu.sweeps.local_structure import sweep_betas_for_structures
+    from hydrolim_tpu.viz.structure_plots import run_all_plots
+
+    res = sweep_betas_for_structures(
+        np.array([0.5, 2.0]), 2,
+        ps_kwargs=dict(L=64, N=48, periodic=True),
+        run_kwargs=dict(T=1.5, obs_dt=0.25), seed=0, keep_outs=True)
+    run_all_plots(res, outdir=str(tmp_path), L=64)
+    produced = {p.name for p in tmp_path.glob("*.png")}
+    expected = {"lowk_power_vs_beta.png", "variance_vs_beta.png",
+                "m_local_var_vs_beta.png", "dominant_wavelength_vs_beta.png",
+                "fft_spectrum_heatmap.png", "lowk_modes_vs_beta.png",
+                "dominant_mode_amplitude_vs_beta.png",
+                "spectral_entropy_vs_beta.png",
+                "mode_competition_vs_beta.png",
+                "time_to_pattern_vs_beta.png", "lowk_variance_time.png",
+                "mode_1_growth_time.png", "growth_rate_vs_beta.png",
+                "autocorrelation_vs_beta.png"}
+    assert expected <= produced, expected - produced
