@@ -23,6 +23,41 @@ from hydrolim_tpu.particles.stepper import build_static_arrays, step
 from hydrolim_tpu.sweeps.ensemble import broadcast_params, ensemble_dt
 
 
+def bench_particle_steps_pallas(B=64, N=100_000, L=1000, K_steps=1000,
+                                reps=3):
+    """Fused multi-step Pallas kernel (state resident in VMEM across steps).
+
+    Timed with a forced device→host copy per rep — async dispatch of the
+    aliased-buffer kernel makes bare block_until_ready unreliable."""
+    from hydrolim_tpu.ops.pallas_stepper import meanfield_multi_step, pack_particles
+
+    rng = np.random.default_rng(0)
+    pos = rng.integers(0, L, (B, N))
+    sigma = rng.choice([-1, 1], (B, N))
+    wind = np.zeros((B, N), int)
+    p, s, w = pack_particles(pos, sigma, wind)
+    scal = np.zeros((B, 4), np.float32)
+    scal[:, 0] = np.linspace(0.0, 3.0, B)
+    scal[:, 1] = 0.5
+    scal[:, 2] = 2.0
+    scal[:, 3] = np.arange(B)
+    scal = jnp.asarray(scal)
+
+    run = lambda a, b, c: meanfield_multi_step(
+        scal, a, b, c, L=L, k_steps=K_steps, dt=0.002, bidirectional=True,
+        n_active=N)
+    p, s, w = run(p, s, w)
+    np.asarray(p[0, 0])          # force completion
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        p, s, w = run(p, s, w)
+        np.asarray(p[0, 0])      # device→host sync
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return B * N * K_steps / best, best
+
+
 def bench_particle_steps(B=64, N=100_000, L=1000, K_steps=100, reps=5):
     config = ParticleConfig(
         L=L, N=N, n_pad=N, init="fixed", scale_rates=False,
@@ -94,9 +129,17 @@ def main():
     print(f"# device: {dev}", file=sys.stderr)
 
     pps, step_time = bench_particle_steps()
-    print(f"# particle bench: {pps:.3e} particle-steps/sec/chip "
+    print(f"# particle bench (XLA path): {pps:.3e} particle-steps/sec/chip "
           f"(64x1e5 batch, {step_time * 1e3:.1f} ms / 100 steps)",
           file=sys.stderr)
+    try:
+        pps_pl, t_pl = bench_particle_steps_pallas()
+        print(f"# particle bench (Pallas fused): {pps_pl:.3e} "
+              f"particle-steps/sec/chip ({t_pl * 1e3:.1f} ms / 1000 steps)",
+              file=sys.stderr)
+        pps = max(pps, pps_pl)
+    except Exception as e:  # Mosaic unavailable off-TPU
+        print(f"# pallas bench unavailable: {e}", file=sys.stderr)
     try:
         pde_sps = bench_pde_steps()
         print(f"# pde bench: {pde_sps:.3e} IMEX steps/sec (L=1000)",

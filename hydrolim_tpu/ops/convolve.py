@@ -73,5 +73,6 @@ def reflect_gaussian_filter(x: jnp.ndarray, sigma_grid: float,
         window_strides=(1,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.reshape(batch_shape + (out.shape[-1],))

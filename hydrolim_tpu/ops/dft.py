@@ -24,6 +24,11 @@ import numpy as np
 _FFT_MODE: Optional[str] = None  # 'matmul' | 'native'
 
 
+def _mm(a: "jnp.ndarray", b: "jnp.ndarray") -> "jnp.ndarray":
+    """f32 matmul at HIGHEST precision (full-f32 MXU passes)."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def fft_mode() -> str:
     global _FFT_MODE
     if _FFT_MODE is None:
@@ -76,8 +81,10 @@ def rfft_ri(x: jnp.ndarray, L: Optional[int] = None) -> jnp.ndarray:
         return jnp.stack([jnp.real(X), jnp.imag(X)], axis=-1).astype(jnp.float32)
     C, S = _rfft_mats(L)
     xr = x.astype(jnp.float32)
-    re = xr @ jnp.asarray(C)
-    im = -(xr @ jnp.asarray(S))
+    # HIGHEST precision: the TPU default (bf16 inputs) quantizes density
+    # fluctuations below its 8-bit mantissa and freezes the PDE dynamics
+    re = _mm(xr, jnp.asarray(C))
+    im = -_mm(xr, jnp.asarray(S))
     return jnp.stack([re, im], axis=-1)
 
 
@@ -87,7 +94,7 @@ def irfft_ri(Xri: jnp.ndarray, n: int) -> jnp.ndarray:
         X = jax.lax.complex(Xri[..., 0], Xri[..., 1])
         return jnp.fft.irfft(X, n=n)
     A, B = _irfft_mats(n)
-    return Xri[..., 0] @ jnp.asarray(A) + Xri[..., 1] @ jnp.asarray(B)
+    return _mm(Xri[..., 0], jnp.asarray(A)) + _mm(Xri[..., 1], jnp.asarray(B))
 
 
 def fft_of_real_ri(x: jnp.ndarray) -> jnp.ndarray:
@@ -141,4 +148,4 @@ def circulant_matmul_matrix(kernel: np.ndarray) -> jnp.ndarray:
 
 
 def circular_convolve(x: jnp.ndarray, conv_mat: jnp.ndarray) -> jnp.ndarray:
-    return x.astype(jnp.float32) @ conv_mat
+    return _mm(x.astype(jnp.float32), conv_mat)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -93,5 +94,6 @@ def diffusion_solve(op: DiffusionSolveOp, rho: jnp.ndarray,
         return sol[..., :L]
     if kind == "dense":
         return jnp.einsum("...j,ij->...i", rho, op.a_inv,
+                          precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
     raise ValueError(f"unknown solver kind {kind!r}")

@@ -1,0 +1,164 @@
+"""Pallas TPU kernel: fused multi-step mean-field particle stepper.
+
+The XLA fast path (particles.stepper._step_meanfield_global) round-trips the
+particle state through HBM every Δt step (~26 B/particle/step), which caps
+throughput near the bandwidth roofline.  This kernel runs K steps entirely
+in VMEM: the grid is the replica axis, each program holds one replica's
+particle block (R×128 int32 lanes) on-chip, draws per-step randomness from
+the on-core PRNG (pltpu.prng_random_bits), performs the event-threshold
+update, and writes state back once per K steps — HBM traffic amortized K×.
+
+Model covered (the throughput-benchmark configuration, BASELINE.json):
+global magnetization, no exclusion, no anchors, default Curie–Weiss flip
+rate, periodic lattice; both active models.  Padding lanes carry σ = 0 —
+they contribute nothing to Σσ and their flips are no-ops, so any particle
+count works.  Observables are recorded by the caller between kernel
+invocations (one invocation per obs_dt frame — the reference's recording
+granularity), so the kernel only returns the advanced state.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _kernel(scal_ref, pos_ref, sigma_ref, wind_ref,
+            pos_out, sigma_out, wind_out, *,
+            L: int, k_steps: int, dt: float, bidirectional: bool,
+            n_active: int):
+    """scal_ref: SMEM (B, 4) = [beta, rate_diffusion, rate_active, seed]
+    rows (full array replicated to every program; indexed by replica id)."""
+    b = pl.program_id(0)
+    beta = scal_ref[b, 0]
+    p_dif = scal_ref[b, 1] * dt
+    p_act = scal_ref[b, 2] * dt
+    seed = scal_ref[b, 3]
+    pltpu.prng_seed(seed.astype(jnp.int32) + b)
+
+    inv_n = jnp.float32(1.0 / n_active)
+    shape = pos_ref.shape  # (R, 128)
+
+    def body(step, carry):
+        pos, sigma, wind = carry
+        m = jnp.sum(sigma).astype(jnp.float32) * inv_n
+        e_p = jnp.exp(-beta * m) * dt
+        e_m = jnp.exp(beta * m) * dt
+
+        bits = pltpu.prng_random_bits(shape)
+        u = (bits >> 8).astype(jnp.float32) * jnp.float32(2.0 ** -24)
+
+        is_plus = sigma > 0
+        t1 = p_dif
+        t2 = t1 + p_dif
+        if bidirectional:
+            t3 = t2 + p_act
+            fwd_dir = sigma
+        else:
+            t3 = t2 + jnp.where(is_plus, p_act, 0.0)
+            fwd_dir = jnp.ones_like(sigma)
+        t4 = t3 + jnp.where(is_plus, e_p, e_m)
+
+        mv_left = u < t1
+        mv_right = (u >= t1) & (u < t2)
+        mv_fwd = (u >= t2) & (u < t3)
+        flip = (u >= t3) & (u < t4)
+
+        delta = (mv_right.astype(jnp.int32) - mv_left.astype(jnp.int32)
+                 + jnp.where(mv_fwd, fwd_dir, 0))
+        raw = pos + delta
+        pos = jnp.where(raw < 0, raw + L, jnp.where(raw >= L, raw - L, raw))
+        wind = wind + jnp.where(raw < 0, -1, jnp.where(raw >= L, 1, 0))
+        sigma = jnp.where(flip, -sigma, sigma)
+
+        return pos, sigma, wind
+
+    pos, sigma, wind = jax.lax.fori_loop(
+        0, k_steps, body, (pos_ref[:], sigma_ref[:], wind_ref[:]))
+    pos_out[:] = pos
+    sigma_out[:] = sigma
+    wind_out[:] = wind
+
+
+def _pad_rows(n: int) -> int:
+    return -(-n // LANE)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "k_steps", "dt", "bidirectional", "n_active",
+                     "interpret"))
+def meanfield_multi_step(scalars: jnp.ndarray, pos: jnp.ndarray,
+                         sigma: jnp.ndarray, wind: jnp.ndarray, *,
+                         L: int, k_steps: int, dt: float,
+                         bidirectional: bool, n_active: int,
+                         interpret: bool = False):
+    """Advance K mean-field steps fully on-chip.
+
+    Args:
+      scalars: (B, 4) float32 — [beta, rate_diffusion, rate_active, seed]
+        per replica (rates in site units after any scale_rates resolution).
+      pos/sigma/wind: (B, R, 128) int32 particle lanes; σ = 0 marks padding.
+      n_active: true particle count per replica (for the m normalization).
+
+    Returns the advanced (pos, sigma, wind).
+    """
+    B, R, _ = pos.shape
+    grid = (B,)
+    vec_spec = pl.BlockSpec((1, R, LANE), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _kernel, L=L, k_steps=k_steps, dt=dt, bidirectional=bidirectional,
+        n_active=n_active)
+
+    def squeeze_kernel(scal, p, s, w, po, so, wo):
+        # drop the leading block dim of the vector refs
+        kernel(scal, p.at[0], s.at[0], w.at[0], po.at[0], so.at[0],
+               wo.at[0])
+
+    return pl.pallas_call(
+        squeeze_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, 4), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            vec_spec, vec_spec, vec_spec,
+        ],
+        out_specs=[vec_spec, vec_spec, vec_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, R, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((B, R, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((B, R, LANE), jnp.int32),
+        ],
+        # in-place update: halves VMEM/HBM footprint of the state buffers
+        input_output_aliases={1: 0, 2: 1, 3: 2},
+        interpret=interpret,
+    )(scalars, pos, sigma, wind)
+
+
+def pack_particles(pos: np.ndarray, sigma: np.ndarray,
+                   wind: np.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """(B, n) arrays → (B, R, 128) lanes with σ=0 padding."""
+    B, n = pos.shape
+    R = _pad_rows(n)
+    pad = R * LANE - n
+
+    def pk(a, fill):
+        a = np.asarray(a, np.int32)
+        a = np.pad(a, ((0, 0), (0, pad)), constant_values=fill)
+        return jnp.asarray(a.reshape(B, R, LANE))
+
+    return pk(pos, 0), pk(sigma, 0), pk(wind, 0)
+
+
+def unpack_particles(pos, sigma, wind, n: int):
+    B = pos.shape[0]
+    flat = lambda a: np.asarray(a).reshape(B, -1)[:, :n]
+    return flat(pos), flat(sigma), flat(wind)
