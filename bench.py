@@ -14,6 +14,13 @@ import sys
 import time
 
 import jax
+
+try:  # persistent compilation cache: repeat bench runs skip the recompile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 

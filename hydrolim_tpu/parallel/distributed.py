@@ -1,0 +1,39 @@
+"""Multi-host initialization (SURVEY.md §5 distributed-backend row).
+
+Single-host multi-chip needs nothing: ``make_mesh`` spans the local devices
+and XLA collectives ride ICI.  For multi-host (multi-slice) runs, call
+:func:`initialize_multihost` once per process before any JAX computation;
+the sweep batch then spans ``jax.device_count()`` global devices and
+cross-host reductions ride DCN.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Thin wrapper over ``jax.distributed.initialize`` with env fallbacks
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).  No-op
+    when the process topology is absent (single-host run)."""
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None:
+        return
+    kwargs = dict(coordinator_address=coordinator_address)
+    num_processes = num_processes or os.environ.get("JAX_NUM_PROCESSES")
+    process_id = process_id or os.environ.get("JAX_PROCESS_ID")
+    if num_processes is not None:
+        kwargs["num_processes"] = int(num_processes)
+    if process_id is not None:
+        kwargs["process_id"] = int(process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def is_primary() -> bool:
+    """True on the process that should write checkpoints/figures."""
+    return jax.process_index() == 0

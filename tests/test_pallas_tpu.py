@@ -48,3 +48,29 @@ def test_pallas_meanfield_reaches_cw_fixed_point():
     # T = 4: ordered phase reached, |m| ≈ m_beta(2) = 0.9575
     m_final = np.abs(sig2.sum(axis=1) / n)
     assert np.all(m_final > 0.85), m_final
+
+
+def test_fast_meanfield_sweep_pallas_engine():
+    if not _tpu_is_default():
+        pytest.skip("needs a TPU device as default")
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.sweeps.ensemble import broadcast_params, ensemble_dt
+    from hydrolim_tpu.sweeps.fast_meanfield import run_meanfield_sweep
+
+    config = ParticleConfig(L=64, N=512, n_pad=512, init="fixed",
+                            scale_rates=False, local_kernel_sigma=0.0,
+                            periodic=True, site_capacity=None,
+                            active_model="bidirectional")
+    params = broadcast_params(config, beta=[0.0, 2.0], rate_diffusion=0.5,
+                              rate_active=1.0, n_runs=2)
+    dt = ensemble_dt(config, beta_max=2.0, rate_diffusion=0.5,
+                     rate_active=1.0)
+    fr = run_meanfield_sweep(config, params, jax.random.PRNGKey(0), T=4.0,
+                             obs_dt=0.5, dt=dt, engine="pallas")
+    assert fr.m_global.shape == (8, 4)
+    mass = (fr.rho_p[-1] + fr.rho_m[-1]).sum(axis=-1) / 64
+    np.testing.assert_allclose(mass, 1.0, rtol=1e-5)
+    # beta=2 replicas order, beta=0 replicas don't
+    m_f = np.abs(fr.m_global[-1])
+    assert m_f[0] < 0.3 and m_f[1] < 0.3
+    assert m_f[2] > 0.7 and m_f[3] > 0.7

@@ -1,0 +1,29 @@
+"""τ-leap Δt-convergence: halving the step must not shift the observables
+beyond ensemble error (SURVEY.md §7.4 — Δt bias below the 1% budget)."""
+import numpy as np
+import jax
+
+from hydrolim_tpu.core.config import ParticleConfig
+from hydrolim_tpu.sweeps.ensemble import broadcast_params, run_particle_ensemble
+
+
+def _mean_abs_m(dt, n_runs=16, seed=0):
+    config = ParticleConfig(L=64, N=256, n_pad=256, init="fixed",
+                            scale_rates=False, local_kernel_sigma=0.0,
+                            periodic=True, site_capacity=None,
+                            active_model="bidirectional")
+    params = broadcast_params(config, beta=[2.0], rate_diffusion=0.5,
+                              rate_active=1.0, n_runs=n_runs)
+    res = run_particle_ensemble(config, params, jax.random.PRNGKey(seed),
+                                T=4.0, obs_dt=0.5, dt=dt, record_pos=False)
+    m = np.abs(np.asarray(res.frames.m_global))   # (runs, frames)
+    return m.mean(axis=0), m.std(axis=0, ddof=1) / np.sqrt(n_runs)
+
+
+def test_dt_halving_within_ensemble_error():
+    m_coarse, se_c = _mean_abs_m(dt=8e-3)
+    m_fine, se_f = _mean_abs_m(dt=2e-3, seed=1)
+    tol = 4.0 * np.hypot(se_c, se_f) + 0.03
+    assert np.all(np.abs(m_coarse - m_fine) < tol), (m_coarse, m_fine, tol)
+    # both converge to the CW fixed point
+    assert abs(m_fine[-1] - 0.9575) < 0.05
