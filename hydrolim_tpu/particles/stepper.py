@@ -68,9 +68,17 @@ def _default_flip_rate(sigma, m, beta):
 
 
 def assemble_rates(config: ParticleConfig, params: ParticleParams,
-                    state: ParticleState, m_field: jnp.ndarray,
-                    occ_total: Optional[jnp.ndarray],
-                    is_anchor_site: jnp.ndarray):
+                   state: ParticleState, m_field: jnp.ndarray,
+                   occ_total: Optional[jnp.ndarray],
+                   is_anchor_site: jnp.ndarray):
+    """Per-particle rates for the 7 event channels — the same generator as
+    the reference's rate assembly (PARTICLE_solver_CLASS.py:259-351), as one
+    vectorized pure function.
+
+    Returns ``(rates, targets)`` with ``rates`` of shape (n, 7) ordered
+    [left, right, forward, flip, bind, unbind, exit] (dead particles zeroed)
+    and ``targets = (left_raw, right_raw, fwd_raw, left_t, right_t, fwd_t)``
+    (raw = pre-wrap positions for winding-number tracking)."""
     L = config.L
     pos, sigma, bound, alive = state.pos, state.sigma, state.bound, state.alive
     is_plus = sigma > 0

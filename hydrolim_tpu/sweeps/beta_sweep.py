@@ -105,8 +105,14 @@ class _PsShim:
 
 def config_from_kwargs(ps_kwargs: Dict, **extra) -> ParticleConfig:
     kw = dict(ps_kwargs)
-    kw.pop("flip_rate_fn", None)
+    flip_fn = kw.pop("flip_rate_fn", None)
     anchors = kw.pop("anchor_positions", None)
+    # a particle exits at most once -> N slots always bound the exit log
+    exit_buffer = (int(kw["N"]) if float(kw.get("k_exit", 0)) and anchors
+                   else 0)
+    extra.setdefault("exit_buffer", exit_buffer)
+    if flip_fn is not None:
+        extra.setdefault("flip_rate_fn", flip_fn)
     return ParticleConfig(
         L=int(kw["L"]), xlim=float(kw["xlim"]), init=kw.get("init", "fixed"),
         N=int(kw["N"]), scale_rates=bool(kw.get("scale_rates", True)),
@@ -189,7 +195,8 @@ def sweep_beta_ensemble(beta, n_runs: int = 10, ps_kwargs: Optional[Dict] = None
     T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
     v_list, D_list, m_list, rho_list, block_list, out_list = [], [], [], [], [], []
     for r in range(n_runs):
-        out = frames_to_out(res.frames, r, config, T, obs_dt)
+        out = frames_to_out(res.frames, r, config, T, obs_dt,
+                            final_state=res.final_state)
         v, D, m, rho, blk = _estimates_for_replica(out, ps)
         v_list.append(v)
         D_list.append(D)
@@ -251,7 +258,8 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
             beta_outs = []
             for r in range(n_runs_per_beta):
                 out = frames_to_out(res.frames, b * n_runs_per_beta + r,
-                                    config, T, obs_dt)
+                                    config, T, obs_dt,
+                                    final_state=res.final_state)
                 v, D, m, rho, blk = _estimates_for_replica(out, ps)
                 for k, x in zip(("v", "D", "m", "rho", "blk"),
                                 (v, D, m, rho, blk)):
@@ -279,6 +287,7 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
         arrays = {k: np.asarray(v) for k, v in per_beta.items()}
         save_dict = {"beta_values": beta_values, **arrays,
                      "ps_kwargs": ps_kwargs, "dt": dt}
+        Path(npz_path).parent.mkdir(parents=True, exist_ok=True)
         np.savez(npz_path, **{k: v for k, v in save_dict.items()
                               if k != "ps_kwargs"},
                  ps_kwargs=np.asarray(

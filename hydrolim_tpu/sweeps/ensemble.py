@@ -80,9 +80,12 @@ def ensemble_dt(config: ParticleConfig, *, beta_max: float, rate_diffusion,
 
 
 def frames_to_out(frames, rep_idx: int, config: ParticleConfig, T: float,
-                  obs_dt: float, record_pos: bool = True) -> Dict:
+                  obs_dt: float, record_pos: bool = True,
+                  final_state=None) -> Dict:
     """Slice one replica out of a batched ``ParticleRunResult.frames`` into a
-    reference-schema ``out`` dict (host-side)."""
+    reference-schema ``out`` dict (host-side).  Pass the batched
+    ``final_state`` to include the exit-event log
+    (exit_times/exit_positions, PARTICLE_solver_CLASS.py:555-556)."""
     g = lambda a: np.asarray(a[rep_idx])
     f = frames
     L = config.L
@@ -113,4 +116,16 @@ def frames_to_out(frames, rep_idx: int, config: ParticleConfig, T: float,
         out["pos_frames"] = None
         out["alive_frames"] = None
         out["pos_list"] = None
+    if final_state is not None:
+        ec = min(int(np.asarray(final_state.exit_count[rep_idx])),
+                 config.n_exit_buf)
+        out["exit_times"] = list(np.asarray(
+            final_state.exit_times[rep_idx][:ec]))
+        out["exit_positions"] = list(np.asarray(
+            final_state.exit_pos[rep_idx][:ec]))
+        out["exit_init_bin"] = list(np.asarray(
+            final_state.exit_init_bin[rep_idx][:ec]))
+    else:
+        out["exit_times"] = []
+        out["exit_positions"] = []
     return out

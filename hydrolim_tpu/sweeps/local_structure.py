@@ -48,7 +48,8 @@ def sweep_beta_structure_ensemble(beta, n_runs: int, ps_kwargs: Dict,
     T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
     results = []
     for r in range(n_runs):
-        out = frames_to_out(res.frames, r, config, T, obs_dt)
+        out = frames_to_out(res.frames, r, config, T, obs_dt,
+                            final_state=res.final_state)
         obs = extract_structure_observables_from_out(
             out, start_fraction=start_fraction, k_max=k_max)
         results.append({**obs, "out": out if keep_outs else None})
@@ -98,7 +99,8 @@ def sweep_betas_for_structures(beta_values, n_runs_per_beta: int,
         per_run = []
         for r in range(n_runs_per_beta):
             out = frames_to_out(res.frames, b_idx * n_runs_per_beta + r,
-                                config, T, obs_dt)
+                                config, T, obs_dt,
+                                final_state=res.final_state)
             obs = extract_structure_observables_from_out(
                 out, start_fraction=start_fraction, k_max=k_max)
             per_run.append({**obs, "out": out if keep_outs else None})

@@ -59,3 +59,33 @@ def test_sweep_over_betas_end_to_end(tmp_path):
     save2 = sweep_over_betas(betas, run=False, npz_path=npz,
                              outdir=str(tmp_path))
     np.testing.assert_allclose(save2["means"], save["means"])
+
+
+def test_plot_outs_exits_per_anchor(tmp_path):
+    """Exit-dynamics sweep with anchors + binding + exits through the
+    plot_outs figure pipeline (`..._sweep_beta.py:660-825`)."""
+    from hydrolim_tpu.sweeps.beta_sweep import sweep_over_betas
+    from hydrolim_tpu.viz.exit_plots import plot_outs
+
+    ps = dict(L=100, xlim=1, rate_diffusion=0.3, rate_active=2, N=60,
+              init="poisson", scale_rates=False, local_kernel_sigma=0.0,
+              periodic=False, site_capacity=3,
+              anchor_positions=[0.3, 0.7], anchor_radius=0.03,
+              k_on=10.0, k_off=1.0, k_exit=5.0)
+    rk = dict(T=2.0, obs_dt=0.25)
+    betas = np.linspace(0.0, 2.0, 3)
+    save = sweep_over_betas(betas, n_runs_per_beta=2, ps_kwargs=ps,
+                            init_kwargs=_init_kwargs(), run_kwargs=rk,
+                            npz_path=str(tmp_path / "s.npz"),
+                            outdir=str(tmp_path), seed=5, keep_outs=True,
+                            do_fit=False, plot_result=False)
+    outs = save["outs"]
+    # at least some exits happened somewhere in the grid
+    n_exits = sum(len([t for t in out["exit_times"] if np.isfinite(t)])
+                  for per_beta in outs for out in per_beta)
+    assert n_exits > 0
+    total_mean, total_std, region_mean, region_std = plot_outs(
+        betas, 2, ps, rk, outs, outdir=str(tmp_path))
+    assert total_mean.shape == (3,)
+    assert region_mean.shape == (3, 2)
+    assert (tmp_path / "exits_vs_beta.png").exists()
