@@ -101,7 +101,9 @@ def bench_particle_steps(B=64, N=100_000, L=1000, K_steps=100, reps=5):
     return B * N * K_steps / best, best
 
 
-def bench_pde_steps(L=1000, nsteps=2000, reps=3):
+def bench_pde_steps(L=1000, nsteps=2000, reps=3, B=1):
+    """IMEX steps/sec; with B > 1 the batch advances together, so the
+    aggregate replica-steps/sec shows the sweep-mode throughput."""
     from hydrolim_tpu.core.config import PDEConfig, make_pde_params
     from hydrolim_tpu.pde.stepper import build_pde_ops, pde_step
 
@@ -110,8 +112,9 @@ def bench_pde_steps(L=1000, nsteps=2000, reps=3):
     params = make_pde_params(gamma=0.2, lam=0.6, beta=2.0)
     ops = build_pde_ops(config, params)
     rng = np.random.default_rng(0)
-    p = jnp.asarray(rng.random(L) / L, jnp.float32)
-    m = jnp.asarray(rng.random(L) / L, jnp.float32)
+    shape = (L,) if B == 1 else (B, L)
+    p = jnp.asarray(rng.random(shape) / L, jnp.float32)
+    m = jnp.asarray(rng.random(shape) / L, jnp.float32)
 
     @jax.jit
     def advance(p, m):
@@ -151,6 +154,9 @@ def main():
         pde_sps = bench_pde_steps()
         print(f"# pde bench: {pde_sps:.3e} IMEX steps/sec (L=1000)",
               file=sys.stderr)
+        pde_sps_b = bench_pde_steps(B=32)
+        print(f"# pde bench (batched B=32): {32 * pde_sps_b:.3e} aggregate "
+              f"replica-steps/sec", file=sys.stderr)
     except Exception as e:  # secondary metric must not kill the headline
         print(f"# pde bench failed: {e}", file=sys.stderr)
         pde_sps = None

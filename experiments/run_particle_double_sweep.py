@@ -15,7 +15,7 @@ import argparse
 
 import numpy as np
 
-from hydrolim_tpu.sweeps.double_sweep import double_sweep
+from hydrolim_tpu.sweeps.double_sweep import double_sweep, double_sweep_fused
 
 
 def main(small: bool = False, outdir: str = "double_sweep_out"):
@@ -28,7 +28,8 @@ def main(small: bool = False, outdir: str = "double_sweep_out"):
         betas = np.linspace(0, 3, 11)
         Ns = np.linspace(50, 950, 19)
         kw = dict(n_runs_per_beta=4, run_kwargs=dict(T=10, obs_dt=0.1))
-    res = double_sweep(betas, Ns, outdir=outdir, **kw)
+    # fused: the whole (N x beta x runs) grid is one compiled program
+    res = double_sweep_fused(betas, Ns, outdir=outdir, **kw)
     print("f(rho):", np.round(res["f_fit"], 3))
     print("g(rho):", np.round(res["g_fit"], 3))
     print(f"C0={res['C0']:.6f}  C1={res['C1']:.6f}  C2={res['C2']:.6f}")

@@ -108,6 +108,5 @@ def pde_magnetization(rho_p: jnp.ndarray, rho_m: jnp.ndarray,
         g = jnp.sum(num, axis=-1, keepdims=True) / (
             jnp.sum(den, axis=-1, keepdims=True) + 1e-12)
         return jnp.broadcast_to(g, num.shape)
-    num_s = apply_smooth(smooth, num)
-    den_s = apply_smooth(smooth, den)
-    return num_s / (den_s + 1e-12)
+    both = apply_smooth(smooth, jnp.stack([num, den], axis=-2))
+    return both[..., 0, :] / (both[..., 1, :] + 1e-12)

@@ -50,7 +50,8 @@ class ParticleRunResult(NamedTuple):
 
 
 def _record_frame(config: ParticleConfig, statics: StaticArrays,
-                  state: ParticleState, record_pos: bool) -> ParticleFrames:
+                  state: ParticleState, record_pos: bool,
+                  record_fft: bool = True) -> ParticleFrames:
     L, dx = config.L, config.dx
     occ_total, counts_p, counts_m = occupancy(
         state.pos, state.sigma, state.alive, L)
@@ -62,8 +63,12 @@ def _record_frame(config: ParticleConfig, statics: StaticArrays,
     m_field = compute_m_field(config, statics, counts_p, counts_m)
     s_sum = jnp.sum(jnp.where(state.alive, state.sigma, 0)).astype(jnp.float32)
     m_global = s_sum / jnp.maximum(n_alive, 1.0)       # mean(sigma) (:498)
-    u_hat = dft.fft_of_real_ri(total)
-    amp = jnp.sqrt(u_hat[..., 0] ** 2 + u_hat[..., 1] ** 2)
+    if record_fft:
+        u_hat = dft.fft_of_real_ri(total)
+        amp = jnp.sqrt(u_hat[..., 0] ** 2 + u_hat[..., 1] ** 2)
+    else:  # skip the spectrum (large frame arrays) for huge sweep grids
+        u_hat = jnp.zeros((0, 2), jnp.float32)
+        amp = jnp.zeros((0,), jnp.float32)
     var = jnp.var(total)
     if record_pos:
         pos_u = state.pos + state.wind * L
@@ -87,13 +92,15 @@ def substeps_for(obs_dt: float, dt_target: float) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("config", "statics_builder", "n_frames", "n_sub",
-                     "obs_dt", "record_pos"))
+                     "obs_dt", "record_pos", "record_fft"))
 def _run_scan(config: ParticleConfig, params: ParticleParams,
               state0: ParticleState, *, statics_builder, n_frames: int,
-              n_sub: int, obs_dt: float, record_pos: bool) -> ParticleRunResult:
+              n_sub: int, obs_dt: float, record_pos: bool,
+              record_fft: bool = True) -> ParticleRunResult:
     statics = statics_builder(config)
     dt_eff = obs_dt / n_sub
-    rec = lambda st: _record_frame(config, statics, st, record_pos)
+    rec = lambda st: _record_frame(config, statics, st, record_pos,
+                                   record_fft)
 
     def frame_step(state, frame_idx):
         t0 = (frame_idx.astype(jnp.float32) - 1.0) * obs_dt
@@ -116,7 +123,8 @@ def _run_scan(config: ParticleConfig, params: ParticleParams,
 
 def run_particles(config: ParticleConfig, params: ParticleParams,
                   state0: ParticleState, *, T: float, obs_dt: float,
-                  dt: float, record_pos: bool = True) -> ParticleRunResult:
+                  dt: float, record_pos: bool = True,
+                  record_fft: bool = True) -> ParticleRunResult:
     """Run to time T recording frames every obs_dt.  ``dt`` is the (static)
     sub-step target; the effective step is obs_dt/ceil(obs_dt/dt) ≤ dt."""
     from hydrolim_tpu.particles.stepper import build_static_arrays
@@ -127,4 +135,4 @@ def run_particles(config: ParticleConfig, params: ParticleParams,
     return _run_scan(config, params, state0,
                      statics_builder=build_static_arrays,
                      n_frames=n_frames, n_sub=n_sub, obs_dt=obs_dt,
-                     record_pos=record_pos)
+                     record_pos=record_pos, record_fft=record_fft)

@@ -97,8 +97,12 @@ def pde_step(config: PDEConfig, params: PDEParams, ops: PDEOps,
     sop = _solve_op(config, params, ops)
     kind = config.solver_kind
 
-    rho_p1 = diffusion_solve(sop, rho_p, kind)
-    rho_m1 = diffusion_solve(sop, rho_m, kind)
+    # one stacked solve for both species: halves the number of (small)
+    # spectral matmuls per step
+    both = jnp.stack([rho_p, rho_m], axis=-2)
+    both1 = diffusion_solve(sop, both, kind)
+    rho_p1 = both1[..., 0, :]
+    rho_m1 = both1[..., 1, :]
 
     if config.active_model == "bidirectional":
         adv_p = -params.lam * upwind_derivative(rho_p1, +1, dx, bc)

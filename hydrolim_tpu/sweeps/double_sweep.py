@@ -51,6 +51,121 @@ def g_model(x, C2):
     return C2 / x ** 1.5
 
 
+def double_sweep_fused(beta_values, list_N_part: Sequence[float],
+                       n_runs_per_beta: int = 4,
+                       ps_kwargs: Optional[Dict] = None,
+                       run_kwargs: Optional[Dict] = None, outdir: str = ".",
+                       seed: int = 0, plot_result: bool = True) -> Dict:
+    """The whole (N × β × replicas) grid as ONE vmapped program.
+
+    N enters only through the Poisson init intensities, so every grid point
+    shares array shapes (buffer sized for max N) and the triple loop of the
+    reference (:851-873) compiles exactly once.  Blocking-probability (f, g)
+    fits and the C0/C1/C2 meta-fit run host-side afterwards."""
+    import jax
+
+    from hydrolim_tpu.sweeps.beta_sweep import (
+        DEFAULT_PS_KWARGS,
+        config_from_kwargs,
+        make_exp_gradient,
+    )
+    from hydrolim_tpu.sweeps.ensemble import (
+        broadcast_params,
+        ensemble_dt,
+        frames_to_out,
+        run_particle_ensemble,
+    )
+
+    beta_values = np.asarray(beta_values, dtype=float)
+    list_N_part = np.asarray(list_N_part, dtype=float)
+    out = Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    base = dict(DEFAULT_PS_KWARGS, **(ps_kwargs or {}))
+    rk = dict(T=10, obs_dt=0.1, record_fft=False, record_var=True)
+    rk.update(run_kwargs or {})
+
+    L = int(base["L"])
+    N_max = int(list_N_part.max())
+    config = config_from_kwargs(dict(base, N=N_max))
+    nN, nB, nr = len(list_N_part), len(beta_values), n_runs_per_beta
+    B = nN * nB * nr
+
+    # per-replica Poisson profiles: (B, L)
+    prof_p = np.zeros((B, L), np.float32)
+    prof_m = np.zeros((B, L), np.float32)
+    flat_beta = np.zeros((B,), np.float32)
+    i = 0
+    for N_part in list_N_part:
+        g = make_exp_gradient(L=L, N=int(N_part), frac_plus=0.75,
+                              decay_length=0.35, anchor_positions=None)
+        for b in beta_values:
+            for _ in range(nr):
+                prof_p[i] = g[2]
+                prof_m[i] = g[3]
+                flat_beta[i] = b
+                i += 1
+
+    params = broadcast_params(
+        config, beta=flat_beta,
+        rate_diffusion=float(base["rate_diffusion"]),
+        rate_active=float(base["rate_active"]))
+    dt = ensemble_dt(config, beta_max=float(beta_values.max()),
+                     rate_diffusion=float(base["rate_diffusion"]),
+                     rate_active=float(base["rate_active"]))
+    res = jax.device_get(run_particle_ensemble(
+        config, params, jax.random.PRNGKey(seed), T=float(rk["T"]),
+        obs_dt=float(rk["obs_dt"]), dt=dt, rho0_plus=prof_p,
+        rho0_minus=prof_m, record_pos=False,
+        record_fft=bool(rk.get("record_fft", False))))
+
+    from hydrolim_tpu.observables.estimators import (
+        compute_blocking_probability,
+        measurement_window,
+    )
+
+    T, obs_dt = float(rk["T"]), float(rk["obs_dt"])
+    K = int(base["site_capacity"])
+    f_fit, f_err, g_fit, g_err, per_N = [], [], [], [], []
+    idx = 0
+    for N_part in list_N_part:
+        block_means, block_ses = [], []
+        for b in beta_values:
+            blks = []
+            for _ in range(nr):
+                o = frames_to_out(res.frames, idx, config, T, obs_dt,
+                                  record_pos=False)
+                si, ei, _ = measurement_window(o["total_list"])
+                blks.append(compute_blocking_probability(o, si, ei))
+                idx += 1
+            blks = np.asarray(blks)
+            block_means.append(blks.mean())
+            block_ses.append(blks.std(ddof=1) / np.sqrt(nr) if nr > 1
+                             else 0.0)
+        rho_bar = float(N_part) / L
+        f_v, g_v, f_e, g_e = fit_blocking_fg(beta_values, block_means,
+                                             block_ses, rho_bar, K)
+        f_fit.append(f_v)
+        f_err.append(f_e)
+        g_fit.append(g_v)
+        g_err.append(g_e)
+        per_N.append({"N": float(N_part), "block_means": block_means,
+                      "block_ses": block_ses})
+
+    x_vals = list_N_part / L
+    f_vals = np.asarray(f_fit)
+    f_errs = np.where(np.asarray(f_err) > 0, f_err, 1e-3)
+    g_vals = np.asarray(g_fit)
+    g_errs = np.where(np.asarray(g_err) > 0, g_err, 1e-3)
+    (C0, C1), _ = curve_fit(f_model, x_vals, f_vals, sigma=f_errs,
+                            absolute_sigma=True)
+    (C2,), _ = curve_fit(g_model, x_vals, g_vals, sigma=g_errs,
+                         absolute_sigma=True)
+    return {"N_values": list_N_part, "f_fit": f_vals,
+            "f_err": np.asarray(f_err), "g_fit": g_vals,
+            "g_err": np.asarray(g_err), "C0": float(C0), "C1": float(C1),
+            "C2": float(C2), "per_N": per_N}
+
+
 def double_sweep(beta_values, list_N_part: Sequence[float],
                  n_runs_per_beta: int = 4, ps_kwargs: Optional[Dict] = None,
                  run_kwargs: Optional[Dict] = None, outdir: str = ".",

@@ -55,17 +55,27 @@ def run_particle_ensemble(config: ParticleConfig, params_b: ParticleParams,
                           dt: float,
                           rho0_plus: Optional[np.ndarray] = None,
                           rho0_minus: Optional[np.ndarray] = None,
-                          record_pos: bool = True) -> ParticleRunResult:
+                          record_pos: bool = True,
+                          record_fft: bool = True) -> ParticleRunResult:
     """Initialize and run B replicas in one vmapped program.
 
     Returns a ``ParticleRunResult`` whose leaves carry a leading batch axis.
     """
     B = params_b.beta.shape[0]
     keys = jax.random.split(key, B)
-    init_fn = lambda k: init_particles(config, k, rho0_plus, rho0_minus)
-    states = jax.vmap(init_fn)(keys)
+    if rho0_plus is not None and np.ndim(rho0_plus) == 2:
+        # per-replica profiles (e.g. the (N, β) double sweep: N varies only
+        # through the Poisson intensities, so the whole grid shares shapes
+        # and compiles once)
+        init_fn = lambda k, rp, rm: init_particles(config, k, rp, rm)
+        states = jax.vmap(init_fn)(keys, jnp.asarray(rho0_plus),
+                                   jnp.asarray(rho0_minus))
+    else:
+        init_fn = lambda k: init_particles(config, k, rho0_plus, rho0_minus)
+        states = jax.vmap(init_fn)(keys)
     run_fn = functools.partial(run_particles, config, T=T, obs_dt=obs_dt,
-                               dt=dt, record_pos=record_pos)
+                               dt=dt, record_pos=record_pos,
+                               record_fft=record_fft)
     return jax.vmap(lambda p, s: run_fn(p, s))(params_b, states)
 
 
@@ -97,8 +107,9 @@ def frames_to_out(frames, rep_idx: int, config: ParticleConfig, T: float,
         "m_local_list": g(f.m_local),
         "m_global": g(f.m_global),
         "particle_count_list": list(g(f.particle_count)),
-        "rho_hat_complex": dft.ri_to_complex(g(f.rho_hat_ri)),
-        "fft_amp_list": g(f.fft_amp),
+        "rho_hat_complex": (dft.ri_to_complex(g(f.rho_hat_ri))
+                            if f.rho_hat_ri.shape[-2] > 0 else None),
+        "fft_amp_list": (g(f.fft_amp) if f.fft_amp.shape[-1] > 0 else None),
         "var_list": g(f.var),
     }
     if record_pos and f.pos.shape[-1] > 0:
