@@ -163,9 +163,17 @@ def _resolve_conflicts(config: ParticleConfig, key: jnp.ndarray,
     proposals for its target site is below the site's free capacity at the
     start of the step (occupancy semantics identical to the reference's
     event-time check ``occ_total[target] < K`` (:299-301); swap chains are not
-    granted, matching sequential Gillespie in the Δt→0 limit)."""
+    granted, matching sequential Gillespie in the Δt→0 limit).
+
+    For the practical capacities (K ≤ 8) the rank pass runs as K rounds of a
+    segment-min scatter — each round admits the smallest-priority remaining
+    proposal per site — which is much cheaper on TPU than the general
+    O(n log n) multi-operand sort fallback."""
     n = mover.shape[0]
     L = config.L
+    if config.K <= 8:
+        return _resolve_conflicts_segmin(config, key, mover, target,
+                                         occ_total)
     prio = jax.random.bits(key, (n,), jnp.uint32)
     tgt = jnp.where(mover, target, L).astype(jnp.int32)   # sentinel sorts last
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -177,6 +185,36 @@ def _resolve_conflicts(config: ParticleConfig, key: jnp.ndarray,
     free = (config.K - occ_total[safe_t]).astype(jnp.int32)
     accept_s = (rank < free) & (tgt_s < L)
     return jnp.zeros((n,), bool).at[idx_s].set(accept_s)
+
+
+_UINT_MAX = jnp.uint32(0xFFFFFFFF)
+
+
+def _resolve_conflicts_segmin(config: ParticleConfig, key: jnp.ndarray,
+                              mover: jnp.ndarray, target: jnp.ndarray,
+                              occ_total: jnp.ndarray) -> jnp.ndarray:
+    """K rounds of segment-min admission (same law as the rank pass).
+
+    Each particle carries a unique packed priority (15 random bits ‖ 17-bit
+    index — unique, so the per-site argmin is well defined); round r admits
+    the minimum-priority remaining proposal at every site with free
+    capacity > r."""
+    n = mover.shape[0]
+    L = config.L
+    assert n < (1 << 17), "segmin pass supports n_buf < 131072"
+    bits = jax.random.bits(key, (n,), jnp.uint32)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    pack = (bits & jnp.uint32(0xFFFE0000)) | idx
+    free = (config.K - occ_total[jnp.clip(target, 0, L - 1)]).astype(jnp.int32)
+    accepted = jnp.zeros((n,), bool)
+    for r in range(config.K):
+        active = mover & ~accepted & (free > r)
+        cand = jnp.where(active, pack, _UINT_MAX)
+        site_min = jnp.full((L,), _UINT_MAX).at[target].min(
+            cand, mode="drop")
+        win = active & (cand == site_min[jnp.clip(target, 0, L - 1)])
+        accepted = accepted | win
+    return accepted
 
 
 def _is_meanfield_fast_path(config: ParticleConfig) -> bool:
