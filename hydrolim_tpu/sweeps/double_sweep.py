@@ -55,13 +55,16 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
                        n_runs_per_beta: int = 4,
                        ps_kwargs: Optional[Dict] = None,
                        run_kwargs: Optional[Dict] = None, outdir: str = ".",
-                       seed: int = 0, plot_result: bool = True) -> Dict:
-    """The whole (N × β × replicas) grid as ONE vmapped program.
+                       seed: int = 0, plot_result: bool = True,
+                       chunk_size: int = 176) -> Dict:
+    """The whole (N × β × replicas) grid as ONE compiled program.
 
     N enters only through the Poisson init intensities, so every grid point
     shares array shapes (buffer sized for max N) and the triple loop of the
-    reference (:851-873) compiles exactly once.  Blocking-probability (f, g)
-    fits and the C0/C1/C2 meta-fit run host-side afterwards."""
+    reference (:851-873) compiles exactly once; the batch executes in
+    fixed-size chunks (``chunk_size`` replicas, same shapes ⇒ same
+    executable) to bound device memory.  Blocking-probability (f, g) fits
+    and the C0/C1/C2 meta-fit run host-side afterwards."""
     import jax
 
     from hydrolim_tpu.sweeps.beta_sweep import (
@@ -105,25 +108,42 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
                 flat_beta[i] = b
                 i += 1
 
-    params = broadcast_params(
-        config, beta=flat_beta,
-        rate_diffusion=float(base["rate_diffusion"]),
-        rate_active=float(base["rate_active"]))
     dt = ensemble_dt(config, beta_max=float(beta_values.max()),
                      rate_diffusion=float(base["rate_diffusion"]),
                      rate_active=float(base["rate_active"]))
-    res = jax.device_get(run_particle_ensemble(
-        config, params, jax.random.PRNGKey(seed), T=float(rk["T"]),
-        obs_dt=float(rk["obs_dt"]), dt=dt, rho0_plus=prof_p,
-        rho0_minus=prof_m, record_pos=False,
-        record_fft=bool(rk.get("record_fft", False))))
+    T, obs_dt = float(rk["T"]), float(rk["obs_dt"])
+    record_fft = bool(rk.get("record_fft", False))
 
+    # run in fixed-size chunks (identical shapes → one executable)
     from hydrolim_tpu.observables.estimators import (
         compute_blocking_probability,
         measurement_window,
     )
 
-    T, obs_dt = float(rk["T"]), float(rk["obs_dt"])
+    C = min(chunk_size, B)
+    p_block_flat = np.zeros((B,), float)
+    for c0 in range(0, B, C):
+        sl = slice(c0, c0 + C)
+        pad = C - (min(c0 + C, B) - c0)
+        take = lambda a: np.concatenate(
+            [a[sl], np.repeat(a[c0:c0 + 1], pad, axis=0)], axis=0) \
+            if pad else a[sl]
+        params_c = broadcast_params(
+            config, beta=take(flat_beta),
+            rate_diffusion=float(base["rate_diffusion"]),
+            rate_active=float(base["rate_active"]))
+        res = jax.device_get(run_particle_ensemble(
+            config, params_c, jax.random.fold_in(jax.random.PRNGKey(seed),
+                                                 c0),
+            T=T, obs_dt=obs_dt, dt=dt, rho0_plus=take(prof_p),
+            rho0_minus=take(prof_m), record_pos=False,
+            record_fft=record_fft))
+        for j in range(C - pad):
+            o = frames_to_out(res.frames, j, config, T, obs_dt,
+                              record_pos=False)
+            si, ei, _ = measurement_window(o["total_list"])
+            p_block_flat[c0 + j] = compute_blocking_probability(o, si, ei)
+
     K = int(base["site_capacity"])
     f_fit, f_err, g_fit, g_err, per_N = [], [], [], [], []
     idx = 0
@@ -132,10 +152,7 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
         for b in beta_values:
             blks = []
             for _ in range(nr):
-                o = frames_to_out(res.frames, idx, config, T, obs_dt,
-                                  record_pos=False)
-                si, ei, _ = measurement_window(o["total_list"])
-                blks.append(compute_blocking_probability(o, si, ei))
+                blks.append(p_block_flat[idx])
                 idx += 1
             blks = np.asarray(blks)
             block_means.append(blks.mean())

@@ -89,3 +89,21 @@ def test_plot_outs_exits_per_anchor(tmp_path):
     assert total_mean.shape == (3,)
     assert region_mean.shape == (3, 2)
     assert (tmp_path / "exits_vs_beta.png").exists()
+
+
+def test_double_sweep_fused_matches_loop_shapes(tmp_path):
+    """Fused (N,β) grid: single-program pipeline produces per-N (f,g) fits
+    and the C0/C1/C2 meta-fit."""
+    from hydrolim_tpu.sweeps.double_sweep import double_sweep_fused
+
+    res = double_sweep_fused(
+        np.linspace(0, 2, 3), np.linspace(40, 120, 3), n_runs_per_beta=2,
+        ps_kwargs=dict(L=150), run_kwargs=dict(T=2.0, obs_dt=0.25),
+        outdir=str(tmp_path), seed=3, plot_result=False)
+    assert res["f_fit"].shape == (3,)
+    assert res["g_fit"].shape == (3,)
+    assert np.all(np.isfinite(res["f_fit"]))
+    assert np.isfinite(res["C0"]) and np.isfinite(res["C2"])
+    # f decreases with density (exclusion correction weakens), like the
+    # frozen reference series
+    assert res["f_fit"][0] >= res["f_fit"][-1] - 0.5
