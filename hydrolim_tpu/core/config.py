@@ -14,7 +14,7 @@ frozen config; everything that can vary per sweep point without recompiling
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,7 @@ fixed point, p_block vs exclusion prediction).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 from scipy.optimize import curve_fit

@@ -11,7 +11,6 @@ import inspect
 from typing import Any, Callable, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from hydrolim_tpu.core.config import (

@@ -11,10 +11,9 @@ from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from hydrolim_tpu.core.config import PDEConfig, PDEParams, make_pde_params
+from hydrolim_tpu.core.config import PDEConfig, make_pde_params
 from hydrolim_tpu.pde.stepper import (
     PDEOps,
     PDESolveResult,

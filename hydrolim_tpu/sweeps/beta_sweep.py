@@ -15,7 +15,7 @@ per-replica on host afterwards.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import numpy as np

@@ -56,7 +56,7 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
                        ps_kwargs: Optional[Dict] = None,
                        run_kwargs: Optional[Dict] = None, outdir: str = ".",
                        seed: int = 0, plot_result: bool = True,
-                       chunk_size: int = 176) -> Dict:
+                       chunk_size: int = 44) -> Dict:
     """The whole (N × β × replicas) grid as ONE compiled program.
 
     N enters only through the Poisson init intensities, so every grid point

@@ -11,7 +11,7 @@ framework's replica/sweep parallelism, shardable over a device mesh
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

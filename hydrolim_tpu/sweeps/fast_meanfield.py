@@ -12,14 +12,13 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Dict, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from hydrolim_tpu.core.config import ParticleConfig, ParticleParams
-from hydrolim_tpu.ops import dft
 from hydrolim_tpu.ops.segment import masked_bincount
 
 
@@ -126,8 +125,6 @@ def run_meanfield_sweep(config: ParticleConfig, params_b: ParticleParams,
                 bidirectional=bidi, n_active=n)
             record(*unpack(p, s, w))
     else:
-        from hydrolim_tpu.particles.init import init_particles
-        from hydrolim_tpu.particles.run import run_particles
         from hydrolim_tpu.sweeps.ensemble import run_particle_ensemble
 
         res = jax.device_get(run_particle_ensemble(

@@ -14,8 +14,6 @@ hazards.  These helpers are assertion passes enabled behind a debug flag
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,8 +11,6 @@
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 from scipy.optimize import curve_fit
 

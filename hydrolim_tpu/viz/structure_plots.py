@@ -9,7 +9,7 @@ sweep_betas_for_structures` and write PNGs into ``outdir``.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 
