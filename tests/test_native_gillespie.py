@@ -102,3 +102,39 @@ def test_exact_ctmc_local_kernel_runs():
                               seed=2)
     assert out["n_events"] > 0
     assert np.all(np.isfinite(out["m_global"]))
+
+
+def test_tauleap_matches_exact_ctmc_exclusion():
+    """With site exclusion active (K=1), the τ-leap conflict resolution must
+    reproduce the exact CTMC's magnetization relaxation."""
+    from hydrolim_tpu.runtime.native import run_exact_gillespie
+
+    L, N, T, obs_dt, beta = 64, 40, 3.0, 0.5, 1.5
+    config = ParticleConfig(L=L, N=N, n_pad=N, init="fixed",
+                            scale_rates=False, local_kernel_sigma=0.0,
+                            periodic=True, site_capacity=1,
+                            active_model="plus_forward")
+    params = make_particle_params(config, beta=beta, rate_diffusion=1.0,
+                                  rate_active=2.0, k_on=0, k_off=0, k_exit=0)
+    n_runs = 20
+
+    m_exact = []
+    for r in range(n_runs):
+        st = init_particles(config, jax.random.PRNGKey(200 + r))
+        out = run_exact_gillespie(config, params, np.asarray(st.pos),
+                                  np.asarray(st.sigma), T=T, obs_dt=obs_dt,
+                                  seed=77 + r)
+        m_exact.append(out["m_global"])
+    m_exact = np.abs(np.asarray(m_exact))
+
+    params_b = broadcast_params(config, beta=[beta], rate_diffusion=1.0,
+                                rate_active=2.0, n_runs=n_runs)
+    res = jax.device_get(run_particle_ensemble(
+        config, params_b, jax.random.PRNGKey(3), T=T, obs_dt=obs_dt,
+        dt=2e-3, record_pos=False))
+    m_tau = np.abs(np.asarray(res.frames.m_global))
+
+    me, mt = m_exact.mean(axis=0), m_tau.mean(axis=0)
+    se = (m_exact.std(axis=0, ddof=1) + m_tau.std(axis=0, ddof=1)) \
+        / np.sqrt(n_runs)
+    assert np.all(np.abs(me - mt) < 4 * se + 0.06), (me, mt, se)
