@@ -27,8 +27,12 @@ def sweep_over_sigmas(sigma_values: Sequence[float], beta_values,
                       ps_kwargs: Optional[Dict] = None,
                       run_kwargs: Optional[Dict] = None,
                       outdir: str = ".", seed: int = 0,
-                      archive: str = "v_eff_all_sigmas.npz") -> Dict:
-    """{σ: {beta, v_mean, v_se, D_mean, D_se, ps_kwargs}} (:1030-1075)."""
+                      archive: str = "v_eff_all_sigmas.npz",
+                      resume: bool = True) -> Dict:
+    """{σ: {beta, v_mean, v_se, D_mean, D_se, ps_kwargs}} (:1030-1075).
+
+    ``resume=True`` reloads σ values whose per-σ npz checkpoint already
+    exists (restart semantics after a crash or interruption)."""
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
     beta_values = np.asarray(beta_values, dtype=float)
@@ -40,12 +44,17 @@ def sweep_over_sigmas(sigma_values: Sequence[float], beta_values,
     for k_idx, sigma in enumerate(sigma_values):
         pk = dict(DEFAULT_PS_KWARGS, **(ps_kwargs or {}))
         pk["local_kernel_sigma"] = float(sigma)
-        save_dict = sweep_over_betas(
-            beta_values, n_runs_per_beta=n_runs_per_beta, run=True,
-            ps_kwargs=pk, run_kwargs=run_kwargs,
-            npz_path=str(out / f"v_eff_vs_beta_sigma_{sigma:.4g}.npz"),
-            outdir=str(out), seed=seed + 1000 * k_idx, do_fit=False,
-            plot_result=False)
+        npz_path = out / f"v_eff_vs_beta_sigma_{sigma:.4g}.npz"
+        if resume and npz_path.exists():
+            data = dict(np.load(npz_path, allow_pickle=True))
+            save_dict = {"means": data["means"], "ses": data["ses"],
+                         "D_means": data["D_means"], "D_ses": data["D_ses"]}
+        else:
+            save_dict = sweep_over_betas(
+                beta_values, n_runs_per_beta=n_runs_per_beta, run=True,
+                ps_kwargs=pk, run_kwargs=run_kwargs, npz_path=str(npz_path),
+                outdir=str(out), seed=seed + 1000 * k_idx, do_fit=False,
+                plot_result=False)
         results[float(sigma)] = {
             "beta": beta_values,
             "v_mean": save_dict["means"],
