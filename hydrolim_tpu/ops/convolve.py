@@ -57,14 +57,46 @@ def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
     return x
 
 
+@functools.lru_cache(maxsize=16)
+def _reflect_ring_matrix(L: int, sigma_grid: float,
+                         truncate: float) -> np.ndarray:
+    """Matrix M (2L, 2L) with ``even_ext(x) @ M`` = the reflect-mode Gaussian
+    correlation on the 2L-periodic half-sample even extension (mathematically
+    identical to scipy's reflect filtering for any kernel radius, since the
+    reflect extension has period 2L)."""
+    w = gaussian_filter_weights(sigma_grid, truncate).astype(np.float64)
+    r = (len(w) - 1) // 2
+    M2 = 2 * L
+    ring = np.zeros(M2, np.float64)
+    for d in range(-r, r + 1):
+        ring[(-d) % M2] += w[d + r]
+    j = np.arange(M2)
+    C = ring[(j[:, None] - j[None, :]) % M2]   # y = C @ e
+    return np.ascontiguousarray(C.T.astype(np.float32))  # e @ M
+
+
 @functools.partial(jax.jit, static_argnames=("sigma_grid", "truncate"))
 def reflect_gaussian_filter(x: jnp.ndarray, sigma_grid: float,
                             truncate: float = 4.0) -> jnp.ndarray:
     """Drop-in for ``gaussian_filter1d(x, sigma_grid, mode='reflect')`` on the
-    trailing axis (batched over leading dims)."""
-    w = jnp.asarray(gaussian_filter_weights(sigma_grid, truncate))
-    radius = (w.shape[0] - 1) // 2
-    xp = reflect_pad(x.astype(jnp.float32), radius)
+    trailing axis (batched over leading dims).
+
+    Narrow kernels run as a VALID convolution over a reflect-padded signal;
+    wide kernels (radius > L/4) run as ONE (…, 2L)·(2L, 2L) circulant matmul
+    on the even extension — MXU-friendly and exactly equivalent (the reflect
+    extension is 2L-periodic)."""
+    w_np = gaussian_filter_weights(sigma_grid, truncate)
+    radius = (len(w_np) - 1) // 2
+    L = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    if radius > L // 4:
+        M = jnp.asarray(_reflect_ring_matrix(L, float(sigma_grid),
+                                             float(truncate)))
+        even = jnp.concatenate([xf, jnp.flip(xf, axis=-1)], axis=-1)
+        out = jnp.matmul(even, M, precision=jax.lax.Precision.HIGHEST)
+        return out[..., :L]
+    w = jnp.asarray(w_np)
+    xp = reflect_pad(xf, radius)
     batch_shape = xp.shape[:-1]
     flat = xp.reshape((-1, 1, xp.shape[-1]))
     out = jax.lax.conv_general_dilated(

@@ -83,3 +83,14 @@ def test_masked_bincount_and_occupancy():
     out = np.asarray(masked_bincount(posb, w, 5))
     assert out.shape == (2, 5)
     np.testing.assert_array_equal(out[0], [1, 2, 0, 3, 0])
+
+
+def test_reflect_gaussian_wide_kernel_ring_matmul():
+    """Wide kernels (radius > L/4) take the 2L-ring matmul path — must stay
+    exactly equivalent to scipy's reflect filtering."""
+    rng = np.random.default_rng(7)
+    for L, sg in ((100, 40.0), (64, 300.0)):
+        x = rng.normal(size=L).astype(np.float32)
+        ours = np.asarray(reflect_gaussian_filter(jnp.asarray(x), sg))
+        ref = gaussian_filter1d(x.astype(np.float64), sg, mode="reflect")
+        np.testing.assert_allclose(ours, ref, rtol=5e-4, atol=5e-5)
