@@ -127,3 +127,30 @@ def test_determinism_same_seed():
     o2 = _mini_system(rng=42).run(T=0.5, obs_dt=0.25)
     np.testing.assert_array_equal(o1["total_list"], o2["total_list"])
     np.testing.assert_array_equal(o1["m_global"], o2["m_global"])
+
+
+def test_bind_unbind_equilibrium():
+    """Bind/unbind detailed balance: with every site an anchor and K large,
+    the stationary bound fraction of σ=−1 particles is k_on/(k_on+k_off)."""
+    k_on, k_off = 4.0, 2.0
+    ps = ParticleSystem(L=32, xlim=1.0, rate_diffusion=0.0, rate_active=0.0,
+                        beta=0.0, init="fixed", N=300, scale_rates=False,
+                        local_kernel_sigma=0.0, periodic=True,
+                        site_capacity=None, anchor_positions=[0.5],
+                        anchor_radius=0.6,   # anchors cover the lattice
+                        immobilize_when_anchored=False,
+                        suppress_flip_when_bound=True,
+                        k_on=k_on, k_off=k_off, k_exit=0.0, rng=3)
+    out = ps.run(T=6.0, obs_dt=0.5)
+    bound = out["bound_frames"]
+    alive = out["alive_frames"]
+    # minus particles at the last frames: fraction bound
+    # (spins of bound particles are frozen by suppress_flip_when_bound, so
+    # the minus population is persistent once bound)
+    tail = slice(-4, None)
+    frac = bound[tail][alive[tail]].mean()
+    # only σ=−1 bind; at β=0 free spins equilibrate 50/50, so overall bound
+    # fraction ≈ 0.5 · k_on/(k_on+k_off) at minimum — check the bound pool
+    # is nonzero and below the single-species equilibrium
+    eq = k_on / (k_on + k_off)
+    assert 0.15 < frac < eq + 0.1, frac
