@@ -74,15 +74,67 @@ def sweep_beta_structure_ensemble(beta, n_runs: int, ps_kwargs: Dict,
     }
 
 
+def _lattice_gas_outs(beta_values, n_runs, ps_kwargs, init_kwargs,
+                      run_kwargs, seed):
+    """Run the (β × replicas) grid on the site-centric lattice-gas engine
+    (K=1; ~15× the particle-centric exclusion throughput) and return
+    reference-schema out dicts per replica."""
+    import jax
+
+    from hydrolim_tpu.particles.init import eval_profile
+    from hydrolim_tpu.particles.lattice_gas import run_lattice_gas
+    from hydrolim_tpu.sweeps.beta_sweep import config_from_kwargs
+    from hydrolim_tpu.sweeps.ensemble import broadcast_params, ensemble_dt
+
+    config = config_from_kwargs(ps_kwargs)
+    assert config.site_capacity == 1, "lattice-gas engine requires K=1"
+    rho0_p = rho0_m = None
+    if config.init == "poisson":
+        rho0_p = eval_profile(init_kwargs["rho0_plus"], config.L)
+        rho0_m = eval_profile(init_kwargs["rho0_minus"], config.L)
+    params = broadcast_params(
+        config, beta=beta_values,
+        rate_diffusion=float(ps_kwargs["rate_diffusion"]),
+        rate_active=float(ps_kwargs["rate_active"]), n_runs=n_runs)
+    dt = ensemble_dt(config, beta_max=float(np.max(beta_values)),
+                     rate_diffusion=float(ps_kwargs["rate_diffusion"]),
+                     rate_active=float(ps_kwargs["rate_active"]))
+    T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
+    frames, _ = run_lattice_gas(config, params, jax.random.PRNGKey(seed),
+                                T=T, obs_dt=obs_dt, dt=dt,
+                                rho0_plus=rho0_p, rho0_minus=rho0_m)
+    frames = jax.device_get(frames)
+    times = np.arange(0.0, T, obs_dt)
+
+    def out_for(i):
+        return {
+            "times_obs": times,
+            "rho_p_list": np.asarray(frames.rho_p[i]),
+            "rho_m_list": np.asarray(frames.rho_m[i]),
+            "total_list": np.asarray(frames.total[i]),
+            "m_local_list": np.asarray(frames.m_local[i]),
+            "m_global": np.asarray(frames.m_global[i]),
+            "var_list": np.asarray(frames.var[i]),
+            "fft_amp_list": np.asarray(frames.fft_amp[i]),
+        }
+
+    return config, out_for
+
+
 def sweep_betas_for_structures(beta_values, n_runs_per_beta: int,
                                ps_kwargs: Optional[Dict] = None,
                                init_kwargs: Optional[Dict] = None,
                                run_kwargs: Optional[Dict] = None,
                                start_fraction: float = 0.5,
                                k_max: Optional[int] = None, seed: int = 0,
-                               keep_outs: bool = True) -> Dict:
+                               keep_outs: bool = True,
+                               engine: str = "particle") -> Dict:
     """β grid → {β: ensemble results} (:167-193).  The full
-    (β × replicas) grid runs as one vmapped program."""
+    (β × replicas) grid runs as one vmapped program.
+
+    ``engine='lattice_gas'`` uses the site-centric K=1 engine — the
+    structure observables need no particle identity, and the lattice-gas
+    step is ~15× faster than the particle-centric exclusion path."""
     ps_kwargs = dict(DEFAULT_STRUCTURE_PS_KWARGS, **(ps_kwargs or {}))
     run_kwargs = dict(DEFAULT_STRUCTURE_RUN_KWARGS, **(run_kwargs or {}))
     if init_kwargs is None and ps_kwargs.get("init") == "poisson":
@@ -91,16 +143,25 @@ def sweep_betas_for_structures(beta_values, n_runs_per_beta: int,
                               anchor_positions=None)
         init_kwargs = dict(rho0_plus=g[0], rho0_minus=g[1])
     beta_values = np.asarray(beta_values, dtype=float)
-    config, res, _ = run_sweep_grid(beta_values, n_runs_per_beta, ps_kwargs,
-                                    init_kwargs, run_kwargs, seed=seed)
+    if engine == "lattice_gas":
+        config, out_for = _lattice_gas_outs(beta_values, n_runs_per_beta,
+                                            ps_kwargs, init_kwargs,
+                                            run_kwargs, seed)
+    else:
+        config, res, _ = run_sweep_grid(beta_values, n_runs_per_beta,
+                                        ps_kwargs, init_kwargs, run_kwargs,
+                                        seed=seed)
     T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
     results = {}
     for b_idx, beta in enumerate(beta_values):
         per_run = []
         for r in range(n_runs_per_beta):
-            out = frames_to_out(res.frames, b_idx * n_runs_per_beta + r,
-                                config, T, obs_dt,
-                                final_state=res.final_state)
+            i = b_idx * n_runs_per_beta + r
+            if engine == "lattice_gas":
+                out = out_for(i)
+            else:
+                out = frames_to_out(res.frames, i, config, T, obs_dt,
+                                    final_state=res.final_state)
             obs = extract_structure_observables_from_out(
                 out, start_fraction=start_fraction, k_max=k_max)
             per_run.append({**obs, "out": out if keep_outs else None})

@@ -91,3 +91,17 @@ def test_local_kernel_lattice_gas_runs():
                                 T=1.0, obs_dt=0.25, dt=5e-3)
     assert np.all(np.isfinite(np.asarray(frames.m_local)))
     assert np.asarray(frames.fft_amp).shape[-1] == 64
+
+
+def test_structure_sweep_lattice_gas_engine(tmp_path):
+    from hydrolim_tpu.sweeps.local_structure import sweep_betas_for_structures
+
+    res = sweep_betas_for_structures(
+        np.array([0.5, 2.0]), 2,
+        ps_kwargs=dict(L=64, N=48, periodic=True),
+        run_kwargs=dict(T=1.5, obs_dt=0.25), seed=0, keep_outs=True,
+        engine="lattice_gas")
+    for b, r in res.items():
+        assert np.isfinite(r["var_mean"])
+        assert r["fft_mean_mean"].shape[0] == 64
+        assert 1 <= r["dominant_k_mode"] < 64
