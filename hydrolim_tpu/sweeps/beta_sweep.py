@@ -143,6 +143,57 @@ def _profiles(config: ParticleConfig, init_kwargs: Optional[Dict]):
 # vmapped sweep core
 # ---------------------------------------------------------------------------
 
+def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
+                               init_kwargs: Optional[Dict],
+                               run_kwargs: Dict, seed: int = 0,
+                               n_tracers: int = 128):
+    """(β × replicas) grid on the site-centric K=1 lattice-gas engine
+    (~15× the particle-centric exclusion throughput); returns
+    (config, out_for(i) accessor, dt).  Tagged tracers provide the
+    displacement positions for D_eff."""
+    from hydrolim_tpu.particles.lattice_gas import run_lattice_gas
+
+    config = config_from_kwargs(ps_kwargs)
+    assert config.site_capacity == 1, "lattice-gas engine requires K=1"
+    rho0_p, rho0_m = _profiles(config, init_kwargs)
+    params = broadcast_params(
+        config, beta=beta_values,
+        rate_diffusion=float(ps_kwargs["rate_diffusion"]),
+        rate_active=float(ps_kwargs["rate_active"]), n_runs=n_runs)
+    dt = ensemble_dt(config, beta_max=float(np.max(beta_values)),
+                     rate_diffusion=float(ps_kwargs["rate_diffusion"]),
+                     rate_active=float(ps_kwargs["rate_active"]))
+    T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
+    n_tracers = min(n_tracers, config.N)
+    frames, _ = run_lattice_gas(config, params, jax.random.PRNGKey(seed),
+                                T=T, obs_dt=obs_dt, dt=dt,
+                                rho0_plus=rho0_p, rho0_minus=rho0_m,
+                                n_tracers=n_tracers)
+    frames = jax.device_get(frames)
+    times = np.arange(0.0, T, obs_dt)
+
+    def out_for(i):
+        tr = np.asarray(frames.tracer_pos[i])
+        return {
+            "times_obs": times,
+            "rho_p_list": np.asarray(frames.rho_p[i]),
+            "rho_m_list": np.asarray(frames.rho_m[i]),
+            "total_list": np.asarray(frames.total[i]),
+            "m_local_list": np.asarray(frames.m_local[i]),
+            "m_global": np.asarray(frames.m_global[i]),
+            "var_list": np.asarray(frames.var[i]),
+            "fft_amp_list": np.asarray(frames.fft_amp[i]),
+            # tracer positions play the role of pos_frames for D_eff
+            "pos_frames": tr,
+            "alive_frames": np.ones_like(tr, bool),
+            "pos_list": None,
+            "exit_times": [],
+            "exit_positions": [],
+        }
+
+    return config, out_for, dt
+
+
 def run_sweep_grid(beta_values, n_runs: int, ps_kwargs: Dict,
                    init_kwargs: Optional[Dict], run_kwargs: Dict,
                    seed: int = 0):
@@ -227,7 +278,8 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
                      npz_path: str = "beta_sweep_results.npz",
                      outdir: str = ".", seed: int = 0,
                      keep_outs: bool = False, do_fit: bool = True,
-                     plot_result: bool = True) -> Dict:
+                     plot_result: bool = True,
+                     engine: str = "particle") -> Dict:
     """Full β sweep (:828-1028): one vmapped grid run → estimator means ±
     SE per β → npz checkpoint → (θ,γ) fit and figures.  ``run=False``
     reloads ``npz_path`` and re-plots without re-simulating."""
@@ -241,9 +293,14 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
         init_kwargs = dict(rho0_plus=grad[0], rho0_minus=grad[1])
 
     if run:
-        config, res, dt = run_sweep_grid(beta_values, n_runs_per_beta,
-                                         ps_kwargs, init_kwargs, run_kwargs,
-                                         seed=seed)
+        if engine == "lattice_gas":
+            config, out_for, dt = run_sweep_grid_lattice_gas(
+                beta_values, n_runs_per_beta, ps_kwargs, init_kwargs,
+                run_kwargs, seed=seed)
+        else:
+            config, res, dt = run_sweep_grid(beta_values, n_runs_per_beta,
+                                             ps_kwargs, init_kwargs,
+                                             run_kwargs, seed=seed)
         ps = _PsShim(config)
         T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
         nb = len(beta_values)
@@ -257,9 +314,12 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
             vals = {"v": [], "D": [], "m": [], "rho": [], "blk": []}
             beta_outs = []
             for r in range(n_runs_per_beta):
-                out = frames_to_out(res.frames, b * n_runs_per_beta + r,
-                                    config, T, obs_dt,
-                                    final_state=res.final_state)
+                if engine == "lattice_gas":
+                    out = out_for(b * n_runs_per_beta + r)
+                else:
+                    out = frames_to_out(res.frames, b * n_runs_per_beta + r,
+                                        config, T, obs_dt,
+                                        final_state=res.final_state)
                 v, D, m, rho, blk = _estimates_for_replica(out, ps)
                 for k, x in zip(("v", "D", "m", "rho", "blk"),
                                 (v, D, m, rho, blk)):
