@@ -134,6 +134,48 @@ def bench_pde_steps(L=1000, nsteps=2000, reps=3, B=1):
     return nsteps / min(times)
 
 
+def bench_lattice_gas(B=64, L=1000, K_steps=500, reps=3):
+    """Site-centric K=1 exclusion engine with full local-kernel smoothing."""
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.fields.magnetization import build_mfield_op
+    from hydrolim_tpu.particles.lattice_gas import lg_init, lg_step
+    from hydrolim_tpu.sweeps.ensemble import broadcast_params
+
+    config = ParticleConfig(L=L, N=L // 2, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.005, periodic=True,
+                            site_capacity=1, active_model="plus_forward")
+    params = broadcast_params(config, beta=np.linspace(0, 3, B),
+                              rate_diffusion=0.02, rate_active=5.0)
+    mf = build_mfield_op(L, config.dx, 0.005, True)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    occ = jax.jit(jax.vmap(lambda k: lg_init(config, k)))(keys)
+
+    @jax.jit
+    def advance(occ, key):
+        def body(c, _):
+            o, k = c
+            k, sub = jax.random.split(k)
+            subs = jax.random.split(sub, B)
+            o, _aux = jax.vmap(
+                lambda p, oo, kk: lg_step(config, p, mf, oo, kk, 4e-3))(
+                    params, o, subs)
+            return (o, k), ()
+        (occ, key), _ = jax.lax.scan(body, (occ, key), None, length=K_steps)
+        return occ, key
+
+    key = jax.random.PRNGKey(1)
+    occ, key = advance(occ, key)
+    jax.block_until_ready(occ)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        occ, key = advance(occ, key)
+        jax.block_until_ready(occ)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return B * (L // 2) * K_steps / best
+
+
 def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
@@ -150,6 +192,12 @@ def main():
         pps = max(pps, pps_pl)
     except Exception as e:  # Mosaic unavailable off-TPU
         print(f"# pallas bench unavailable: {e}", file=sys.stderr)
+    try:
+        lg = bench_lattice_gas()
+        print(f"# lattice-gas bench (K=1 exclusion, local kernel): "
+              f"{lg:.3e} particle-equivalent steps/sec", file=sys.stderr)
+    except Exception as e:
+        print(f"# lattice-gas bench failed: {e}", file=sys.stderr)
     try:
         pde_sps = bench_pde_steps()
         print(f"# pde bench: {pde_sps:.3e} IMEX steps/sec (L=1000)",
