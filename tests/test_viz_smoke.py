@@ -1,0 +1,44 @@
+"""Figure-inventory smoke tests: every viz entry point renders PNGs from a
+small run (the drives cover visual correctness; this pins the API)."""
+import numpy as np
+import pytest
+
+from hydrolim_tpu import ParticleSystem
+
+
+@pytest.fixture(scope="module")
+def small_out():
+    ps = ParticleSystem(L=64, xlim=1.0, rate_diffusion=0.5, rate_active=2.0,
+                        beta=1.5, init="fixed", N=30, scale_rates=False,
+                        local_kernel_sigma=0.02, periodic=False,
+                        site_capacity=3, anchor_positions=[0.4, 0.8],
+                        anchor_radius=0.05, k_on=5.0, k_off=1.0, k_exit=2.0,
+                        rng=1)
+    out = ps.run(T=1.5, obs_dt=0.25, record_fft=True, record_var=True)
+    return ps, out
+
+
+def test_visualize_all_and_individuals(small_out, tmp_path, monkeypatch):
+    ps, out = small_out
+    ps.visualize_all(out, save_path=str(tmp_path / "overview.png"))
+    assert (tmp_path / "overview.png").exists()
+    v = ps.plot_individuals(out, outdir=str(tmp_path))
+    assert np.isfinite(v)
+    produced = {p.name for p in tmp_path.glob("*.png")}
+    expected = {"plot_t_m.png", "plot_t_A_K.png", "plot_t_Var.png",
+                "2D_plot_t_x_mlocal.png", "2D_plot_t_x_total.png",
+                "cluster_size_histogram.png", "flux_profile.png",
+                "FPT_survival_curve.png", "FPT_flux_based.png",
+                "Effective_drift_velocity.png",
+                "cumulative_exits_by_anchor.png"}
+    assert expected <= produced, expected - produced
+
+
+def test_animation_writer(small_out, tmp_path):
+    ps, out = small_out
+    path = ps.animate_profiles(out, stride=2, outdir=str(tmp_path))
+    # pillow gif fallback in this image
+    assert path is None or path.endswith((".mp4", ".gif"))
+    if path:
+        import os
+        assert os.path.getsize(path) > 0
