@@ -81,3 +81,29 @@ def cached_run(fn: Callable[[], Dict[str, Any]], *, config: Dict,
     save_result(result, path, config=config)
     result["__config_hash__"] = key
     return result
+
+
+# ---------------------------------------------------------------------------
+# orbax pytree checkpoints (SURVEY.md §5: "serialize sweep-result pytrees
+# (orbax or npz)") — for arbitrarily nested JAX pytrees; npz stays the
+# default for flat result dicts.
+# ---------------------------------------------------------------------------
+
+def save_pytree(tree, path: str | Path) -> None:
+    """Orbax checkpoint of a JAX pytree (nested dicts/arrays)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    if path.exists():
+        import shutil
+
+        shutil.rmtree(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, tree)
+
+
+def load_pytree(path: str | Path):
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(Path(path).absolute())

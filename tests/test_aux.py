@@ -84,3 +84,13 @@ def test_structure_run_all_plots(tmp_path):
                 "mode_1_growth_time.png", "growth_rate_vs_beta.png",
                 "autocorrelation_vs_beta.png"}
     assert expected <= produced, expected - produced
+
+
+def test_orbax_pytree_roundtrip(tmp_path):
+    from hydrolim_tpu.sweeps.persistence import load_pytree, save_pytree
+
+    tree = {"a": np.arange(5.0), "nested": {"b": np.eye(2)}}
+    save_pytree(tree, tmp_path / "ckpt")
+    back = load_pytree(tmp_path / "ckpt")
+    np.testing.assert_array_equal(back["a"], tree["a"])
+    np.testing.assert_array_equal(back["nested"]["b"], tree["nested"]["b"])
