@@ -94,3 +94,30 @@ def test_orbax_pytree_roundtrip(tmp_path):
     back = load_pytree(tmp_path / "ckpt")
     np.testing.assert_array_equal(back["a"], tree["a"])
     np.testing.assert_array_equal(back["nested"]["b"], tree["nested"]["b"])
+
+
+def test_bench_module_importable():
+    """bench.py must stay importable (the driver runs it at round end);
+    check the entry points exist without executing TPU work."""
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).parent.parent / "bench.py"
+    spec = importlib.util.spec_from_file_location("bench", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for fn in ("bench_particle_steps", "bench_particle_steps_pallas",
+               "bench_lattice_gas", "bench_pde_steps", "main"):
+        assert callable(getattr(mod, fn))
+
+
+def test_graft_entry_importable():
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    spec = importlib.util.spec_from_file_location("graft", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    assert callable(fn) and len(args) == 2
