@@ -29,6 +29,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hydrolim_tpu.core.config import ParticleConfig, ParticleParams
 from hydrolim_tpu.fields.magnetization import MFieldOp, build_mfield_op, local_m_field
@@ -186,7 +187,9 @@ def _resolve_conflicts(config: ParticleConfig, key: jnp.ndarray,
     return jnp.zeros((n,), bool).at[idx_s].set(accept_s)
 
 
-_UINT_MAX = jnp.uint32(0xFFFFFFFF)
+_UINT_MAX = np.uint32(0xFFFFFFFF)  # np, not jnp: a module-level jnp
+# array would initialize JAX backends at import time (breaks the driver's
+# jax_num_cpu_devices setup in dryrun_multichip)
 
 
 def _resolve_conflicts_segmin(config: ParticleConfig, key: jnp.ndarray,
@@ -209,7 +212,7 @@ def _resolve_conflicts_segmin(config: ParticleConfig, key: jnp.ndarray,
     for r in range(config.K):
         active = mover & ~accepted & (free > r)
         cand = jnp.where(active, pack, _UINT_MAX)
-        site_min = jnp.full((L,), _UINT_MAX).at[target].min(
+        site_min = jnp.full((L,), _UINT_MAX, jnp.uint32).at[target].min(
             cand, mode="drop")
         win = active & (cand == site_min[jnp.clip(target, 0, L - 1)])
         accepted = accepted | win

@@ -65,3 +65,24 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_graft_dryrun_multichip_driver_env():
+    """Round-1 regression (MULTICHIP_r01.json rc=1): the dryrun must pass in
+    a fresh interpreter with NO XLA_FLAGS / JAX_PLATFORMS set — it has to
+    provision its own virtual CPU devices and never execute on the default
+    (possibly broken-TPU) backend."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = ("import sys; sys.path.insert(0, %r); "
+            "import __graft_entry__; __graft_entry__.dryrun_multichip(8); "
+            "print('DRYRUN_OK')" % repo)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "DRYRUN_OK" in out.stdout
