@@ -43,22 +43,22 @@ def bench_particle_steps_pallas(B=64, N=100_000, L=1000, K_steps=1000,
     sigma = rng.choice([-1, 1], (B, N))
     wind = np.zeros((B, N), int)
     p, s, w = pack_particles(pos, sigma, wind)
-    scal = np.zeros((B, 4), np.float32)
+    scal = np.zeros((B, 3), np.float32)
     scal[:, 0] = np.linspace(0.0, 3.0, B)
     scal[:, 1] = 0.5
     scal[:, 2] = 2.0
-    scal[:, 3] = np.arange(B)
     scal = jnp.asarray(scal)
+    seeds0 = jnp.asarray(rng.integers(0, 2 ** 30, B), jnp.int32)
 
-    run = lambda a, b, c: meanfield_multi_step(
-        scal, a, b, c, L=L, k_steps=K_steps, dt=0.002, bidirectional=True,
-        n_active=N)
-    p, s, w = run(p, s, w)
+    run = lambda f, a, b, c: meanfield_multi_step(
+        scal, seeds0 + f, a, b, c, L=L, k_steps=K_steps, dt=0.002,
+        bidirectional=True, n_active=N)
+    p, s, w = run(0, p, s, w)
     np.asarray(p[0, 0])          # force completion
     times = []
-    for _ in range(reps):
+    for rep in range(reps):
         t0 = time.perf_counter()
-        p, s, w = run(p, s, w)
+        p, s, w = run(rep + 1, p, s, w)
         np.asarray(p[0, 0])      # device→host sync
         times.append(time.perf_counter() - t0)
     best = min(times)

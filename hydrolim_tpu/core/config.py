@@ -195,7 +195,7 @@ class PDEConfig:
     kernel_sigma: float = 0.02
     snapshot_interval: int = 50
     # --- TPU-native additions -------------------------------------------------
-    diffusion_solver: str = "auto"           # 'auto' | 'fft' | 'dct' | 'dense'
+    diffusion_solver: str = "auto"           # 'auto'|'fft'|'dct'|'dense'|'identity'
     n_tracers: int = 1000
     tracer_window_time: float = 0.05         # IMEX_PDE_solver_class.py:238
     fft_kmax: Optional[int] = None           # None -> L//2+1 (full rfft)
@@ -205,7 +205,11 @@ class PDEConfig:
     def __post_init__(self):
         assert self.bc in ("periodic", "neumann")
         assert self.active_model in ("bidirectional", "anchored_minus")
-        assert self.diffusion_solver in ("auto", "fft", "dct", "dense")
+        # 'identity' = exact solve for gamma == 0 (A = I; the reference
+        # single-run config, IMEX_PDE_solver_run.py:13 gamma=0) — skips the
+        # two spectral transforms per species per step entirely
+        assert self.diffusion_solver in ("auto", "fft", "dct", "dense",
+                                         "identity")
 
     @property
     def dx(self) -> float:

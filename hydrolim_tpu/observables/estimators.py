@@ -38,11 +38,16 @@ import numpy as np
 def measurement_window(total_density, *, boundary_xmin: float = 0.99,
                        max_boundary_fraction: float = 0.06,
                        min_window_fraction: float = 0.10,
-                       window_mode: str = "legacy") -> Tuple[int, int, np.ndarray]:
-    """(start_idx, end_idx, frac_boundary) — host-side (python ints)."""
+                       window_mode: str = "legacy",
+                       xlim: float = 1.0) -> Tuple[int, int, np.ndarray]:
+    """(start_idx, end_idx, frac_boundary) — host-side (python ints).
+
+    ``xlim`` sets the physical x grid (the reference hardcodes [0, 1],
+    ..._sweep_beta.py:131; ``boundary_xmin`` stays in absolute units, so pass
+    e.g. ``boundary_xmin=0.99*xlim`` for the scaled equivalent)."""
     total_density = np.asarray(total_density)
     M, L = total_density.shape
-    x = np.linspace(0.0, 1.0, L)
+    x = np.linspace(0.0, float(xlim), L)
     dx = x[1] - x[0]
     bmask = x >= boundary_xmin
     boundary_mass = total_density[:, bmask].sum(axis=1) * dx
@@ -64,29 +69,37 @@ def measurement_window(total_density, *, boundary_xmin: float = 0.99,
     return start, end, frac_boundary
 
 
-def v_eff_timeseries(total_density, times):
+def v_eff_timeseries(total_density, times, xlim: float = 1.0):
     """v_eff(t) = d⟨x⟩/dt of the normalized density center of mass."""
     total_density = jnp.asarray(total_density)
     M, L = total_density.shape
-    x = jnp.linspace(0.0, 1.0, L)
+    x = jnp.linspace(0.0, float(xlim), L)
     mean_x = (total_density * x).sum(axis=1) / (
         total_density.sum(axis=1) + 1e-12)
     return jnp.gradient(mean_x, jnp.asarray(times))
 
 
-def compute_v_eff_and_window(out: Dict, ps=None, *, boundary_xmin=0.99,
+def compute_v_eff_and_window(out: Dict, ps=None, *, boundary_xmin=None,
                              max_boundary_fraction=0.06,
                              min_window_fraction=0.10,
                              window_mode="legacy"):
     """Reference signature (:123): returns
-    (mean_v, v_eff_ts, times, start_idx, end_idx, frac_boundary)."""
+    (mean_v, v_eff_ts, times, start_idx, end_idx, frac_boundary).
+
+    The x grid spans ``ps.xlim`` (default 1.0 — the reference hardcodes
+    ``linspace(0, 1, L)``, :131, correct only for xlim=1); the default
+    boundary threshold is the reference's 0.99 scaled to the domain."""
     times = np.asarray(out["times_obs"])
     total = np.asarray(out["total_list"])
+    xlim = float(getattr(ps, "xlim", 1.0) or 1.0) if ps is not None else 1.0
+    if boundary_xmin is None:
+        boundary_xmin = 0.99 * xlim
     start, end, frac_boundary = measurement_window(
         total, boundary_xmin=boundary_xmin,
         max_boundary_fraction=max_boundary_fraction,
-        min_window_fraction=min_window_fraction, window_mode=window_mode)
-    v_ts = np.asarray(v_eff_timeseries(total, times))
+        min_window_fraction=min_window_fraction, window_mode=window_mode,
+        xlim=xlim)
+    v_ts = np.asarray(v_eff_timeseries(total, times, xlim=xlim))
     mean_v = float(np.mean(v_ts[start:end]))
     return mean_v, v_ts, times, start, end, frac_boundary
 
@@ -157,11 +170,13 @@ compute_mean_magnetizatoin = compute_mean_magnetization
 
 
 def compute_rho_eff(out: Dict, start_idx: int, end_idx: int,
-                    window_fraction: float = 0.05) -> float:
-    """Front density behind the rightmost occupied site (:165-194)."""
+                    window_fraction: float = 0.05,
+                    xlim: float = 1.0) -> float:
+    """Front density behind the rightmost occupied site (:165-194);
+    ``window_fraction`` is in absolute x units like the reference's 0.05."""
     total = np.asarray(out["total_list"])
     M, L = total.shape
-    x = np.linspace(0.0, 1.0, L)
+    x = np.linspace(0.0, float(xlim), L)
     dx = x[1] - x[0]
     vals = []
     for k in range(start_idx, end_idx):

@@ -48,6 +48,9 @@ def build_diffusion_op(L: int, dx: float, dt: float, gamma,
     """Build the solve operator.  ``gamma`` may be a python float or a jnp
     scalar (possibly traced/vmapped) on the spectral paths."""
     gamma = jnp.asarray(gamma, dtype=jnp.float32)
+    if kind == "identity":   # gamma == 0: A = I exactly
+        return DiffusionSolveOp(jnp.zeros((0,), jnp.float32),
+                                jnp.zeros((0, 0), jnp.float32))
     if kind == "fft":
         assert bc == "periodic"
         lam = jnp.asarray(_laplacian_eigs_periodic(L), dtype=jnp.float32)
@@ -83,6 +86,8 @@ def diffusion_solve(op: DiffusionSolveOp, rho: jnp.ndarray,
     ``kind`` is the static solver kind used to build ``op``."""
     from hydrolim_tpu.ops import dft
 
+    if kind == "identity":
+        return rho
     if kind == "fft":
         L = rho.shape[-1]
         return dft.irfft_ri(dft.rfft_ri(rho) / op.denom[..., :, None], n=L)

@@ -30,18 +30,19 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
-def _kernel(scal_ref, pos_ref, sigma_ref, wind_ref,
+def _kernel(scal_ref, seed_ref, pos_ref, sigma_ref, wind_ref,
             pos_out, sigma_out, wind_out, *,
             L: int, k_steps: int, dt: float, bidirectional: bool,
             n_active: int):
-    """scal_ref: SMEM (B, 4) = [beta, rate_diffusion, rate_active, seed]
-    rows (full array replicated to every program; indexed by replica id)."""
+    """scal_ref: SMEM (B, 3) float32 = [beta, rate_diffusion, rate_active]
+    rows; seed_ref: SMEM (B,) int32 PRNG seeds (int32 end-to-end — a float32
+    seed column cannot represent per-frame increments above 2^24, which
+    silently replayed identical random streams every obs_dt frame)."""
     b = pl.program_id(0)
     beta = scal_ref[b, 0]
     p_dif = scal_ref[b, 1] * dt
     p_act = scal_ref[b, 2] * dt
-    seed = scal_ref[b, 3]
-    pltpu.prng_seed(seed.astype(jnp.int32) + b)
+    pltpu.prng_seed(seed_ref[b], b)
 
     inv_n = jnp.float32(1.0 / n_active)
     shape = pos_ref.shape  # (R, 128)
@@ -95,16 +96,20 @@ def _pad_rows(n: int) -> int:
     jax.jit,
     static_argnames=("L", "k_steps", "dt", "bidirectional", "n_active",
                      "interpret"))
-def meanfield_multi_step(scalars: jnp.ndarray, pos: jnp.ndarray,
-                         sigma: jnp.ndarray, wind: jnp.ndarray, *,
+def meanfield_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
+                         pos: jnp.ndarray, sigma: jnp.ndarray,
+                         wind: jnp.ndarray, *,
                          L: int, k_steps: int, dt: float,
                          bidirectional: bool, n_active: int,
                          interpret: bool = False):
     """Advance K mean-field steps fully on-chip.
 
     Args:
-      scalars: (B, 4) float32 — [beta, rate_diffusion, rate_active, seed]
+      scalars: (B, 3) float32 — [beta, rate_diffusion, rate_active]
         per replica (rates in site units after any scale_rates resolution).
+      seeds: (B,) int32 PRNG seeds; pass a distinct value per kernel
+        invocation (e.g. ``base + frame_index``) so successive obs_dt frames
+        draw independent random streams.
       pos/sigma/wind: (B, R, 128) int32 particle lanes; σ = 0 marks padding.
       n_active: true particle count per replica (for the m normalization).
 
@@ -118,16 +123,18 @@ def meanfield_multi_step(scalars: jnp.ndarray, pos: jnp.ndarray,
         _kernel, L=L, k_steps=k_steps, dt=dt, bidirectional=bidirectional,
         n_active=n_active)
 
-    def squeeze_kernel(scal, p, s, w, po, so, wo):
+    def squeeze_kernel(scal, seed, p, s, w, po, so, wo):
         # drop the leading block dim of the vector refs
-        kernel(scal, p.at[0], s.at[0], w.at[0], po.at[0], so.at[0],
+        kernel(scal, seed, p.at[0], s.at[0], w.at[0], po.at[0], so.at[0],
                wo.at[0])
 
     return pl.pallas_call(
         squeeze_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, 4), lambda b: (0, 0),
+            pl.BlockSpec((B, 3), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((B,), lambda b: (0,),
                          memory_space=pltpu.SMEM),
             vec_spec, vec_spec, vec_spec,
         ],
@@ -138,9 +145,9 @@ def meanfield_multi_step(scalars: jnp.ndarray, pos: jnp.ndarray,
             jax.ShapeDtypeStruct((B, R, LANE), jnp.int32),
         ],
         # in-place update: halves VMEM/HBM footprint of the state buffers
-        input_output_aliases={1: 0, 2: 1, 3: 2},
+        input_output_aliases={2: 0, 3: 1, 4: 2},
         interpret=interpret,
-    )(scalars, pos, sigma, wind)
+    )(scalars, jnp.asarray(seeds, jnp.int32), pos, sigma, wind)
 
 
 def pack_particles(pos: np.ndarray, sigma: np.ndarray,

@@ -133,6 +133,15 @@ def _lg_record(config: ParticleConfig, mfield_op: MFieldOp,
                occ: jnp.ndarray, record_fft: bool) -> LatticeGasFrames:
     counts_p = (occ == 1).astype(jnp.float32)
     counts_m = (occ == -1).astype(jnp.float32)
+    return _lg_record_counts(config, mfield_op, counts_p, counts_m,
+                             record_fft)
+
+
+def _lg_record_counts(config: ParticleConfig, mfield_op: MFieldOp,
+                      counts_p: jnp.ndarray, counts_m: jnp.ndarray,
+                      record_fft: bool) -> LatticeGasFrames:
+    """Frame observables from per-site counts (shared with the K>1 slot
+    engine, lattice_gas_k.py)."""
     n_alive = jnp.maximum(counts_p.sum(-1) + counts_m.sum(-1), 1.0)
     denom = n_alive[..., None] * config.dx
     rho_p = counts_p / denom

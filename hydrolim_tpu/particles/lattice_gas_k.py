@@ -1,0 +1,317 @@
+"""Site-centric lattice-gas engine for general capacity K ≥ 1.
+
+Round-1's site-centric engine (``lattice_gas.py``) is K = 1 only; the
+reference's flagship single run uses ``site_capacity = 3``
+(PARTICLE_solver_BIOLOGY_EXCLUSION.py:71,90) and fell back to the
+particle-centric τ-leap at ~30× lower throughput.  This module generalizes
+the site-centric state to per-site **slots**: ``slots ∈ {0, ±1}^(K, L)``
+(slot axis first — K sublanes × L lanes is the TPU-native layout; the K = 1
+engine's occ^L is the squeezed special case).
+
+Event channels (the same generator as the reference rate assembly,
+PARTICLE_solver_CLASS.py:259-351, restricted to the hop/flip channels — no
+anchors/binding, which route to the particle-centric engine):
+
+- CW flips  c = flip_rate_fn(σ, m(x), β) per occupied slot,
+- symmetric diffusion hops with site-level freeness ``occ(x±1) < K``,
+- σ-directed active hops (``plus_forward``: σ=+1 → right only, :317-319;
+  ``bidirectional``: σ-directed both ways),
+- optional crowding suppression ``(1 − occ(target)/K)`` (:322-336).
+
+Conflict resolution under synchronous updates: each site j receives up to
+2K candidates (right-movers of j−1, left-movers of j+1).  Every proposing
+slot carries a unique random priority; site j admits the ``K − occ(j)``
+smallest (pre-step occupancy, the same admission rule as the
+particle-centric ``_resolve_conflicts``) via one small-axis sort of the
+(2K, L) candidate matrix — no scatters, no gathers, pure rolls/sorts.
+
+Slot compaction after the move keeps nonzero slots front-packed in a
+deterministic (stable-argsort) order, which makes tagged-tracer identity
+tracking exact: a tracer's new slot index is the number of nonzero entries
+before its position in the [stayers | right-in | left-in] concatenation.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hydrolim_tpu.core.config import ParticleConfig, ParticleParams
+from hydrolim_tpu.fields.magnetization import MFieldOp, build_mfield_op, local_m_field
+from hydrolim_tpu.particles.lattice_gas import LatticeGasFrames, _lg_record_counts
+
+_UINT_MAX = np.uint32(0xFFFFFFFF)
+
+
+def _roll(x, shift):
+    return jnp.roll(x, shift, axis=-1)
+
+
+def lgk_step(config: ParticleConfig, params: ParticleParams,
+             mfield_op: MFieldOp, slots: jnp.ndarray, key: jnp.ndarray,
+             dt: float):
+    """One synchronous Δt step on the (K, L) slot field.
+
+    Returns ``(slots_new, (acc_right_src, acc_left_src, flipped, new_k))``
+    where the three masks are per-(slot, site) movement/flip flags of the
+    *source* layout and ``new_k`` maps every source slot to its slot index
+    in the destination site's compacted layout (tracer tracking)."""
+    K, L = config.K, config.L
+    assert slots.shape[-2:] == (K, L)
+    k_ev, k_prio = jax.random.split(key)
+
+    occupied = slots != 0
+    s_f = slots.astype(jnp.float32)
+    counts_p = (slots == 1).sum(-2).astype(jnp.float32)
+    counts_m = (slots == -1).sum(-2).astype(jnp.float32)
+    occ_tot = counts_p + counts_m                      # (…, L)
+
+    m_field = local_m_field(counts_p, counts_m, mfield_op,
+                            sigma=config.local_kernel_sigma,
+                            sigma_grid=config.sigma_grid,
+                            periodic=config.periodic)
+
+    flip_fn = config.flip_rate_fn or (lambda s, m, b: jnp.exp(-b * s * m))
+    c = jnp.where(occupied, flip_fn(s_f, m_field[..., None, :], params.beta),
+                  0.0)
+
+    # site-level freeness of the ±1 targets (reference :299-305)
+    right_free = _roll(occ_tot, -1) < K
+    left_free = _roll(occ_tot, 1) < K
+    if not config.periodic:
+        idx = jnp.arange(L)
+        right_free = right_free & (idx < L - 1)
+        left_free = left_free & (idx > 0)
+
+    r_dif = params.rate_diffusion
+    r_act = params.rate_active
+    is_plus = slots == 1
+    is_minus = slots == -1
+
+    rate_left = r_dif * (occupied & left_free[..., None, :])
+    rate_right = r_dif * (occupied & right_free[..., None, :])
+    if config.active_model == "bidirectional":
+        act_right = is_plus & right_free[..., None, :]
+        act_left = is_minus & left_free[..., None, :]
+    else:  # plus_forward: only σ=+1 hops actively, to the right (:317-319)
+        act_right = is_plus & right_free[..., None, :]
+        act_left = jnp.zeros_like(is_plus)
+
+    if config.crowding_suppresses_rates:
+        rfrac = jnp.clip(1.0 - _roll(occ_tot, -1) / K, 0.0, 1.0)[..., None, :]
+        lfrac = jnp.clip(1.0 - _roll(occ_tot, 1) / K, 0.0, 1.0)[..., None, :]
+        rate_left = rate_left * lfrac
+        rate_right = rate_right * rfrac
+        rate_right = rate_right + r_act * act_right * rfrac
+        rate_left = rate_left + r_act * act_left * lfrac
+    else:
+        rate_right = rate_right + r_act * act_right
+        rate_left = rate_left + r_act * act_left
+
+    # per-slot event draw: [left, right, flip] then nothing
+    t1 = rate_left * dt
+    t2 = t1 + rate_right * dt
+    t3 = t2 + c * dt
+    u = jax.random.uniform(k_ev, slots.shape, jnp.float32)
+    ev_left = u < t1
+    ev_right = (u >= t1) & (u < t2)
+    ev_flip = (u >= t2) & (u < t3)
+
+    # unique random priorities per slot (high bits random, low bits slot id)
+    flat_n = K * L
+    assert flat_n < (1 << 17), "slot priority pack supports K*L < 131072"
+    bits = jax.random.bits(k_prio, slots.shape, jnp.uint32)
+    slot_id = jnp.arange(flat_n, dtype=jnp.uint32).reshape(K, L)
+    prio = (bits & jnp.uint32(0xFFFE0000)) | slot_id
+
+    right_prio = jnp.where(ev_right, prio, _UINT_MAX)
+    left_prio = jnp.where(ev_left, prio, _UINT_MAX)
+
+    # candidates into site j: right-movers of j−1, left-movers of j+1
+    cand = jnp.concatenate([_roll(right_prio, 1), _roll(left_prio, -1)],
+                           axis=-2)                      # (…, 2K, L)
+    free = (K - occ_tot).astype(jnp.int32)               # (…, L)
+    cand_sorted = jnp.sort(cand, axis=-2)
+    thr_idx = jnp.clip(free - 1, 0, 2 * K - 1)[..., None, :]
+    thr = jnp.take_along_axis(cand_sorted, thr_idx, axis=-2)[..., 0, :]
+    accept = ((cand <= thr[..., None, :]) & (cand != _UINT_MAX)
+              & (free > 0)[..., None, :])
+    acc_right_in = accept[..., :K, :]                    # arrived from j−1
+    acc_left_in = accept[..., K:, :]                     # arrived from j+1
+
+    # map back to source layout
+    acc_right_src = _roll(acc_right_in, -1)
+    acc_left_src = _roll(acc_left_in, 1)
+
+    leaver = acc_right_src | acc_left_src
+    stay = jnp.where(leaver, 0, slots)
+    flipped = ev_flip & ~leaver
+    stay = jnp.where(flipped, -stay, stay)
+
+    right_in_spins = jnp.where(acc_right_in, _roll(slots, 1), 0)
+    left_in_spins = jnp.where(acc_left_in, _roll(slots, -1), 0)
+    combined = jnp.concatenate([stay, right_in_spins, left_in_spins],
+                               axis=-2)                  # (…, 3K, L)
+
+    # stable compaction: nonzero slots first, order preserved
+    order = jnp.argsort(combined == 0, axis=-2, stable=True)
+    slots_new = jnp.take_along_axis(combined, order[..., :K, :], axis=-2)
+
+    # tracer math: destination slot index = #nonzeros before the combined
+    # position (stayers at q=k, right-in at q=K+k, left-in at q=2K+k)
+    nz = (combined != 0).astype(jnp.int32)
+    nzb = jnp.cumsum(nz, axis=-2) - nz                   # exclusive count
+    k_row = jnp.arange(K, dtype=jnp.int32)[..., :, None]
+    new_k_stay = jnp.take_along_axis(nzb, k_row + jnp.zeros_like(slots), axis=-2)
+    # for movers the relevant nzb lives at the *destination* site; express it
+    # in source layout by rolling back
+    new_k_right = _roll(jnp.take_along_axis(
+        nzb, (K + k_row) + jnp.zeros_like(slots), axis=-2), -1)
+    new_k_left = _roll(jnp.take_along_axis(
+        nzb, (2 * K + k_row) + jnp.zeros_like(slots), axis=-2), 1)
+    new_k = jnp.where(acc_right_src, new_k_right,
+                      jnp.where(acc_left_src, new_k_left, new_k_stay))
+
+    return slots_new, (acc_right_src, acc_left_src, flipped, new_k)
+
+
+# ---------------------------------------------------------------------------
+# init / scan / run — mirrors lattice_gas.py's API
+# ---------------------------------------------------------------------------
+
+def slots_from_particles(config: ParticleConfig, pos: jnp.ndarray,
+                         sigma: jnp.ndarray,
+                         alive: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """(n,) particle arrays → (K, L) slot field (rank-within-site packing).
+
+    Reuses the particle initializers (init.py) so both engines share the
+    exact same initial laws."""
+    K, L = config.K, config.L
+    n = pos.shape[0]
+    if alive is None:
+        alive = jnp.ones((n,), bool)
+    pos = jnp.where(alive, pos, L)                       # dead → OOB
+    order = jnp.argsort(pos, stable=True)
+    pos_s = pos[order]
+    sig_s = jnp.where(alive[order], sigma[order], 0)
+    counts = jnp.zeros((L + 1,), jnp.int32).at[pos_s].add(1)
+    seg_start = jnp.cumsum(counts) - counts
+    rank = jnp.arange(n, dtype=jnp.int32) - seg_start[pos_s].astype(jnp.int32)
+    flat = jnp.zeros((K * (L + 1),), jnp.int32).at[
+        jnp.clip(rank, 0, K - 1) * (L + 1) + pos_s].set(sig_s, mode="drop")
+    return flat.reshape(K, L + 1)[:, :L]
+
+
+def lgk_init(config: ParticleConfig, key: jnp.ndarray,
+             rho0_plus: Optional[np.ndarray] = None,
+             rho0_minus: Optional[np.ndarray] = None) -> jnp.ndarray:
+    """Slot init through the particle initializers (same law, both modes)."""
+    from hydrolim_tpu.particles.init import init_particles
+
+    state = init_particles(config, key, rho0_plus=rho0_plus,
+                           rho0_minus=rho0_minus)
+    return slots_from_particles(config, state.pos, state.sigma, state.alive)
+
+
+def _init_tracers_k(slots0: jnp.ndarray, key: jnp.ndarray, n_tracers: int):
+    """Pick n_tracers distinct occupied (slot, site) flat indices."""
+    K, L = slots0.shape
+    bits = jax.random.bits(key, slots0.shape, jnp.uint32) >> 1
+    keys_arr = jnp.where(slots0 != 0, bits, jnp.uint32(0))
+    _, idx = jax.lax.top_k(keys_arr.reshape(-1), n_tracers)
+    return (idx % L).astype(jnp.int32), (idx // L).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "n_frames", "n_sub", "obs_dt",
+                              "record_fft", "n_tracers"))
+def _lgk_scan(config: ParticleConfig, params: ParticleParams,
+              slots0: jnp.ndarray, key: jnp.ndarray, *, n_frames: int,
+              n_sub: int, obs_dt: float, record_fft: bool,
+              n_tracers: int = 0):
+    mfield_op = build_mfield_op(config.L, config.dx,
+                                config.local_kernel_sigma, config.periodic)
+    dt_eff = obs_dt / n_sub
+    K, L = config.K, config.L
+
+    key, k_tr = jax.random.split(key)
+    if n_tracers > 0:
+        tr_site0, tr_slot0 = _init_tracers_k(slots0, k_tr, n_tracers)
+    else:
+        tr_site0 = jnp.zeros((0,), jnp.int32)
+        tr_slot0 = jnp.zeros((0,), jnp.int32)
+    wind0 = jnp.zeros_like(tr_site0)
+
+    def rec(slots, tr_site, wind):
+        counts_p = (slots == 1).sum(-2).astype(jnp.float32)
+        counts_m = (slots == -1).sum(-2).astype(jnp.float32)
+        f = _lg_record_counts(config, mfield_op, counts_p, counts_m,
+                              record_fft)
+        if n_tracers > 0:
+            f = f._replace(tracer_pos=tr_site + wind * L)
+        return f
+
+    def frame_step(carry, _):
+        slots, tr_site, tr_slot, wind, key = carry
+
+        def body(k, c):
+            sl, ts, tk, w, kk = c
+            kk, sub = jax.random.split(kk)
+            sl, (mr, ml, _fl, new_k) = lgk_step(config, params, mfield_op,
+                                                sl, sub, dt_eff)
+            if n_tracers > 0:
+                flat = tk * L + ts
+                moved_r = mr.reshape(-1)[flat]
+                moved_l = ml.reshape(-1)[flat]
+                tk = new_k.reshape(-1)[flat]
+                step_t = moved_r.astype(jnp.int32) - moved_l.astype(jnp.int32)
+                raw = ts + step_t
+                if config.periodic:
+                    ts = jnp.where(raw < 0, raw + L,
+                                   jnp.where(raw >= L, raw - L, raw))
+                    w = w + jnp.where(raw < 0, -1,
+                                      jnp.where(raw >= L, 1, 0))
+                else:
+                    ts = raw
+            return sl, ts, tk, w, kk
+
+        slots, tr_site, tr_slot, wind, key = jax.lax.fori_loop(
+            0, n_sub, body, (slots, tr_site, tr_slot, wind, key))
+        return (slots, tr_site, tr_slot, wind, key), rec(slots, tr_site, wind)
+
+    frame0 = rec(slots0, tr_site0, wind0)
+    (slots, *_), rest = jax.lax.scan(
+        frame_step, (slots0, tr_site0, tr_slot0, wind0, key), None,
+        length=n_frames - 1)
+    frames = jax.tree.map(lambda a, b: jnp.concatenate([a[None], b], 0),
+                          frame0, rest)
+    return frames, slots
+
+
+def run_lattice_gas_k(config: ParticleConfig, params_b: ParticleParams,
+                      key: jnp.ndarray, *, T: float, obs_dt: float,
+                      dt: float, rho0_plus=None, rho0_minus=None,
+                      record_fft: bool = True, n_tracers: int = 0):
+    """Vmapped (batch of params) K-capacity lattice-gas run; same return
+    contract as ``run_lattice_gas`` (batched LatticeGasFrames + final slot
+    fields)."""
+    assert config.exclusion, "lattice-gas engines require site_capacity"
+    assert config.anchor_positions is None, (
+        "anchors/binding route to the particle-centric engine (bind/unbind/"
+        "exit channels are all gated on anchor sites, :307-312, :342-348)")
+    B = params_b.beta.shape[0]
+    keys = jax.random.split(key, B)
+    init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+    slots0 = jax.vmap(lambda k: lgk_init(config, k, rho0_plus, rho0_minus))(
+        init_keys)
+    n_frames = len(np.arange(0.0, T, obs_dt))
+    n_sub = max(1, int(math.ceil(obs_dt / dt - 1e-9)))
+    run = lambda p, o, k: _lgk_scan(config, p, o, k, n_frames=n_frames,
+                                    n_sub=n_sub, obs_dt=obs_dt,
+                                    record_fft=record_fft,
+                                    n_tracers=n_tracers)
+    return jax.vmap(run)(params_b, slots0, keys)

@@ -91,11 +91,21 @@ def magnetization(config: PDEConfig, ops: PDEOps, rho_p, rho_m):
 
 
 def pde_step(config: PDEConfig, params: PDEParams, ops: PDEOps,
-             rho_p: jnp.ndarray, rho_m: jnp.ndarray):
-    """One IMEX step (:187-233)."""
+             rho_p: jnp.ndarray, rho_m: jnp.ndarray, m=None):
+    """One IMEX step (:187-233).
+
+    ``m``: magnetization of the **pre-step** densities.  The reference
+    evaluates the reaction rates at ``self.rho_p/self.rho_m`` before the
+    implicit solve reassigns them (IMEX_PDE_solver_class.py:198,210), so the
+    correct field is m(ρ(tₙ)) — computed here if not supplied.  ``pde_solve``
+    passes the one per-iteration field shared with the recorder and the
+    tracer update (the main fusion of the full-solve hot path; round-1 used
+    post-diffusion densities, an undocumented O(dt) deviation — ADVICE r1)."""
     dt, dx, bc = config.dt, config.dx, config.bc
     sop = _solve_op(config, params, ops)
     kind = config.solver_kind
+    if m is None:
+        m = magnetization(config, ops, rho_p, rho_m)
 
     # one stacked solve for both species: halves the number of (small)
     # spectral matmuls per step
@@ -107,7 +117,6 @@ def pde_step(config: PDEConfig, params: PDEParams, ops: PDEOps,
     if config.active_model == "bidirectional":
         adv_p = -params.lam * upwind_derivative(rho_p1, +1, dx, bc)
         adv_m = +params.lam * upwind_derivative(rho_m1, -1, dx, bc)
-        m = magnetization(config, ops, rho_p1, rho_m1)
         R_p = cw_rate(-1.0, m, params.beta) * rho_m1 - \
             cw_rate(+1.0, m, params.beta) * rho_p1
         rho_p2 = jnp.clip(rho_p1 + dt * (adv_p + R_p), 0.0, None)
@@ -116,7 +125,6 @@ def pde_step(config: PDEConfig, params: PDEParams, ops: PDEOps,
         if config.legacy_double_diffusion:
             rho_p1 = diffusion_solve(sop, rho_p1, kind)
             rho_m1 = diffusion_solve(sop, rho_m1, kind)
-        m = magnetization(config, ops, rho_p1, rho_m1)
         R_p = cw_rate(-1.0, m, params.beta) * rho_m1 - \
             cw_rate(+1.0, m, params.beta) * rho_p1
         rho_p_star = jnp.clip(rho_p1 + dt * R_p, 0.0, None)
@@ -169,14 +177,23 @@ class PDESolveResult(NamedTuple):
     snap_times: jnp.ndarray   # (n_snap,)
 
 
-def _tracer_update(config: PDEConfig, params: PDEParams, ops: PDEOps,
-                   rho_p, rho_m, tr: TracerState, key, n: jnp.ndarray):
-    """CW spin flips + Euler–Maruyama advance + windowed v/D (:256-287)."""
+def _tracer_update(config: PDEConfig, params: PDEParams, m_field,
+                   tr: TracerState, key, n: jnp.ndarray):
+    """CW spin flips + Euler–Maruyama advance + windowed v/D (:256-287).
+
+    ``m_field`` is the per-iteration magnetization shared with the recorder
+    and the IMEX step (one smoothing per iteration instead of three).
+
+    Windowing note (intentional deviation, ADVICE r1): the displacement
+    ``unwrapped − hist[(n+1) % window]`` spans exactly ``window`` steps,
+    matching the ``window·dt`` divisor.  The reference's
+    ``tracer_history[-window]`` (:280) spans ``window−1`` steps over the same
+    divisor — a ~1/window (≈1–2%) systematic bias this implementation
+    corrects rather than reproduces."""
     dt, dx, L = config.dt, config.dx, config.L
     window = config.tracer_window
     k_flip, k_noise = jax.random.split(key)
 
-    m_field = magnetization(config, ops, rho_p, rho_m)
     idx = (tr.pos / dx).astype(jnp.int32) % L
     m_loc = m_field[idx]
     rate = cw_rate(tr.spin.astype(jnp.float32), m_loc, params.beta)
@@ -224,12 +241,12 @@ def pde_solve(config: PDEConfig, params: PDEParams, ops: PDEOps,
         fft_ri = (dft.rfft_ri(total) / L)[:kmax]
         key, sub = jax.random.split(carry.key)
         tracers, v_eff, D_eff = _tracer_update(
-            config, params, ops, carry.rho_p, carry.rho_m, carry.tracers,
-            sub, n)
+            config, params, m_field, carry.tracers, sub, n)
         rec = PDERecord(m_mean=jnp.mean(m_field), var=jnp.var(total),
                         fft_ri=fft_ri, v_eff=v_eff, D_eff=D_eff)
         do_step = n < nsteps
-        rho_p, rho_m = pde_step(config, params, ops, carry.rho_p, carry.rho_m)
+        rho_p, rho_m = pde_step(config, params, ops, carry.rho_p,
+                                carry.rho_m, m=m_field)
         rho_p = jnp.where(do_step, rho_p, carry.rho_p)
         rho_m = jnp.where(do_step, rho_m, carry.rho_m)
         return PDECarry(rho_p, rho_m, tracers, key), rec

@@ -46,6 +46,8 @@ class IMEXPDE:
         legacy_double_diffusion: bool = False,
         make_outdir: bool = False,
     ):
+        if diffusion_solver == "auto" and float(gamma) == 0.0:
+            diffusion_solver = "identity"   # A = I exactly; skip the solve
         self.config = PDEConfig(
             L=L, xlim=xlim, T=T, dt=dt, bc=bc, active_model=active_model,
             gaussian_kernel=gaussian_kernel, kernel_sigma=kernel_sigma,

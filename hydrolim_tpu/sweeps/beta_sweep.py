@@ -226,7 +226,8 @@ def _estimates_for_replica(out: Dict, ps: _PsShim):
     mean_v, v_ts, times, si, ei, frac = compute_v_eff_and_window(out, ps)
     D_eff = compute_D_eff_active(out, ps, si, ei)
     m_mean = compute_mean_magnetization(out, si, ei)
-    rho_eff = compute_rho_eff(out, si, ei)
+    rho_eff = compute_rho_eff(out, si, ei,
+                              xlim=float(getattr(ps, "xlim", 1.0)))
     block = compute_blocking_probability(out, si, ei)
     return mean_v, D_eff, m_mean, rho_eff, block
 

@@ -100,13 +100,16 @@ def run_meanfield_sweep(config: ParticleConfig, params_b: ParticleParams,
             unpack_particles,
         )
 
-        scal = np.zeros((B, 4), np.float32)
+        scal = np.zeros((B, 3), np.float32)
         scal[:, 0] = np.asarray(params_b.beta)
         scal[:, 1] = np.asarray(params_b.rate_diffusion)
         scal[:, 2] = np.asarray(params_b.rate_active)
-        scal[:, 3] = np.asarray(
-            jax.random.randint(k_seed, (B,), 0, 2 ** 30))
         scal = jnp.asarray(scal)
+        # int32 base seeds, advanced by the frame index per invocation so
+        # every obs_dt frame draws an independent random stream (a float32
+        # seed column cannot represent increments above 2^24)
+        seeds0 = jax.random.randint(k_seed, (B,), 0, 2 ** 31 - 1 - M,
+                                    dtype=jnp.int32)
         p, s, w = pack_particles(np.asarray(pos0), np.asarray(sigma0),
                                  np.asarray(wind0))
         bidi = config.active_model == "bidirectional"
@@ -118,10 +121,8 @@ def run_meanfield_sweep(config: ParticleConfig, params_b: ParticleParams,
 
         record(*unpack(p, s, w))
         for f in range(1, M):
-            # advance one frame; reseed per frame so streams differ
-            scal = scal.at[:, 3].add(jnp.float32(1.0))
             p, s, w = meanfield_multi_step(
-                scal, p, s, w, L=L, k_steps=n_sub, dt=dt_eff,
+                scal, seeds0 + f, p, s, w, L=L, k_steps=n_sub, dt=dt_eff,
                 bidirectional=bidi, n_active=n)
             record(*unpack(p, s, w))
     else:

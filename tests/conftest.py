@@ -3,11 +3,20 @@
 The axon TPU plugin registers itself regardless of JAX_PLATFORMS, so tests
 pin the default device to CPU explicitly; sharding tests build their mesh
 from ``jax.devices('cpu')``.
+
+TPU lane: ``HYDROLIM_TPU_TESTS=1 python -m pytest tests/test_pallas_tpu.py``
+leaves the default device on the TPU so the Pallas/Mosaic tests (which have
+no CPU interpreter path) actually run.  The verify skill runs this lane each
+round; without it those tests always skip under the CPU-pinned default run.
 """
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+TPU_LANE = os.environ.get("HYDROLIM_TPU_TESTS", "") == "1"
+
+if not TPU_LANE:
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
@@ -15,6 +24,9 @@ import pytest  # noqa: E402
 
 @pytest.fixture(scope="session", autouse=True)
 def _force_cpu():
+    if TPU_LANE:
+        yield
+        return
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:

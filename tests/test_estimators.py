@@ -41,6 +41,24 @@ def test_v_eff_recovers_drift():
     assert abs(mean_v - v) < 0.001  # d<x>/dt of the center of mass
 
 
+def test_v_eff_xlim_scaling():
+    """VERDICT r1 #8: the x grid must come from the config, not a hardcoded
+    [0, 1].  The same drifting bump on an xlim=2 domain moves 2x faster in
+    physical units, and the boundary-safety window scales with the domain."""
+    v = 0.004
+    out = _drifting_out(M=40, v=v)   # bump positions in *fractional* units
+
+    class _PS:
+        xlim = 2.0
+
+    mean_v, v_ts, times, si, ei, _ = compute_v_eff_and_window(out, _PS())
+    assert abs(mean_v - 2.0 * v) < 0.002
+    # window indices are identical to the xlim=1 run (pure rescaling)
+    m1, _, _, s1, e1, _ = compute_v_eff_and_window(out)
+    assert (si, ei) == (s1, e1)
+    assert abs(mean_v - 2.0 * m1) < 1e-9
+
+
 def test_blocking_probability_limits():
     # all forward neighbors full -> p_block = 1
     rho_p = np.ones((5, 10))

@@ -34,11 +34,13 @@ def _oracle_step(rho_p, rho_m, *, L, dx, dt, gamma, lam, beta, bc,
     dm[:-1] = (m[1:] - m[:-1]) / dx
     dm[-1] = (m[0] - m[-1]) / dx if bc == "periodic" else 0.0
 
+    # the reaction magnetization is evaluated at the PRE-diffusion densities
+    # (the reference's self.rho_p/self.rho_m, IMEX_PDE_solver_class.py:198)
     if kernel is None:
-        mag = (p - m) / (p + m + 1e-12)
+        mag = (rho_p - rho_m) / (rho_p + rho_m + 1e-12)
     else:
-        mag = np.real(np.fft.ifft(np.fft.fft(p - m) * np.fft.fft(kernel)))
-        mag /= np.real(np.fft.ifft(np.fft.fft(p + m) * np.fft.fft(kernel))) + 1e-12
+        mag = np.real(np.fft.ifft(np.fft.fft(rho_p - rho_m) * np.fft.fft(kernel)))
+        mag /= np.real(np.fft.ifft(np.fft.fft(rho_p + rho_m) * np.fft.fft(kernel))) + 1e-12
     cw = lambda s: np.clip(np.exp(-beta * s * mag), 1e-8, 1e8)
     R_p = cw(-1) * m - cw(+1) * p
     p2 = np.clip(p + dt * (-lam * dp + R_p), 0, None)
