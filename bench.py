@@ -176,9 +176,79 @@ def bench_lattice_gas(B=64, L=1000, K_steps=500, reps=3):
     return B * (L // 2) * K_steps / best
 
 
+def bench_k3_flagship(B=16, reps=2):
+    """Reference flagship exclusion config (K=3, plus_forward, non-periodic,
+    local kernel — PARTICLE_solver_BIOLOGY_EXCLUSION.py:55-94) on the
+    site-centric slot engine.  Returns (single-replica, B-replica)
+    particle-steps/sec."""
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_k
+    from hydrolim_tpu.sweeps.ensemble import broadcast_params
+
+    config = ParticleConfig(L=1000, N=750, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.002, periodic=False,
+                            site_capacity=3, active_model="plus_forward",
+                            minus_anchor=True)
+    dt, T, obs_dt = 2e-3, 20.0, 0.5
+    nsteps = int(T / dt)
+
+    def run_once(nb):
+        params = broadcast_params(config, beta=np.full(nb, 0.7),
+                                  rate_diffusion=0.0, rate_active=5.0)
+        f = lambda s: run_lattice_gas_k(config, params,
+                                        jax.random.PRNGKey(s), T=T,
+                                        obs_dt=obs_dt, dt=dt, n_tracers=64)
+        _, slots = f(0)
+        jax.block_until_ready(slots)
+        times = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            _, slots = f(r + 1)
+            jax.block_until_ready(slots)
+            times.append(time.perf_counter() - t0)
+        return nb * 750 * nsteps / min(times)
+
+    return run_once(1), run_once(B)
+
+
+def bench_pde_solve_full():
+    """Full PDE solve at the reference single-run scale (L=1000, T=20,
+    dt=5e-4, 1000 tracers, kernel σ=0.005 — IMEX_PDE_solver_run.py:7-34),
+    including per-step records + tracer SDE.  Returns warm steps/sec."""
+    from hydrolim_tpu import IMEXPDE
+
+    pde = IMEXPDE(L=1000, T=20.0, dt=5e-4, gamma=0.0, lam=0.6, beta=2.0,
+                  bc="periodic", gaussian_kernel=True, kernel_sigma=0.005,
+                  seed=58, outdir="/tmp/bench_pde")
+    pde.initialize("poisson", noise=0.05, n_tracers=1000)
+    pde.solve()                       # compile + warm
+    pde.initialize("poisson", noise=0.05, n_tracers=1000)
+    t0 = time.perf_counter()
+    pde.solve()
+    dt_wall = time.perf_counter() - t0
+    return pde.config.nsteps / dt_wall, dt_wall
+
+
+# per-particle-step VPU lane-op estimate for the fused Pallas kernel body
+# (ops/pallas_stepper.py:_kernel): ~8 for exp, ~12 compare/select for the
+# event thresholds, ~10 int update/wrap, ~8 PRNG+scale, ~5 reduction share.
+_PALLAS_OPS_PER_STEP = 43
+_V5E_VPU_PEAK = 3.8e12  # lane-ops/s: 8 sublanes x 128 lanes x 4 ALUs x 0.94 GHz
+
+
 def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
+
+    # run first: the axon worker degrades after sustained multi-program
+    # sessions, which skews late measurements (observed 35x on this metric)
+    try:
+        k3_1, k3_b = bench_k3_flagship()
+        print(f"# K=3 flagship (site-centric slot engine): {k3_1:.3e} "
+              f"particle-steps/sec single replica, {k3_b:.3e} at B=16",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"# K=3 flagship bench failed: {e}", file=sys.stderr)
 
     pps, step_time = bench_particle_steps()
     print(f"# particle bench (XLA path): {pps:.3e} particle-steps/sec/chip "
@@ -186,9 +256,12 @@ def main():
           file=sys.stderr)
     try:
         pps_pl, t_pl = bench_particle_steps_pallas()
+        vpu_frac = pps_pl * _PALLAS_OPS_PER_STEP / _V5E_VPU_PEAK
         print(f"# particle bench (Pallas fused): {pps_pl:.3e} "
-              f"particle-steps/sec/chip ({t_pl * 1e3:.1f} ms / 1000 steps)",
-              file=sys.stderr)
+              f"particle-steps/sec/chip ({t_pl * 1e3:.1f} ms / 1000 steps); "
+              f"~{pps_pl * _PALLAS_OPS_PER_STEP:.2e} VPU lane-ops/s "
+              f"≈ {100 * vpu_frac:.0f}% of v5e VPU roofline "
+              f"({_PALLAS_OPS_PER_STEP} ops/step est.)", file=sys.stderr)
         pps = max(pps, pps_pl)
     except Exception as e:  # Mosaic unavailable off-TPU
         print(f"# pallas bench unavailable: {e}", file=sys.stderr)
@@ -208,6 +281,13 @@ def main():
     except Exception as e:  # secondary metric must not kill the headline
         print(f"# pde bench failed: {e}", file=sys.stderr)
         pde_sps = None
+    try:
+        full_sps, full_wall = bench_pde_solve_full()
+        print(f"# pde full solve (reference single-run scale, records + "
+              f"1000 tracers): {full_sps:.3e} steps/sec, {full_wall:.1f} s "
+              f"wall for 40k steps", file=sys.stderr)
+    except Exception as e:
+        print(f"# pde full-solve bench failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "particle-steps/sec/chip (N=1e5, 64-point beta sweep)",

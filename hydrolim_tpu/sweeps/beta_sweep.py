@@ -147,14 +147,17 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
                                init_kwargs: Optional[Dict],
                                run_kwargs: Dict, seed: int = 0,
                                n_tracers: int = 128):
-    """(β × replicas) grid on the site-centric K=1 lattice-gas engine
-    (~15× the particle-centric exclusion throughput); returns
-    (config, out_for(i) accessor, dt).  Tagged tracers provide the
-    displacement positions for D_eff."""
+    """(β × replicas) grid on the site-centric lattice-gas engine (K=1 occ
+    field or the K>1 slot engine — both far above particle-centric exclusion
+    throughput); returns (config, out_for(i) accessor, dt).  Tagged tracers
+    provide the displacement positions for D_eff."""
     from hydrolim_tpu.particles.lattice_gas import run_lattice_gas
+    from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_k
 
     config = config_from_kwargs(ps_kwargs)
-    assert config.site_capacity == 1, "lattice-gas engine requires K=1"
+    assert config.exclusion, "lattice-gas engines require site_capacity"
+    if config.K > 1:
+        run_lattice_gas = run_lattice_gas_k
     rho0_p, rho0_m = _profiles(config, init_kwargs)
     params = broadcast_params(
         config, beta=beta_values,
@@ -280,10 +283,16 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
                      outdir: str = ".", seed: int = 0,
                      keep_outs: bool = False, do_fit: bool = True,
                      plot_result: bool = True,
-                     engine: str = "particle") -> Dict:
+                     engine: str = "particle",
+                     estimator: str = "device") -> Dict:
     """Full β sweep (:828-1028): one vmapped grid run → estimator means ±
     SE per β → npz checkpoint → (θ,γ) fit and figures.  ``run=False``
-    reloads ``npz_path`` and re-plots without re-simulating."""
+    reloads ``npz_path`` and re-plots without re-simulating.
+
+    ``estimator='device'`` (particle engine only) evaluates all five
+    estimators for every replica in one jitted batched program
+    (observables.batched) — estimation stays ≪ sim time at 10³+ replicas;
+    ``'host'`` keeps the per-replica NumPy path."""
     beta_values = np.asarray(beta_values, dtype=float)
     ps_kwargs = dict(DEFAULT_PS_KWARGS, **(ps_kwargs or {}))
     run_kwargs = dict(DEFAULT_RUN_KWARGS, **(run_kwargs or {}))
@@ -311,17 +320,39 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
                      "block_ses")}
         raw_by_beta = []
         outs = []
+        dev_est = None
+        if engine != "lattice_gas" and estimator == "device":
+            from hydrolim_tpu.observables.batched import batched_estimates
+
+            f = res.frames
+            times = np.arange(0.0, T, obs_dt)
+            dev_est = jax.device_get(batched_estimates(
+                f.total, f.m_global, f.rho_p, times, f.pos, f.alive,
+                dx=config.dx, xlim=float(config.xlim),
+                has_positions=f.pos.shape[-1] > 0))
         for b in range(nb):
             vals = {"v": [], "D": [], "m": [], "rho": [], "blk": []}
             beta_outs = []
             for r in range(n_runs_per_beta):
-                if engine == "lattice_gas":
-                    out = out_for(b * n_runs_per_beta + r)
+                ri = b * n_runs_per_beta + r
+                if dev_est is not None:
+                    v, D, m, rho, blk = (
+                        float(dev_est.v_eff[ri]), float(dev_est.D_eff[ri]),
+                        float(dev_est.m_mean[ri]), float(dev_est.rho_eff[ri]),
+                        float(dev_est.p_block[ri]))
+                    out = None
+                    if keep_outs:
+                        out = frames_to_out(res.frames, ri, config, T,
+                                            obs_dt,
+                                            final_state=res.final_state)
                 else:
-                    out = frames_to_out(res.frames, b * n_runs_per_beta + r,
-                                        config, T, obs_dt,
-                                        final_state=res.final_state)
-                v, D, m, rho, blk = _estimates_for_replica(out, ps)
+                    if engine == "lattice_gas":
+                        out = out_for(ri)
+                    else:
+                        out = frames_to_out(res.frames, ri, config, T,
+                                            obs_dt,
+                                            final_state=res.final_state)
+                    v, D, m, rho, blk = _estimates_for_replica(out, ps)
                 for k, x in zip(("v", "D", "m", "rho", "blk"),
                                 (v, D, m, rho, blk)):
                     vals[k].append(x)

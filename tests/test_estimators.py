@@ -1,5 +1,5 @@
 """Estimator unit tests: measurement-window modes, blocking probability,
-D_eff displacement slope."""
+D_eff displacement slope, batched-on-device vs host parity."""
 import numpy as np
 
 from hydrolim_tpu.observables.estimators import (
@@ -81,3 +81,63 @@ def test_d_eff_from_positions_ballistic_free():
     D = d_eff_from_positions(pos, alive, times, dx=1.0, start_idx=0,
                              end_idx=M)
     assert D > 0
+
+
+def test_batched_matches_host():
+    """The on-device batched estimator suite reproduces the host-side
+    per-replica estimators on a real ensemble (VERDICT r1 #4)."""
+    import jax
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.observables.batched import batched_estimates
+    from hydrolim_tpu.observables.estimators import (
+        compute_blocking_probability,
+        compute_D_eff_active,
+        compute_mean_magnetization,
+        compute_rho_eff,
+    )
+    from hydrolim_tpu.sweeps.ensemble import (
+        broadcast_params,
+        frames_to_out,
+        run_particle_ensemble,
+    )
+
+    T, obs_dt = 4.0, 0.25
+    config = ParticleConfig(L=64, N=40, n_pad=40, init="fixed",
+                            scale_rates=False, local_kernel_sigma=0.0,
+                            periodic=False, site_capacity=1,
+                            active_model="plus_forward")
+    params = broadcast_params(config, beta=[0.5, 1.5, 2.5],
+                              rate_diffusion=0.5, rate_active=2.0, n_runs=2)
+    res = jax.device_get(run_particle_ensemble(
+        config, params, jax.random.PRNGKey(0), T=T, obs_dt=obs_dt, dt=2e-3))
+    f = res.frames
+    times = np.arange(0.0, T, obs_dt)
+    dev = jax.device_get(batched_estimates(
+        f.total, f.m_global, f.rho_p, times, f.pos, f.alive,
+        dx=config.dx, xlim=1.0))
+
+    class _PS:
+        dx = config.dx
+        xlim = 1.0
+
+    for r in range(6):
+        out = frames_to_out(f, r, config, T, obs_dt)
+        mean_v, _, _, si, ei, _ = compute_v_eff_and_window(out, _PS())
+        assert si == int(dev.start_idx[r]) and ei == int(dev.end_idx[r])
+        np.testing.assert_allclose(dev.v_eff[r], mean_v, rtol=2e-4,
+                                   atol=1e-6)
+        np.testing.assert_allclose(
+            dev.m_mean[r], compute_mean_magnetization(out, si, ei),
+            rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            dev.rho_eff[r], compute_rho_eff(out, si, ei), rtol=5e-4,
+            atol=1e-5)
+        np.testing.assert_allclose(
+            dev.p_block[r], compute_blocking_probability(out, si, ei),
+            rtol=5e-4, atol=1e-6)
+        D_host = compute_D_eff_active(out, _PS(), si, ei)
+        if np.isnan(D_host):
+            assert np.isnan(dev.D_eff[r])
+        else:
+            np.testing.assert_allclose(dev.D_eff[r], D_host, rtol=1e-3,
+                                       atol=1e-7)
