@@ -1,0 +1,63 @@
+"""Lattice-axis (spatial) parallelism for the site-centric engines.
+
+SURVEY.md §2.5 row 3 / §5 long-context row: the framework's analog of
+sequence/context parallelism is sharding the lattice axis x.  The
+site-centric engines are built from ±1-site rolls, elementwise selects and
+small-slot-axis sorts, so under a ``NamedSharding`` that splits L over a
+'space' mesh axis the XLA SPMD partitioner lowers every roll to a
+**halo exchange** (collective-permute between lattice-neighbour devices over
+ICI) and every global reduction (global m, Var, mass) to an all-reduce —
+no hand-written communication, no all-gathers on the hot path
+(tests/test_spatial_sharding.py asserts the compiled HLO: collective-permute
+present, all-gather absent).
+
+Usage::
+
+    mesh = space_mesh(8)                        # 1-D 'space' mesh
+    frames, occ = run_lattice_gas(
+        config, params, key, T=..., obs_dt=..., dt=...,
+        occ_sharding=space_sharding(mesh))      # (B, L): L sharded 8-way
+
+Observables are bit-identical to the unsharded run except the matmul-DFT
+spectrum, whose f32 summation order differs across shards (≤1e-5).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def space_mesh(n_devices: Optional[int] = None, devices=None,
+               axis_name: str = "space") -> Mesh:
+    """1-D mesh over the lattice axis.  Prefers a multi-device CPU platform
+    for validation on single-chip machines (same policy as
+    parallel.mesh.make_mesh — never enumerates a possibly-broken default
+    backend when CPUs suffice)."""
+    if devices is None:
+        if n_devices is not None:
+            try:
+                cpus = jax.devices("cpu")
+            except RuntimeError:
+                cpus = []
+            if len(cpus) >= n_devices and len(cpus) > 1:
+                devices = cpus
+        if devices is None:
+            devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def space_sharding(mesh: Mesh, *, batched: bool = True, slots: bool = False,
+                   axis_name: str = "space") -> NamedSharding:
+    """Sharding for lattice-trailing state arrays.
+
+    - occupancy (B, L):      ``P(None, 'space')``        (batched=True)
+    - slot field (B, K, L):  ``P(None, None, 'space')``  (slots=True)
+    - unbatched (L,):        ``P('space')``
+    """
+    lead = ([None] if batched else []) + ([None] if slots else [])
+    return NamedSharding(mesh, P(*lead, axis_name))

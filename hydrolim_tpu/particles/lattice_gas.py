@@ -260,15 +260,24 @@ def lg_init(config: ParticleConfig, key: jnp.ndarray,
 def run_lattice_gas(config: ParticleConfig, params_b: ParticleParams,
                     key: jnp.ndarray, *, T: float, obs_dt: float, dt: float,
                     rho0_plus=None, rho0_minus=None,
-                    record_fft: bool = True, n_tracers: int = 0):
+                    record_fft: bool = True, n_tracers: int = 0,
+                    occ_sharding=None):
     """Vmapped (batch of params) lattice-gas run; returns batched frames and
     final occupancies.  ``n_tracers > 0`` tags that many particles and
-    records their unwrapped positions per frame (displacement estimators)."""
+    records their unwrapped positions per frame (displacement estimators).
+
+    ``occ_sharding``: optional ``NamedSharding`` placing the (B, L) occupancy
+    on a device mesh — shard the trailing axis over a 'space' mesh axis for
+    lattice parallelism (the ±1-stencil rolls lower to halo exchanges /
+    collective-permutes under the XLA SPMD partitioner; see
+    parallel/spatial.py and tests/test_spatial_sharding.py)."""
     B = params_b.beta.shape[0]
     keys = jax.random.split(key, B)
     init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
     occ0 = jax.vmap(lambda k: lg_init(config, k, rho0_plus, rho0_minus))(
         init_keys)
+    if occ_sharding is not None:
+        occ0 = jax.device_put(occ0, occ_sharding)
     n_frames = len(np.arange(0.0, T, obs_dt))
     n_sub = max(1, int(math.ceil(obs_dt / dt - 1e-9)))
     run = lambda p, o, k: _lg_scan(config, p, o, k, n_frames=n_frames,

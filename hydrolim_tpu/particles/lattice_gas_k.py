@@ -295,10 +295,12 @@ def _lgk_scan(config: ParticleConfig, params: ParticleParams,
 def run_lattice_gas_k(config: ParticleConfig, params_b: ParticleParams,
                       key: jnp.ndarray, *, T: float, obs_dt: float,
                       dt: float, rho0_plus=None, rho0_minus=None,
-                      record_fft: bool = True, n_tracers: int = 0):
+                      record_fft: bool = True, n_tracers: int = 0,
+                      occ_sharding=None):
     """Vmapped (batch of params) K-capacity lattice-gas run; same return
     contract as ``run_lattice_gas`` (batched LatticeGasFrames + final slot
-    fields)."""
+    fields).  ``occ_sharding`` places the (B, K, L) slot field on a mesh
+    (shard the trailing lattice axis over a 'space' axis)."""
     assert config.exclusion, "lattice-gas engines require site_capacity"
     assert config.anchor_positions is None, (
         "anchors/binding route to the particle-centric engine (bind/unbind/"
@@ -308,6 +310,8 @@ def run_lattice_gas_k(config: ParticleConfig, params_b: ParticleParams,
     init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
     slots0 = jax.vmap(lambda k: lgk_init(config, k, rho0_plus, rho0_minus))(
         init_keys)
+    if occ_sharding is not None:
+        slots0 = jax.device_put(slots0, occ_sharding)
     n_frames = len(np.arange(0.0, T, obs_dt))
     n_sub = max(1, int(math.ceil(obs_dt / dt - 1e-9)))
     run = lambda p, o, k: _lgk_scan(config, p, o, k, n_frames=n_frames,
