@@ -105,7 +105,7 @@ def init_poisson(config: ParticleConfig, key: jnp.ndarray,
     """``rho0_plus/minus`` are per-site mean-count arrays (L,) — the
     reference evaluates the user callables on the grid (:71-72)."""
     L, n_buf = config.L, config.n_buf
-    k_p, k_m, k_h, k_next = jax.random.split(key, 4)
+    k_p, k_m, k_h, k_thin, k_next = jax.random.split(key, 5)
     cp = jax.random.poisson(k_p, rho0_plus, (L,)).astype(jnp.int32)
     cm = jax.random.poisson(k_m, rho0_minus, (L,)).astype(jnp.int32)
 
@@ -118,6 +118,23 @@ def init_poisson(config: ParticleConfig, key: jnp.ndarray,
         km = jnp.where(over, K - kp_trunc, cm)
     else:
         kp, km = cp, cm
+
+    # Buffer-overflow guard (ADVICE r1): if the Poisson total exceeds n_buf,
+    # jnp.repeat's total_repeat_length truncation would drop particles from
+    # the high-x end specifically (sites materialize in index order) — a
+    # spatially biased loss.  Thin every site binomially to an expected
+    # total of n_buf first, so the loss is uniform across the profile; the
+    # residual truncation then only removes an O(√n_buf) random tail.
+    n_draw = jnp.sum(kp + km)
+    p_keep = jnp.minimum(1.0, n_buf / jnp.maximum(n_draw, 1).astype(
+        jnp.float32))
+    k_tp, k_tm = jax.random.split(k_thin)
+    kp = jnp.where(n_draw > n_buf,
+                   jax.random.binomial(k_tp, kp.astype(jnp.float32),
+                                       p_keep).astype(jnp.int32), kp)
+    km = jnp.where(n_draw > n_buf,
+                   jax.random.binomial(k_tm, km.astype(jnp.float32),
+                                       p_keep).astype(jnp.int32), km)
 
     counts = kp + km
     n_total = jnp.sum(counts)

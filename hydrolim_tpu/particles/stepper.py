@@ -138,7 +138,13 @@ def assemble_rates(config: ParticleConfig, params: ParticleParams,
             r_left = jnp.where(anchored, 0.0, r_left)
             r_right = jnp.where(anchored, 0.0, r_right)
 
-    # binding / unbinding (:342-348)
+    # binding / unbinding (:342-348).  NB reference quirk reproduced: the
+    # capacity gate tests occ_total[pos] < K with the particle itself
+    # included in occ_total, so at K=1 binding is structurally impossible
+    # (every particle's own site has occ >= 1) — the reference's anchored
+    # experiment (:845-856, commented out) sets site_capacity=1 and would
+    # produce zero binds/exits; run anchored configs at K >= 2
+    # (experiments/run_anchored_exits.py uses K=3).
     if config.exclusion:
         below_cap = occ_total[pos] < float(config.K)
     else:

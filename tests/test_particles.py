@@ -154,3 +154,28 @@ def test_bind_unbind_equilibrium():
     # is nonzero and below the single-species equilibrium
     eq = k_on / (k_on + k_off)
     assert 0.15 < frac < eq + 0.1, frac
+
+
+def test_init_poisson_overflow_unbiased():
+    """ADVICE r1: when the Poisson total exceeds the buffer, the loss must be
+    spatially uniform (binomial thinning), not a truncation of the high-x
+    tail (site-ordered materialization)."""
+    import jax
+
+    L, N = 200, 100
+    config = ParticleConfig(L=L, N=N, init="poisson", scale_rates=False,
+                            local_kernel_sigma=0.0, periodic=True,
+                            site_capacity=None)
+    lam = np.linspace(0.1, 2.4, L)
+    lam = lam * (2.0 * config.n_buf / lam.sum())   # ~2x overflow, ascending
+    kept_means, totals = [], []
+    for s in range(30):
+        st = init_particles(config, jax.random.PRNGKey(s), lam / 2, lam / 2)
+        alive = np.asarray(st.alive)
+        pos = np.asarray(st.pos)[alive]
+        totals.append(int(alive.sum()))
+        kept_means.append(pos.mean())
+    pop_mean = (np.arange(L) * lam).sum() / lam.sum()
+    # unbiased within a few sites (tail truncation would shift it ~30 sites)
+    assert abs(np.mean(kept_means) - pop_mean) < 5.0
+    assert max(totals) <= config.n_buf
