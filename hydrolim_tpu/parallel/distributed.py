@@ -25,13 +25,26 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     if coordinator_address is None:
         return
     kwargs = dict(coordinator_address=coordinator_address)
-    num_processes = num_processes or os.environ.get("JAX_NUM_PROCESSES")
-    process_id = process_id or os.environ.get("JAX_PROCESS_ID")
+    # NB: `x or env` would drop the valid process_id 0 — test None explicitly
+    if num_processes is None:
+        num_processes = os.environ.get("JAX_NUM_PROCESSES")
+    if process_id is None:
+        process_id = os.environ.get("JAX_PROCESS_ID")
     if num_processes is not None:
         kwargs["num_processes"] = int(num_processes)
     if process_id is not None:
         kwargs["process_id"] = int(process_id)
     jax.distributed.initialize(**kwargs)
+
+
+def global_sweep_mesh(axis_name: str = "sweep"):
+    """1-D mesh over ALL global devices (every process's chips) — the
+    sweep/replica batch axis spans hosts; cross-host reductions ride DCN.
+    Call :func:`initialize_multihost` first in multi-process runs."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(jax.devices()), (axis_name,))
 
 
 def is_primary() -> bool:
