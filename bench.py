@@ -211,6 +211,47 @@ def bench_k3_flagship(B=16, reps=2):
     return run_once(1), run_once(B)
 
 
+def bench_k3_pallas(B=16, reps=2):
+    """Fused Pallas exclusion kernel at the flagship config (10k steps
+    resident in VMEM per invocation)."""
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.ops.pallas_exclusion import (
+        build_conv_matrix,
+        exclusion_multi_step,
+        pack_slots,
+    )
+    from hydrolim_tpu.particles.lattice_gas_k import lgk_init
+
+    config = ParticleConfig(L=1000, N=750, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.002, periodic=False,
+                            site_capacity=3, active_model="plus_forward")
+    conv = build_conv_matrix(config)
+    ksteps = 10_000
+
+    def run_once(nb):
+        keys = jax.random.split(jax.random.PRNGKey(0), nb)
+        slots0 = np.stack([np.asarray(lgk_init(config, k)) for k in keys])
+        sl = pack_slots(slots0)
+        scal = np.zeros((nb, 3), np.float32)
+        scal[:, 0], scal[:, 2] = 0.7, 5.0
+        seeds = np.arange(nb, dtype=np.int32)
+        run = lambda f, s: exclusion_multi_step(
+            jnp.asarray(scal), seeds + f, s, conv, L=1000, K=3,
+            k_steps=ksteps, dt=2e-3, periodic=False, bidirectional=False,
+            use_local_m=True)
+        sl = run(0, sl)
+        jax.block_until_ready(sl)
+        times = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            sl = run(r + 1, sl)
+            jax.block_until_ready(sl)
+            times.append(time.perf_counter() - t0)
+        return nb * 750 * ksteps / min(times)
+
+    return run_once(1), run_once(B)
+
+
 def bench_pde_solve_full():
     """Full PDE solve at the reference single-run scale (L=1000, T=20,
     dt=5e-4, 1000 tracers, kernel σ=0.005 — IMEX_PDE_solver_run.py:7-34),
@@ -249,6 +290,14 @@ def main():
               file=sys.stderr)
     except Exception as e:
         print(f"# K=3 flagship bench failed: {e}", file=sys.stderr)
+    try:
+        k3p_1, k3p_b = bench_k3_pallas()
+        print(f"# K=3 flagship (fused Pallas exclusion kernel): "
+              f"{k3p_1:.3e} single replica, {k3p_b:.3e} at B=16 "
+              f"(XLA slot engine is the production path; the kernel is the "
+              f"validated fused-path reference)", file=sys.stderr)
+    except Exception as e:
+        print(f"# K=3 pallas bench unavailable: {e}", file=sys.stderr)
 
     pps, step_time = bench_particle_steps()
     print(f"# particle bench (XLA path): {pps:.3e} particle-steps/sec/chip "

@@ -1,0 +1,292 @@
+"""Pallas TPU kernel: fused multi-step EXCLUSION stepper (slot engine).
+
+Completes the kernel layer of SURVEY.md §2.5 row 5: round 1 fused only the
+mean-field path (ops/pallas_stepper.py); the exclusion/lattice-gas paths ran
+as per-step XLA programs, paying one dispatch + HBM round-trip per Δt step.
+This kernel runs K_STEPS of the site-centric slot engine
+(particles/lattice_gas_k.py — same generator, same admission rule) entirely
+in VMEM:
+
+- state: ``slots ∈ {0,±1}^(K, Lp)`` — K sublanes × Lp lanes (L padded to a
+  lane multiple); padding lanes are masked out of every rate/move,
+- magnetization: global-m reduction, or local smoothing as ONE MXU matmul
+  ``(2, Lp) @ (Lp, Lp)`` against a precomputed conv matrix that matches
+  ``ops.convolve`` exactly (periodic torus kernel / non-periodic
+  reflect-mode Gaussian),
+- ±1-site stencils: lane rolls with a wrap correction for the padded
+  periodic topology (the pad region never participates),
+- admission: per destination lane the ≤2K candidates (K right-movers from
+  x−1, K left-movers from x+1) carry unique random priorities; K rounds of
+  a cross-sublane min admit the smallest-priority remaining candidate while
+  free capacity (pre-step occupancy, identical to the XLA engines) lasts,
+- compaction: stayers + admitted incomers re-packed front-first by an
+  exclusive cumsum over the 3K combined rows.
+
+Scope (the flagship configuration class, PARTICLE_solver_BIOLOGY_EXCLUSION
+.py:55-94): exclusion with static K, periodic or non-periodic, plus_forward
+or bidirectional active hops, global or Gaussian local m, default CW flip
+rate, no anchors/binding, no crowding suppression.  Everything else routes
+to the XLA engines.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hydrolim_tpu.core.config import ParticleConfig
+
+LANE = 128
+# np, not jnp, constants: a jnp scalar would be a captured traced constant
+# inside the kernel (and would initialize backends at import time).
+# Priorities are non-negative int32 (Mosaic lacks unsigned reductions).
+_SENT = np.int32(0x7FFFFFFF)     # "no candidate" sentinel, sorts last
+_MASK_HI = np.int32(0x7FFFFFF0)  # 27 random bits; low 4 bits carry row ids
+
+
+def _pad_lanes(L: int) -> int:
+    return -(-L // LANE) * LANE
+
+
+def _pad_rows(K: int) -> int:
+    # slot rows padded to the int32 sublane tiling (4); pad rows stay
+    # permanently empty (capacity gating uses the true K)
+    return -(-K // 4) * 4
+
+
+def build_conv_matrix(config: ParticleConfig) -> np.ndarray:
+    """(Lp, Lp) float32 smoothing matrix, rows=input site, cols=output site;
+    zero outside the valid L×L block.  Matches fields.magnetization exactly:
+    periodic → ops.convolve.periodic_gaussian_kernel circulant; non-periodic
+    → gaussian_filter1d(mode='reflect') weights."""
+    from hydrolim_tpu.ops.convolve import (
+        gaussian_filter_weights,
+        periodic_gaussian_kernel,
+    )
+
+    L, Lp = config.L, _pad_lanes(config.L)
+    M = np.zeros((Lp, Lp), np.float32)
+    if config.periodic:
+        # circular convolution: out[j] = sum_i x[i] * k[(j - i) % L]
+        k = periodic_gaussian_kernel(L, config.dx, config.local_kernel_sigma)
+        i = np.arange(L)
+        for j in range(L):
+            M[i, j] = k[(j - i) % L]
+    else:
+        w = gaussian_filter_weights(config.sigma_grid, 4.0)
+        r = (len(w) - 1) // 2
+        # reflect extension: out[j] = sum_d w[d+r] * x[reflect(j - d)]
+        for d in range(-r, r + 1):
+            src = np.arange(L) - d
+            src = np.where(src < 0, -1 - src, src)
+            src = np.where(src >= L, 2 * L - 1 - src, src)
+            M[src, np.arange(L)] += w[d + r]
+    return M
+
+
+def _kernel(scal_ref, seed_ref, slots_ref, conv_ref, slots_out, *,
+            L: int, Lp: int, K: int, Kp: int, k_steps: int, dt: float,
+            periodic: bool, bidirectional: bool, use_local_m: bool):
+    b = pl.program_id(0)
+    beta = scal_ref[b, 0]
+    p_dif = scal_ref[b, 1] * dt
+    p_act = scal_ref[b, 2] * dt
+    pltpu.prng_seed(seed_ref[b], b)
+
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
+    laneK = jax.lax.broadcasted_iota(jnp.int32, (Kp, Lp), 1)
+    rowK = jax.lax.broadcasted_iota(jnp.int32, (Kp, Lp), 0)
+    validK = laneK < L
+    wrap = Lp - L + 1
+
+    def shift_right1(x, fill=0):
+        """out[i] = x[i-1] on the L-site topology; pad lanes → fill."""
+        lane = lane1 if x.shape[0] == 1 else laneK
+        plain = pltpu.roll(x, 1, axis=1)
+        if periodic:
+            out = jnp.where(lane == 0, pltpu.roll(x, wrap, axis=1), plain)
+        else:
+            out = jnp.where(lane == 0, fill, plain)
+        return jnp.where(lane < L, out, fill)
+
+    def shift_left1(x, fill=0):
+        """out[i] = x[i+1] on the L-site topology; pad lanes → fill."""
+        lane = lane1 if x.shape[0] == 1 else laneK
+        plain = pltpu.roll(x, Lp - 1, axis=1)   # pltpu.roll needs shift >= 0
+        if periodic:
+            out = jnp.where(lane == L - 1, pltpu.roll(x, L - 1, axis=1),
+                            plain)
+        else:
+            out = jnp.where(lane >= L - 1, fill, plain)
+        return jnp.where(lane < L, out, fill)
+
+    def body(step, slots):
+        occ_slot = slots != 0
+        is_plus = slots == 1
+        is_minus = slots == -1
+        slots_f = slots.astype(jnp.float32)
+        counts_s = jnp.sum(slots_f, axis=0, keepdims=True)        # (1, Lp)
+        tot = jnp.sum(jnp.abs(slots_f), axis=0, keepdims=True)    # (1, Lp)
+        occ_tot = tot.astype(jnp.int32)
+
+        if use_local_m:
+            pack = jnp.concatenate([counts_s, tot], axis=0)       # (2, Lp)
+            conv = jnp.dot(pack, conv_ref[:],
+                           preferred_element_type=jnp.float32)
+            m = jnp.where(conv[1:2] > 0.0, conv[0:1] / jnp.where(
+                conv[1:2] > 0.0, conv[1:2], 1.0), 0.0)
+            m = jnp.clip(m, -1.0, 1.0)                            # (1, Lp)
+        else:
+            s_sum = jnp.sum(counts_s)
+            n_alive = jnp.maximum(jnp.sum(tot), 1.0)
+            m = jnp.full((1, Lp), s_sum / n_alive)
+
+        c = jnp.where(occ_slot, jnp.exp(-beta * slots_f * m), 0.0)
+
+        right_free = shift_left1(occ_tot, fill=K) < K             # (1, Lp)
+        left_free = shift_right1(occ_tot, fill=K) < K
+        if not periodic:
+            right_free = right_free & (lane1 < L - 1)
+            left_free = left_free & (lane1 > 0)
+
+        rate_left = p_dif * (occ_slot & left_free)
+        rate_right = p_dif * (occ_slot & right_free)
+        rate_right = rate_right + p_act * (is_plus & right_free)
+        if bidirectional:
+            rate_left = rate_left + p_act * (is_minus & left_free)
+
+        t1 = rate_left
+        t2 = t1 + rate_right
+        t3 = t2 + c * dt
+        # low-24-bit mask, NOT `>> 8`: Mosaic lowers the shift as arithmetic
+        # (sign-extends), which would make u negative for half the draws
+        u = (pltpu.prng_random_bits((Kp, Lp)) & np.uint32(0x00FFFFFF)
+             ).astype(jnp.float32) * jnp.float32(2.0 ** -24)
+        ev_left = u < t1
+        ev_right = (u >= t1) & (u < t2)
+        ev_flip = (u >= t2) & (u < t3)
+
+        # unique candidate priorities as NON-NEGATIVE int32 (Mosaic has no
+        # unsigned reductions): 28 random high bits | row id (right movers
+        # rows 0..K-1, left movers K..2K-1 at the destination lane)
+        bits = pltpu.prng_random_bits((Kp, Lp))
+        rand_hi = jnp.right_shift(bits, 1).astype(jnp.int32) & _MASK_HI
+        pr = rand_hi | rowK
+        plf = rand_hi | (rowK + Kp)
+        cand_r = shift_right1(jnp.where(ev_right, pr, _SENT), fill=_SENT)
+        cand_l = shift_left1(jnp.where(ev_left, plf, _SENT), fill=_SENT)
+        cand = jnp.concatenate([cand_r, cand_l], axis=0)         # (2Kp, Lp)
+
+        free = (K - occ_tot)                                      # (1, Lp)
+        accept = jnp.zeros((2 * Kp, Lp), bool)
+        for r in range(K):
+            cur_min = jnp.min(cand, axis=0, keepdims=True)
+            win = (cand == cur_min) & (cand != _SENT) & (free > r)
+            accept = accept | win
+            cand = jnp.where(win, _SENT, cand)
+        acc_right_in = accept[:Kp]
+        acc_left_in = accept[Kp:]
+
+        acc_right_src = shift_left1(acc_right_in.astype(jnp.int32)) > 0
+        acc_left_src = shift_right1(acc_left_in.astype(jnp.int32)) > 0
+        leaver = acc_right_src | acc_left_src
+        stay = jnp.where(leaver, 0, slots)
+        stay = jnp.where(ev_flip & ~leaver, -stay, stay)
+
+        in_right = jnp.where(acc_right_in & validK, shift_right1(slots), 0)
+        in_left = jnp.where(acc_left_in & validK, shift_left1(slots), 0)
+        combined = jnp.concatenate([stay, in_right, in_left], axis=0)
+        combined = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (3 * Kp, Lp), 1) < L,
+            combined, 0)
+
+        # front-pack the nonzero rows (stable): exclusive running count
+        nz = (combined != 0).astype(jnp.int32)
+        rows = []
+        running = jnp.zeros((1, Lp), jnp.int32)
+        sel = []
+        for q in range(3 * Kp):
+            sel.append((running, nz[q:q + 1]))
+            running = running + nz[q:q + 1]
+        for j in range(Kp):
+            row = jnp.zeros((1, Lp), jnp.int32)
+            for q in range(3 * Kp):
+                nzb, nzq = sel[q]
+                row = row + jnp.where((nzq > 0) & (nzb == j),
+                                      combined[q:q + 1], 0)
+            rows.append(row)
+        return jnp.concatenate(rows, axis=0)
+
+    slots_out[:] = jax.lax.fori_loop(0, k_steps, body, slots_ref[:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "K", "k_steps", "dt", "periodic", "bidirectional",
+                     "use_local_m", "interpret"))
+def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
+                         slots: jnp.ndarray, conv_mat: jnp.ndarray, *,
+                         L: int, K: int, k_steps: int, dt: float,
+                         periodic: bool, bidirectional: bool,
+                         use_local_m: bool, interpret: bool = False):
+    """Advance K_STEPS exclusion steps fully on-chip.
+
+    Args:
+      scalars: (B, 3) float32 [beta, rate_diffusion, rate_active] (site
+        units).
+      seeds: (B,) int32 — pass ``base + frame`` per invocation.
+      slots: (B, K, Lp) int32 slot fields (pad lanes zero).
+      conv_mat: (Lp, Lp) float32 smoothing matrix (ignored unless
+        ``use_local_m``; pass a (0, 0) array for global m — it is replaced
+        by a 1×1 zero placeholder internally).
+    """
+    B, Kp, Lp = slots.shape
+    assert Kp == _pad_rows(K), 'pack slots with pack_slots() (row padding)'
+    assert 2 * Kp <= 16, 'row-id priority bits support K <= 8'
+    if conv_mat.size == 0:
+        conv_mat = jnp.zeros((Lp, Lp), jnp.float32)
+    grid = (B,)
+    kernel = functools.partial(
+        _kernel, L=L, Lp=Lp, K=K, Kp=Kp, k_steps=k_steps, dt=dt,
+        periodic=periodic, bidirectional=bidirectional,
+        use_local_m=use_local_m)
+
+    def squeeze(scal, seed, sl, conv, out):
+        kernel(scal, seed, sl.at[0], conv, out.at[0])
+
+    slot_spec = pl.BlockSpec((1, Kp, Lp), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        squeeze,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, 3), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
+            slot_spec,
+            pl.BlockSpec((Lp, Lp), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=slot_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Kp, Lp), jnp.int32),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(scalars, jnp.asarray(seeds, jnp.int32), slots,
+      jnp.asarray(conv_mat, jnp.float32))
+
+
+def pack_slots(slots: np.ndarray) -> jnp.ndarray:
+    """(B, K, L) → (B, Kp, Lp) lane- and row-padded."""
+    B, K, L = slots.shape
+    Lp, Kp = _pad_lanes(L), _pad_rows(K)
+    out = np.zeros((B, Kp, Lp), np.int32)
+    out[:, :K, :L] = slots
+    return jnp.asarray(out)
+
+
+def unpack_slots(slots, K: int, L: int) -> np.ndarray:
+    return np.asarray(slots)[..., :K, :L]

@@ -54,7 +54,11 @@ def _kernel(scal_ref, seed_ref, pos_ref, sigma_ref, wind_ref,
         e_m = jnp.exp(beta * m) * dt
 
         bits = pltpu.prng_random_bits(shape)
-        u = (bits >> 8).astype(jnp.float32) * jnp.float32(2.0 ** -24)
+        # mask the LOW 24 bits: Mosaic lowers `bits >> 8` as an ARITHMETIC
+        # shift (sign-extends the top bit), which made u negative for half
+        # the draws and fired the u < t1 left-hop branch ~50% of the time
+        u = (bits & np.uint32(0x00FFFFFF)).astype(jnp.float32) \
+            * jnp.float32(2.0 ** -24)
 
         is_plus = sigma > 0
         t1 = p_dif

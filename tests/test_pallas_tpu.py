@@ -113,3 +113,104 @@ def test_fast_meanfield_sweep_pallas_engine():
     m_f = np.abs(fr.m_global[-1])
     assert m_f[0] < 0.3 and m_f[1] < 0.3
     assert m_f[2] > 0.7 and m_f[3] > 0.7
+
+
+def test_pallas_hop_rates_unbiased():
+    """Regression for the arithmetic-shift RNG bug (round 2): Mosaic lowers
+    ``prng_random_bits >> 8`` as an arithmetic shift, which made the uniform
+    u negative for ~half the draws and fired the u < t1 left-hop branch at
+    ~50%/step regardless of rates.  With diffusion off and active rate v,
+    all-plus particles must drift by ~v·T with no spurious moves."""
+    if not _tpu_is_default():
+        pytest.skip("needs a TPU device as default")
+    from hydrolim_tpu.ops.pallas_stepper import (
+        meanfield_multi_step,
+        pack_particles,
+        unpack_particles,
+    )
+
+    B, n, L = 2, 2048, 4096
+    v, T, dt = 2.0, 2.0, 0.002
+    k_steps = int(T / dt)
+    rng = np.random.default_rng(3)
+    pos = rng.integers(0, L, (B, n))
+    sigma = np.ones((B, n), int)              # all plus: m=1, flips ~ e^-20
+    wind = np.zeros((B, n), int)
+    p, s, w = pack_particles(pos, sigma, wind)
+    scal = np.zeros((B, 3), np.float32)
+    scal[:, 0] = 20.0                          # beta: freezes spins at m=1
+    scal[:, 1] = 0.0                           # no diffusion
+    scal[:, 2] = v
+    p2, s2, w2 = meanfield_multi_step(
+        jax.numpy.asarray(scal), np.array([11, 12], np.int32), p, s, w,
+        L=L, k_steps=k_steps, dt=dt, bidirectional=True, n_active=n)
+    pos2, _, wind2 = unpack_particles(p2, s2, w2, n)
+    disp = (pos2 + wind2 * L) - pos
+    # mean displacement v*T = 4 sites, SE = sqrt(v*T/n/B) ~ 0.03
+    assert abs(disp.mean() - v * T) < 0.15, disp.mean()
+    # no spurious hops: every displacement is a sum of +1 moves
+    assert disp.min() >= 0
+
+
+def test_pallas_exclusion_kernel_matches_slot_engine():
+    """Fused exclusion kernel vs the XLA slot engine at matched (K=3,
+    local-m, periodic) parameters: ensemble |m|(t) within error bars and
+    site-occupancy histograms within 0.05 (the same acceptance as the
+    CTMC agreement test)."""
+    if not _tpu_is_default():
+        pytest.skip("needs a TPU device as default")
+    import jax.numpy as jnp
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.ops.pallas_exclusion import (
+        build_conv_matrix,
+        exclusion_multi_step,
+        pack_slots,
+        unpack_slots,
+    )
+    from hydrolim_tpu.particles.lattice_gas_k import lgk_init, run_lattice_gas_k
+    from hydrolim_tpu.sweeps.ensemble import broadcast_params
+
+    L, K, nrep, T, obs_dt, dt = 200, 3, 16, 2.0, 0.5, 1.5e-3
+    beta, rd, ra = 1.5, 1.0, 3.0
+    config = ParticleConfig(L=L, N=150, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.01, periodic=True,
+                            site_capacity=3, active_model="plus_forward")
+    params = broadcast_params(config, beta=[beta], rate_diffusion=rd,
+                              rate_active=ra, n_runs=nrep)
+    frames, slots_x = run_lattice_gas_k(config, params, jax.random.PRNGKey(4),
+                                        T=T, obs_dt=obs_dt, dt=dt)
+    m_x = np.abs(np.asarray(frames.m_global))
+    occ_x = np.abs(np.asarray(slots_x)).sum(-2)
+
+    keys = jax.random.split(jax.random.PRNGKey(5), nrep)
+    slots0 = np.stack([np.asarray(lgk_init(config, k)) for k in keys])
+    sl = pack_slots(slots0)
+    conv = build_conv_matrix(config)
+    scal = np.zeros((nrep, 3), np.float32)
+    scal[:, 0], scal[:, 1], scal[:, 2] = beta, rd, ra
+    n_sub = int(round(obs_dt / dt))
+    M = len(np.arange(0.0, T, obs_dt))
+    seeds0 = np.arange(nrep, dtype=np.int32) * 9973 + 17
+
+    def m_of(s):
+        return s.sum((1, 2)) / np.maximum(np.abs(s).sum((1, 2)), 1)
+
+    m_p = [m_of(unpack_slots(sl, K, L))]
+    for f in range(1, M):
+        sl = exclusion_multi_step(jnp.asarray(scal), seeds0 + f, sl, conv,
+                                  L=L, K=K, k_steps=n_sub, dt=dt,
+                                  periodic=True, bidirectional=False,
+                                  use_local_m=True)
+        m_p.append(m_of(unpack_slots(sl, K, L)))
+    m_p = np.abs(np.asarray(m_p).T)
+    s_final = unpack_slots(sl, K, L)
+    assert np.abs(s_final).sum() == nrep * 150          # mass conserved
+    occ_p = np.abs(s_final).sum(1)
+    assert occ_p.max() <= K
+
+    me, mt = m_x.mean(0), m_p.mean(0)
+    se = (m_x.std(0, ddof=1) + m_p.std(0, ddof=1)) / np.sqrt(nrep)
+    assert np.all(np.abs(me - mt) < 4 * se + 0.06), (me, mt, se)
+    h_x = np.array([(occ_x == v).mean() for v in range(K + 1)])
+    h_p = np.array([(occ_p == v).mean() for v in range(K + 1)])
+    assert np.all(np.abs(h_x - h_p) < 0.05), (h_x, h_p)
