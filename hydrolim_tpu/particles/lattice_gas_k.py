@@ -131,15 +131,20 @@ def lgk_step(config: ParticleConfig, params: ParticleParams,
     right_prio = jnp.where(ev_right, prio, _UINT_MAX)
     left_prio = jnp.where(ev_left, prio, _UINT_MAX)
 
-    # candidates into site j: right-movers of j−1, left-movers of j+1
+    # candidates into site j: right-movers of j−1, left-movers of j+1.
+    # Admission = the free-capacity smallest priorities; computed as K
+    # rounds of a cross-slot min (decision-identical to a sort-and-threshold
+    # under unique priorities, ~2x cheaper than jnp.sort on TPU)
     cand = jnp.concatenate([_roll(right_prio, 1), _roll(left_prio, -1)],
                            axis=-2)                      # (…, 2K, L)
     free = (K - occ_tot).astype(jnp.int32)               # (…, L)
-    cand_sorted = jnp.sort(cand, axis=-2)
-    thr_idx = jnp.clip(free - 1, 0, 2 * K - 1)[..., None, :]
-    thr = jnp.take_along_axis(cand_sorted, thr_idx, axis=-2)[..., 0, :]
-    accept = ((cand <= thr[..., None, :]) & (cand != _UINT_MAX)
-              & (free > 0)[..., None, :])
+    accept = jnp.zeros(cand.shape, bool)
+    for r in range(K):
+        cur_min = jnp.min(cand, axis=-2, keepdims=True)
+        win = ((cand == cur_min) & (cand != _UINT_MAX)
+               & (free > r)[..., None, :])
+        accept = accept | win
+        cand = jnp.where(win, _UINT_MAX, cand)
     acc_right_in = accept[..., :K, :]                    # arrived from j−1
     acc_left_in = accept[..., K:, :]                     # arrived from j+1
 
@@ -157,14 +162,16 @@ def lgk_step(config: ParticleConfig, params: ParticleParams,
     combined = jnp.concatenate([stay, right_in_spins, left_in_spins],
                                axis=-2)                  # (…, 3K, L)
 
-    # stable compaction: nonzero slots first, order preserved
-    order = jnp.argsort(combined == 0, axis=-2, stable=True)
-    slots_new = jnp.take_along_axis(combined, order[..., :K, :], axis=-2)
+    # stable compaction: nonzero slots first, order preserved (cumsum-select
+    # instead of argsort/take_along_axis — decision-identical, cheaper)
+    nz = (combined != 0).astype(jnp.int32)
+    nzb = jnp.cumsum(nz, axis=-2) - nz                   # exclusive count
+    slots_new = jnp.stack(
+        [jnp.sum(jnp.where((nz > 0) & (nzb == j), combined, 0), axis=-2)
+         for j in range(K)], axis=-2)
 
     # tracer math: destination slot index = #nonzeros before the combined
     # position (stayers at q=k, right-in at q=K+k, left-in at q=2K+k)
-    nz = (combined != 0).astype(jnp.int32)
-    nzb = jnp.cumsum(nz, axis=-2) - nz                   # exclusive count
     k_row = jnp.arange(K, dtype=jnp.int32)[..., :, None]
     new_k_stay = jnp.take_along_axis(nzb, k_row + jnp.zeros_like(slots), axis=-2)
     # for movers the relevant nzb lives at the *destination* site; express it
