@@ -17,7 +17,8 @@ from hydrolim_tpu import ParticleSystem
 from hydrolim_tpu.sweeps.beta_sweep import make_exp_gradient
 
 
-def main(outdir: str = "particle_single_out", small: bool = False):
+def main(outdir: str = "particle_single_out", small: bool = False,
+         engine: str = "particle"):
     L, N = (200, 150) if small else (1000, 750)
     T, obs_dt = (4.0, 0.5) if small else (20.0, 0.5)
     grad = make_exp_gradient(L=L, N=N, frac_plus=0.85, decay_length=0.2,
@@ -29,7 +30,8 @@ def main(outdir: str = "particle_single_out", small: bool = False):
         periodic=False, immobilize_when_anchored=True, anchor_radius=0.003,
         anchor_positions=None, site_capacity=3,
         crowding_suppresses_rates=False, k_on=0, k_off=0, k_exit=0, rng=0)
-    out = ps.run(T=T, obs_dt=obs_dt, record_fft=True, record_var=True)
+    out = ps.run(T=T, obs_dt=obs_dt, record_fft=True, record_var=True,
+                 engine=engine)
     v = ps.plot_individuals(out, show_k_max=5, cmap_name="viridis", xlim=1,
                             outdir=outdir)
     print(f"mean COM drift velocity: {v:.4g}; figures in {outdir}/")
@@ -41,5 +43,9 @@ if __name__ == "__main__":
     p.add_argument("--outdir", default="particle_single_out")
     p.add_argument("--small", action="store_true",
                    help="reduced problem for a quick check")
+    p.add_argument("--engine", default="particle",
+                   choices=["particle", "lattice_gas"],
+                   help="lattice_gas = site-centric slot engine, ~30-50x "
+                        "faster at the flagship K=3 config, same law")
     a = p.parse_args()
-    main(a.outdir, a.small)
+    main(a.outdir, a.small, engine=a.engine)

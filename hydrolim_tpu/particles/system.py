@@ -145,10 +145,13 @@ class ParticleSystem:
         return self._dt
 
     # -----------------------------------------------------------------------
-    def init_particles(self) -> ParticleState:
+    def _split_key(self):
         self.key, sub = jax.random.split(self.key)
-        return init_particles(self.config, sub, self.rho0_plus,
-                              self.rho0_minus)
+        return sub
+
+    def init_particles(self) -> ParticleState:
+        return init_particles(self.config, self._split_key(),
+                              self.rho0_plus, self.rho0_minus)
 
     def run_raw(self, T: float = 10.0, obs_dt: float = 0.01,
                 state0: Optional[ParticleState] = None) -> ParticleRunResult:
@@ -160,14 +163,22 @@ class ParticleSystem:
                              record_pos=self.record_pos)
 
     def run(self, T: float = 10.0, obs_dt: float = 0.01,
-            record_fft: bool = False, record_var: bool = False
-            ) -> Dict[str, Any]:
+            record_fft: bool = False, record_var: bool = False,
+            engine: str = "particle") -> Dict[str, Any]:
         """Reference-schema output dict (PARTICLE_solver_CLASS.py:542-557).
 
         Extensions: ``pos_frames``/``alive_frames``/``bound_frames`` (padded
         arrays with unwrapped positions — stable particle IDs across exits,
         unlike the reference's ``np.delete`` index shifting, SURVEY.md §2.4),
-        ``exit_init_bin`` and ``dt_eff``."""
+        ``exit_init_bin`` and ``dt_eff``.
+
+        ``engine='lattice_gas'`` runs the site-centric slot engine with ALL
+        N particles tagged as identity tracers — same law, same out schema,
+        ~30-50× the single-run throughput at the flagship K=3 config.
+        Requires exclusion and no anchors (bind/exit channels route to the
+        particle engine)."""
+        if engine == "lattice_gas":
+            return self._run_lattice_gas(T, obs_dt, record_fft, record_var)
         res = jax.device_get(self.run_raw(T=T, obs_dt=obs_dt))
         f = res.frames
         L = self.config.L
@@ -206,6 +217,56 @@ class ParticleSystem:
             "dt_eff": obs_dt / max(1, int(np.ceil(obs_dt / self._dt - 1e-9))),
         }
         return out
+
+    def _run_lattice_gas(self, T: float, obs_dt: float, record_fft: bool,
+                         record_var: bool) -> Dict[str, Any]:
+        """Single run on the slot engine, full out-schema parity: every
+        particle is a tagged tracer, so pos_list/pos_frames carry exact
+        identities (displacement estimators work unchanged)."""
+        from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_k
+
+        config = self.config
+        assert config.exclusion and config.anchor_positions is None, (
+            "engine='lattice_gas' supports exclusion configs without "
+            "anchors/binding")
+        N, L = config.N, config.L
+        params_b = jax.tree.map(lambda x: np.asarray(x)[None], self.params)
+        frames, _slots = jax.tree.map(np.asarray, run_lattice_gas_k(
+            config, params_b, self._split_key(), T=T, obs_dt=obs_dt,
+            dt=self._dt, rho0_plus=self.rho0_plus, rho0_minus=self.rho0_minus,
+            record_fft=record_fft, n_tracers=N))
+        g = lambda a: np.asarray(a[0])
+        times_obs = np.arange(0.0, T, obs_dt)
+        M = len(times_obs)
+        pos_u = g(frames.tracer_pos)                     # (M, N) unwrapped
+        pos_list = [(pos_u[k] % L).astype(np.int64) for k in range(M)]
+        zeros = np.zeros((M, N), bool)
+        if record_fft:
+            rho_hat = np.fft.fft(g(frames.total), axis=-1)
+            fft_amp = np.abs(rho_hat)
+        else:
+            rho_hat = fft_amp = None
+        return {
+            "times_obs": times_obs,
+            "pos_list": pos_list,
+            "rho_p_list": g(frames.rho_p).astype(float),
+            "rho_m_list": g(frames.rho_m).astype(float),
+            "total_list": g(frames.total).astype(float),
+            "particle_count_list": [N] * M,
+            "bound_list": [zeros[k] for k in range(M)],
+            "m_local_list": g(frames.m_local).astype(float),
+            "m_global": g(frames.m_global).astype(float),
+            "rho_hat_complex": rho_hat,
+            "fft_amp_list": fft_amp,
+            "var_list": g(frames.var).astype(float) if record_var else None,
+            "exit_times": [],
+            "exit_positions": [],
+            "exit_init_bin": [],
+            "pos_frames": pos_u,
+            "alive_frames": np.ones((M, N), bool),
+            "bound_frames": zeros,
+            "dt_eff": obs_dt / max(1, int(np.ceil(obs_dt / self._dt - 1e-9))),
+        }
 
     # -- visualization (PARTICLE_solver_CLASS.py:561-1093) ------------------
     def visualize_all(self, out, **kw):

@@ -77,17 +77,20 @@ def sweep_beta_structure_ensemble(beta, n_runs: int, ps_kwargs: Dict,
 def _lattice_gas_outs(beta_values, n_runs, ps_kwargs, init_kwargs,
                       run_kwargs, seed):
     """Run the (β × replicas) grid on the site-centric lattice-gas engine
-    (K=1; ~15× the particle-centric exclusion throughput) and return
-    reference-schema out dicts per replica."""
+    (K=1 occ field, or the K>1 slot engine) and return reference-schema out
+    dicts per replica."""
     import jax
 
     from hydrolim_tpu.particles.init import eval_profile
     from hydrolim_tpu.particles.lattice_gas import run_lattice_gas
+    from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_k
     from hydrolim_tpu.sweeps.beta_sweep import config_from_kwargs
     from hydrolim_tpu.sweeps.ensemble import broadcast_params, ensemble_dt
 
     config = config_from_kwargs(ps_kwargs)
-    assert config.site_capacity == 1, "lattice-gas engine requires K=1"
+    assert config.exclusion, "lattice-gas engines require site_capacity"
+    if config.K > 1:
+        run_lattice_gas = run_lattice_gas_k
     rho0_p = rho0_m = None
     if config.init == "poisson":
         rho0_p = eval_profile(init_kwargs["rho0_plus"], config.L)

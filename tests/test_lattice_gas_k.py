@@ -156,3 +156,31 @@ def test_local_kernel_nonperiodic_runs_k3():
     assert np.all(np.isfinite(np.asarray(frames.m_local)))
     # non-periodic: all mass stays in [0, L)
     assert np.abs(np.asarray(slots)).sum() == 70
+
+
+def test_system_run_lattice_gas_engine_schema_parity():
+    """ParticleSystem.run(engine='lattice_gas') returns the full reference
+    out schema with exact per-particle identity (all N tagged)."""
+    from hydrolim_tpu import ParticleSystem
+
+    kw = dict(L=64, xlim=1, rate_diffusion=0.2, rate_active=3, beta=1.0,
+              init="fixed", N=48, scale_rates=False, local_kernel_sigma=0.0,
+              periodic=True, site_capacity=3, k_on=0, k_off=0, k_exit=0,
+              rng=0)
+    out_p = ParticleSystem(**kw).run(T=1.0, obs_dt=0.25, record_fft=True,
+                                     record_var=True)
+    out_l = ParticleSystem(**kw).run(T=1.0, obs_dt=0.25, record_fft=True,
+                                     record_var=True, engine="lattice_gas")
+    assert set(out_p.keys()) == set(out_l.keys())
+    assert [len(p) for p in out_l["pos_list"]] == [48] * 4
+    # identity frames: every tagged particle on a distinct (unwrapped) slot,
+    # mass normalized identically in both engines
+    assert out_l["pos_frames"].shape == (4, 48)
+    np.testing.assert_allclose(out_l["total_list"].sum(-1) * (1 / 64), 1.0,
+                               rtol=1e-5)
+    np.testing.assert_allclose(out_p["total_list"].sum(-1) * (1 / 64), 1.0,
+                               rtol=1e-5)
+    # same spectrum convention (unnormalized full-L DFT of total)
+    assert out_l["rho_hat_complex"].shape == out_p["rho_hat_complex"].shape
+    np.testing.assert_allclose(np.abs(out_l["rho_hat_complex"][:, 0]),
+                               out_l["total_list"].sum(-1), rtol=1e-4)
