@@ -75,7 +75,6 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
     from hydrolim_tpu.sweeps.ensemble import (
         broadcast_params,
         ensemble_dt,
-        frames_to_out,
         run_particle_ensemble,
     )
 
@@ -114,14 +113,14 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
     T, obs_dt = float(rk["T"]), float(rk["obs_dt"])
     record_fft = bool(rk.get("record_fft", False))
 
-    # run in fixed-size chunks (identical shapes → one executable)
-    from hydrolim_tpu.observables.estimators import (
-        compute_blocking_probability,
-        measurement_window,
-    )
+    # run in fixed-size chunks (identical shapes → one executable); the
+    # blocking estimator runs ON DEVICE for the whole chunk (VERDICT r1 #4:
+    # the per-replica host loop dominated at 836+ replicas)
+    from hydrolim_tpu.observables.batched import batched_estimates
 
     C = min(chunk_size, B)
     p_block_flat = np.zeros((B,), float)
+    times = np.arange(0.0, T, obs_dt)
     for c0 in range(0, B, C):
         sl = slice(c0, c0 + C)
         pad = C - (min(c0 + C, B) - c0)
@@ -132,17 +131,16 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
             config, beta=take(flat_beta),
             rate_diffusion=float(base["rate_diffusion"]),
             rate_active=float(base["rate_active"]))
-        res = jax.device_get(run_particle_ensemble(
+        res = run_particle_ensemble(
             config, params_c, jax.random.fold_in(jax.random.PRNGKey(seed),
                                                  c0),
             T=T, obs_dt=obs_dt, dt=dt, rho0_plus=take(prof_p),
             rho0_minus=take(prof_m), record_pos=False,
-            record_fft=record_fft))
-        for j in range(C - pad):
-            o = frames_to_out(res.frames, j, config, T, obs_dt,
-                              record_pos=False)
-            si, ei, _ = measurement_window(o["total_list"])
-            p_block_flat[c0 + j] = compute_blocking_probability(o, si, ei)
+            record_fft=record_fft)
+        est = jax.device_get(batched_estimates(
+            res.frames.total, res.frames.m_global, res.frames.rho_p, times,
+            dx=config.dx, xlim=float(config.xlim), has_positions=False))
+        p_block_flat[sl] = np.asarray(est.p_block)[:C - pad]
 
     K = int(base["site_capacity"])
     f_fit, f_err, g_fit, g_err, per_N = [], [], [], [], []
