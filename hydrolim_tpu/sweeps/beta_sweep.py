@@ -199,30 +199,46 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
 
 def run_sweep_grid(beta_values, n_runs: int, ps_kwargs: Dict,
                    init_kwargs: Optional[Dict], run_kwargs: Dict,
-                   seed: int = 0):
-    """Run the full (β × replicas) grid in one vmapped program; returns
-    (config, batched frames on host, dt)."""
+                   seed: int = 0, chunk_size: int = 256):
+    """Run the full (β × replicas) grid vmapped; returns
+    (config, batched frames on host, dt).
+
+    Grids larger than ``chunk_size`` replicas run as equal-shape chunks of
+    one compiled executable — very large single programs (observed at 1024
+    replicas × L=1000) can fault the axon TPU worker, and chunking also
+    bounds the device-resident frame memory."""
     config = config_from_kwargs(ps_kwargs)
     rho0_p, rho0_m = _profiles(config, init_kwargs)
-    params = broadcast_params(
-        config, beta=beta_values,
+    beta_flat = np.repeat(np.asarray(beta_values, dtype=np.float32), n_runs)
+    B = beta_flat.shape[0]
+    rates = dict(
         rate_diffusion=float(ps_kwargs["rate_diffusion"]),
         rate_active=float(ps_kwargs["rate_active"]),
         k_on=float(ps_kwargs.get("k_on", 0)),
         k_off=float(ps_kwargs.get("k_off", 0)),
-        k_exit=float(ps_kwargs.get("k_exit", 0)),
-        n_runs=n_runs)
-    dt = ensemble_dt(config, beta_max=float(np.max(beta_values)),
-                     rate_diffusion=float(ps_kwargs["rate_diffusion"]),
-                     rate_active=float(ps_kwargs["rate_active"]),
-                     k_on=float(ps_kwargs.get("k_on", 0)),
-                     k_off=float(ps_kwargs.get("k_off", 0)),
-                     k_exit=float(ps_kwargs.get("k_exit", 0)))
-    res = run_particle_ensemble(
-        config, params, jax.random.PRNGKey(seed),
-        T=float(run_kwargs["T"]), obs_dt=float(run_kwargs["obs_dt"]), dt=dt,
-        rho0_plus=rho0_p, rho0_minus=rho0_m)
-    return config, jax.device_get(res), dt
+        k_exit=float(ps_kwargs.get("k_exit", 0)))
+    dt = ensemble_dt(config, beta_max=float(np.max(beta_values)), **rates)
+    T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
+
+    C = min(chunk_size, B)
+    chunks = []
+    for c0 in range(0, B, C):
+        pad = max(0, c0 + C - B)
+        bc = np.concatenate([beta_flat[c0:c0 + C],
+                             np.repeat(beta_flat[c0:c0 + 1], pad)])
+        params = broadcast_params(config, beta=bc, **rates)
+        res = run_particle_ensemble(
+            config, params,
+            jax.random.fold_in(jax.random.PRNGKey(seed), c0),
+            T=T, obs_dt=obs_dt, dt=dt, rho0_plus=rho0_p, rho0_minus=rho0_m)
+        res = jax.device_get(res)
+        if pad:  # every frames/final_state leaf carries the batch on axis 0
+            res = jax.tree.map(lambda a: a[:C - pad], res)
+        chunks.append(res)
+    if len(chunks) == 1:
+        return config, chunks[0], dt
+    res = jax.tree.map(lambda *a: np.concatenate(a, axis=0), *chunks)
+    return config, res, dt
 
 
 def _estimates_for_replica(out: Dict, ps: _PsShim):
