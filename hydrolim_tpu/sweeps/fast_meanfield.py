@@ -85,6 +85,9 @@ def run_meanfield_sweep(config: ParticleConfig, params_b: ParticleParams,
     frames = dict(m=[], rho_p=[], rho_m=[], var=[], pos=[])
 
     def record(pos, sigma, wind):
+        # per-frame host transfer, deliberately: deferring all frames on
+        # device and stacking once measured 2x SLOWER on the tunneled axon
+        # backend (300-operand stack + bulk copy vs pipelined small copies)
         rho_p, rho_m, m, var = _frame_obs(pos, sigma, L, n, config.dx)
         frames["m"].append(np.asarray(m))
         frames["rho_p"].append(np.asarray(rho_p))
