@@ -315,8 +315,14 @@ def run_lattice_gas_k(config: ParticleConfig, params_b: ParticleParams,
     B = params_b.beta.shape[0]
     keys = jax.random.split(key, B)
     init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
-    slots0 = jax.vmap(lambda k: lgk_init(config, k, rho0_plus, rho0_minus))(
-        init_keys)
+    if rho0_plus is not None and np.ndim(rho0_plus) == 2:
+        # per-replica Poisson intensity profiles (the (N, β) double sweep:
+        # N varies only through the intensities, one compiled program)
+        slots0 = jax.vmap(lambda k, rp, rm: lgk_init(config, k, rp, rm))(
+            init_keys, jnp.asarray(rho0_plus), jnp.asarray(rho0_minus))
+    else:
+        slots0 = jax.vmap(lambda k: lgk_init(config, k, rho0_plus,
+                                             rho0_minus))(init_keys)
     if occ_sharding is not None:
         slots0 = jax.device_put(slots0, occ_sharding)
     n_frames = len(np.arange(0.0, T, obs_dt))

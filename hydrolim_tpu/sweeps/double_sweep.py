@@ -56,7 +56,7 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
                        ps_kwargs: Optional[Dict] = None,
                        run_kwargs: Optional[Dict] = None, outdir: str = ".",
                        seed: int = 0, plot_result: bool = True,
-                       chunk_size: int = 44) -> Dict:
+                       chunk_size: int = 44, engine: str = "particle") -> Dict:
     """The whole (N × β × replicas) grid as ONE compiled program.
 
     N enters only through the Poisson init intensities, so every grid point
@@ -131,14 +131,24 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
             config, beta=take(flat_beta),
             rate_diffusion=float(base["rate_diffusion"]),
             rate_active=float(base["rate_active"]))
-        res = run_particle_ensemble(
-            config, params_c, jax.random.fold_in(jax.random.PRNGKey(seed),
-                                                 c0),
-            T=T, obs_dt=obs_dt, dt=dt, rho0_plus=take(prof_p),
-            rho0_minus=take(prof_m), record_pos=False,
-            record_fft=record_fft)
+        ckey = jax.random.fold_in(jax.random.PRNGKey(seed), c0)
+        if engine == "lattice_gas":
+            from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_k
+
+            frames, _ = run_lattice_gas_k(
+                config, params_c, ckey, T=T, obs_dt=obs_dt, dt=dt,
+                rho0_plus=take(prof_p), rho0_minus=take(prof_m),
+                record_fft=False)
+            total, rho_p, m_g = frames.total, frames.rho_p, frames.m_global
+        else:
+            res = run_particle_ensemble(
+                config, params_c, ckey, T=T, obs_dt=obs_dt, dt=dt,
+                rho0_plus=take(prof_p), rho0_minus=take(prof_m),
+                record_pos=False, record_fft=record_fft)
+            total, rho_p, m_g = (res.frames.total, res.frames.rho_p,
+                                 res.frames.m_global)
         est = jax.device_get(batched_estimates(
-            res.frames.total, res.frames.m_global, res.frames.rho_p, times,
+            total, m_g, rho_p, times,
             dx=config.dx, xlim=float(config.xlim), has_positions=False))
         p_block_flat[sl] = np.asarray(est.p_block)[:C - pad]
 

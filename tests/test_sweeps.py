@@ -107,3 +107,23 @@ def test_double_sweep_fused_matches_loop_shapes(tmp_path):
     # f decreases with density (exclusion correction weakens), like the
     # frozen reference series
     assert res["f_fit"][0] >= res["f_fit"][-1] - 0.5
+
+
+def test_double_sweep_lattice_gas_engine(tmp_path):
+    """The (N, β) double sweep runs on the slot engine with per-replica
+    Poisson profiles (N varies only through intensities) and produces
+    finite (f, g) fits."""
+    import numpy as np
+
+    from hydrolim_tpu.sweeps.double_sweep import double_sweep_fused
+
+    r = double_sweep_fused(
+        beta_values=np.linspace(0, 2, 3), list_N_part=np.array([20., 40.]),
+        n_runs_per_beta=2,
+        ps_kwargs=dict(L=64, N=40, rate_diffusion=0.02, rate_active=5,
+                       init="poisson", scale_rates=False,
+                       local_kernel_sigma=1e5 - 10, periodic=False,
+                       site_capacity=1),
+        run_kwargs=dict(T=1.5, obs_dt=0.25), outdir=str(tmp_path),
+        plot_result=False, chunk_size=8, seed=1, engine="lattice_gas")
+    assert np.isfinite([r["C0"], r["C1"], r["C2"]]).all()
