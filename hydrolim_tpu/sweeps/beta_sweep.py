@@ -174,6 +174,11 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
                                 n_tracers=n_tracers)
     frames = jax.device_get(frames)
     times = np.arange(0.0, T, obs_dt)
+    out_for = _lattice_gas_out_accessor(frames, times)
+    return config, out_for, dt, frames
+
+
+def _lattice_gas_out_accessor(frames, times):
 
     def out_for(i):
         tr = np.asarray(frames.tracer_pos[i])
@@ -194,7 +199,7 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
             "exit_positions": [],
         }
 
-    return config, out_for, dt
+    return out_for
 
 
 def run_sweep_grid(beta_values, n_runs: int, ps_kwargs: Dict,
@@ -319,8 +324,9 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
         init_kwargs = dict(rho0_plus=grad[0], rho0_minus=grad[1])
 
     if run:
+        lg_frames = None
         if engine == "lattice_gas":
-            config, out_for, dt = run_sweep_grid_lattice_gas(
+            config, out_for, dt, lg_frames = run_sweep_grid_lattice_gas(
                 beta_values, n_runs_per_beta, ps_kwargs, init_kwargs,
                 run_kwargs, seed=seed)
         else:
@@ -337,15 +343,24 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
         raw_by_beta = []
         outs = []
         dev_est = None
-        if engine != "lattice_gas" and estimator == "device":
+        if estimator == "device":
             from hydrolim_tpu.observables.batched import batched_estimates
 
-            f = res.frames
             times = np.arange(0.0, T, obs_dt)
-            dev_est = jax.device_get(batched_estimates(
-                f.total, f.m_global, f.rho_p, times, f.pos, f.alive,
-                dx=config.dx, xlim=float(config.xlim),
-                has_positions=f.pos.shape[-1] > 0))
+            if engine == "lattice_gas":
+                f = lg_frames
+                tr = np.asarray(f.tracer_pos)
+                dev_est = jax.device_get(batched_estimates(
+                    f.total, f.m_global, f.rho_p, times, tr,
+                    np.ones_like(tr, bool), dx=config.dx,
+                    xlim=float(config.xlim),
+                    has_positions=tr.shape[-1] > 0))
+            else:
+                f = res.frames
+                dev_est = jax.device_get(batched_estimates(
+                    f.total, f.m_global, f.rho_p, times, f.pos, f.alive,
+                    dx=config.dx, xlim=float(config.xlim),
+                    has_positions=f.pos.shape[-1] > 0))
         for b in range(nb):
             vals = {"v": [], "D": [], "m": [], "rho": [], "blk": []}
             beta_outs = []
@@ -358,9 +373,10 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
                         float(dev_est.p_block[ri]))
                     out = None
                     if keep_outs:
-                        out = frames_to_out(res.frames, ri, config, T,
-                                            obs_dt,
-                                            final_state=res.final_state)
+                        out = (out_for(ri) if engine == "lattice_gas" else
+                               frames_to_out(res.frames, ri, config, T,
+                                             obs_dt,
+                                             final_state=res.final_state))
                 else:
                     if engine == "lattice_gas":
                         out = out_for(ri)
