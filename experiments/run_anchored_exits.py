@@ -36,7 +36,7 @@ ANCHORS = (0.25, 0.60, 0.80)
 
 
 def main(outdir: str = "anchored_exits_out", small: bool = False,
-         seed: int = 11, K: int = 3):
+         seed: int = 11, K: int = 3, engine: str = "lattice_gas"):
     L, N = (200, 100) if small else (1000, 500)
     T, obs_dt = (4.0, 0.2) if small else (20.0, 0.1)
     n_beta, n_runs = (3, 2) if small else (11, 3)
@@ -63,7 +63,8 @@ def main(outdir: str = "anchored_exits_out", small: bool = False,
         beta_values, n_runs_per_beta=n_runs, ps_kwargs=ps_kwargs,
         init_kwargs=init_kwargs, run_kwargs=run_kwargs,
         npz_path=f"{outdir}/anchored_exits_sweep.npz", outdir=outdir,
-        seed=seed, keep_outs=True, do_fit=False, plot_result=False)
+        seed=seed, keep_outs=True, do_fit=False, plot_result=False,
+        engine=engine)
 
     outs_flat = save["outs"]
     total_mean, total_std, region_mean, region_std = plot_outs(
@@ -80,5 +81,7 @@ if __name__ == "__main__":
     p.add_argument("--outdir", default="anchored_exits_out")
     p.add_argument("--small", action="store_true")
     p.add_argument("--K", type=int, default=3)
+    p.add_argument("--engine", default="lattice_gas",
+                   choices=["particle", "lattice_gas"])
     a = p.parse_args()
-    main(a.outdir, a.small, K=a.K)
+    main(a.outdir, a.small, K=a.K, engine=a.engine)

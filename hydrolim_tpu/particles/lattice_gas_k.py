@@ -53,21 +53,28 @@ def _roll(x, shift):
 
 def lgk_step(config: ParticleConfig, params: ParticleParams,
              mfield_op: MFieldOp, slots: jnp.ndarray, key: jnp.ndarray,
-             dt: float):
+             dt: float, is_anchor: Optional[jnp.ndarray] = None):
     """One synchronous Δt step on the (K, L) slot field.
 
-    Returns ``(slots_new, (acc_right_src, acc_left_src, flipped, new_k))``
-    where the three masks are per-(slot, site) movement/flip flags of the
-    *source* layout and ``new_k`` maps every source slot to its slot index
-    in the destination site's compacted layout (tracer tracking)."""
+    Slot values: 0 = empty, ±1 = unbound particle (sign = spin), ±2 = bound
+    particle.  With ``is_anchor`` (bool (L,)) the full reference channel set
+    runs: bind (σ=−1, unbound, on anchor, occ<K incl. self — the K=1 quirk),
+    unbind, anchored immobilization and absorbing exit
+    (PARTICLE_solver_CLASS.py:307-312, 342-348).
+
+    Returns ``(slots_new, (acc_right_src, acc_left_src, flipped, new_k),
+    exiting)`` — movement/flip flags in the source layout, the destination
+    slot-index map (tracer tracking), and the per-slot exit mask."""
     K, L = config.K, config.L
     assert slots.shape[-2:] == (K, L)
     k_ev, k_prio = jax.random.split(key)
 
     occupied = slots != 0
-    s_f = slots.astype(jnp.float32)
-    counts_p = (slots == 1).sum(-2).astype(jnp.float32)
-    counts_m = (slots == -1).sum(-2).astype(jnp.float32)
+    bound = jnp.abs(slots) == 2
+    spin = jnp.sign(slots)
+    s_f = spin.astype(jnp.float32)
+    counts_p = (slots > 0).sum(-2).astype(jnp.float32)
+    counts_m = (slots < 0).sum(-2).astype(jnp.float32)
     occ_tot = counts_p + counts_m                      # (…, L)
 
     m_field = local_m_field(counts_p, counts_m, mfield_op,
@@ -89,8 +96,8 @@ def lgk_step(config: ParticleConfig, params: ParticleParams,
 
     r_dif = params.rate_diffusion
     r_act = params.rate_active
-    is_plus = slots == 1
-    is_minus = slots == -1
+    is_plus = slots > 0
+    is_minus = slots < 0
 
     rate_left = r_dif * (occupied & left_free[..., None, :])
     rate_right = r_dif * (occupied & right_free[..., None, :])
@@ -112,14 +119,36 @@ def lgk_step(config: ParticleConfig, params: ParticleParams,
         rate_right = rate_right + r_act * act_right
         rate_left = rate_left + r_act * act_left
 
-    # per-slot event draw: [left, right, flip] then nothing
+    # anchor channels (:262-267, :307-312, :342-348)
+    rate_bind = rate_unbind = rate_exit = 0.0
+    if is_anchor is not None:
+        anc = is_anchor[None, :] if is_anchor.ndim == 1 else \
+            is_anchor[..., None, :]
+        if config.suppress_flip_when_bound:
+            c = jnp.where(bound, 0.0, c)
+        anchored = is_minus & anc & bound
+        if config.immobilize_when_anchored:
+            rate_left = jnp.where(anchored, 0.0, rate_left)
+            rate_right = jnp.where(anchored, 0.0, rate_right)
+            rate_exit = params.k_exit * anchored
+        bind_ok = (~bound) & is_minus & anc & (occ_tot < K)[..., None, :]
+        rate_bind = params.k_on * bind_ok
+        rate_unbind = params.k_off * bound
+
+    # per-slot event draw: [left, right, flip, bind, unbind, exit], nothing
     t1 = rate_left * dt
     t2 = t1 + rate_right * dt
     t3 = t2 + c * dt
+    t4 = t3 + rate_bind * dt
+    t5 = t4 + rate_unbind * dt
+    t6 = t5 + rate_exit * dt
     u = jax.random.uniform(k_ev, slots.shape, jnp.float32)
     ev_left = u < t1
     ev_right = (u >= t1) & (u < t2)
     ev_flip = (u >= t2) & (u < t3)
+    ev_bind = (u >= t3) & (u < t4)
+    ev_unbind = (u >= t4) & (u < t5)
+    ev_exit = (u >= t5) & (u < t6)
 
     # unique random priorities per slot (high bits random, low bits slot id)
     flat_n = K * L
@@ -153,9 +182,12 @@ def lgk_step(config: ParticleConfig, params: ParticleParams,
     acc_left_src = _roll(acc_left_in, 1)
 
     leaver = acc_right_src | acc_left_src
-    stay = jnp.where(leaver, 0, slots)
+    exiting = ev_exit & ~leaver
+    stay = jnp.where(leaver | exiting, 0, slots)
     flipped = ev_flip & ~leaver
-    stay = jnp.where(flipped, -stay, stay)
+    stay = jnp.where(flipped, -stay, stay)          # flip preserves bound
+    stay = jnp.where(ev_bind & ~leaver, 2 * stay, stay)    # ±1 → ±2
+    stay = jnp.where(ev_unbind & ~leaver, jnp.sign(stay), stay)  # ±2 → ±1
 
     right_in_spins = jnp.where(acc_right_in, _roll(slots, 1), 0)
     left_in_spins = jnp.where(acc_left_in, _roll(slots, -1), 0)
@@ -183,7 +215,7 @@ def lgk_step(config: ParticleConfig, params: ParticleParams,
     new_k = jnp.where(acc_right_src, new_k_right,
                       jnp.where(acc_left_src, new_k_left, new_k_stay))
 
-    return slots_new, (acc_right_src, acc_left_src, flipped, new_k)
+    return slots_new, (acc_right_src, acc_left_src, flipped, new_k), exiting
 
 
 # ---------------------------------------------------------------------------
@@ -254,8 +286,8 @@ def _lgk_scan(config: ParticleConfig, params: ParticleParams,
     wind0 = jnp.zeros_like(tr_site0)
 
     def rec(slots, tr_site, wind):
-        counts_p = (slots == 1).sum(-2).astype(jnp.float32)
-        counts_m = (slots == -1).sum(-2).astype(jnp.float32)
+        counts_p = (slots > 0).sum(-2).astype(jnp.float32)   # incl. bound ±2
+        counts_m = (slots < 0).sum(-2).astype(jnp.float32)
         f = _lg_record_counts(config, mfield_op, counts_p, counts_m,
                               record_fft)
         if n_tracers > 0:
@@ -268,8 +300,9 @@ def _lgk_scan(config: ParticleConfig, params: ParticleParams,
         def body(k, c):
             sl, ts, tk, w, kk = c
             kk, sub = jax.random.split(kk)
-            sl, (mr, ml, _fl, new_k) = lgk_step(config, params, mfield_op,
-                                                sl, sub, dt_eff)
+            sl, (mr, ml, _fl, new_k), _ex = lgk_step(config, params,
+                                                     mfield_op, sl, sub,
+                                                     dt_eff)
             if n_tracers > 0:
                 flat = tk * L + ts
                 moved_r = mr.reshape(-1)[flat]
@@ -331,4 +364,90 @@ def run_lattice_gas_k(config: ParticleConfig, params_b: ParticleParams,
                                     n_sub=n_sub, obs_dt=obs_dt,
                                     record_fft=record_fft,
                                     n_tracers=n_tracers)
+    return jax.vmap(run)(params_b, slots0, keys)
+
+
+# ---------------------------------------------------------------------------
+# anchored runs: full channel set + absorbing-exit log
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "n_frames", "n_sub", "obs_dt",
+                              "record_fft"))
+def _lgk_scan_anchored(config: ParticleConfig, params: ParticleParams,
+                       slots0: jnp.ndarray, key: jnp.ndarray, *,
+                       n_frames: int, n_sub: int, obs_dt: float,
+                       record_fft: bool):
+    """Scan with bind/unbind/immobilize/exit channels live and a fixed-size
+    absorbing-exit log (exit time quantized to the step, like the particle
+    engine's recorder)."""
+    mfield_op = build_mfield_op(config.L, config.dx,
+                                config.local_kernel_sigma, config.periodic)
+    dt_eff = obs_dt / n_sub
+    K, L = config.K, config.L
+    E = config.n_exit_buf
+    is_anchor = jnp.asarray(config.anchor_mask())
+    sites_flat = jnp.arange(K * L, dtype=jnp.int32) % L
+
+    def rec(slots):
+        counts_p = (slots > 0).sum(-2).astype(jnp.float32)
+        counts_m = (slots < 0).sum(-2).astype(jnp.float32)
+        return _lg_record_counts(config, mfield_op, counts_p, counts_m,
+                                 record_fft)
+
+    def frame_step(carry, _):
+        slots, key, t0, ec, et, ep = carry
+
+        def body(k, c):
+            sl, kk, t, ec, et, ep = c
+            kk, sub = jax.random.split(kk)
+            sl, _aux, exiting = lgk_step(config, params, mfield_op, sl, sub,
+                                         dt_eff, is_anchor=is_anchor)
+            exf = exiting.reshape(-1)
+            n_new = jnp.sum(exf, dtype=jnp.int32)
+            slot_idx = ec + jnp.cumsum(exf.astype(jnp.int32)) - 1
+            write = exf & (slot_idx >= 0) & (slot_idx < E)
+            w = jnp.where(write, slot_idx, E)                 # OOB drops
+            et = et.at[w].set(jnp.where(write, t, jnp.nan), mode="drop")
+            ep = ep.at[w].set(jnp.where(write, sites_flat, 0), mode="drop")
+            return sl, kk, t + dt_eff, ec + n_new, et, ep
+
+        slots, key, t0, ec, et, ep = jax.lax.fori_loop(
+            0, n_sub, body, (slots, key, t0, ec, et, ep))
+        return (slots, key, t0, ec, et, ep), rec(slots)
+
+    carry0 = (slots0, key, jnp.float32(0.0), jnp.int32(0),
+              jnp.full((E,), jnp.nan, jnp.float32),
+              jnp.zeros((E,), jnp.int32))
+    frame0 = rec(slots0)
+    (slots, _k, _t, ec, et, ep), rest = jax.lax.scan(
+        frame_step, carry0, None, length=n_frames - 1)
+    frames = jax.tree.map(lambda a, b: jnp.concatenate([a[None], b], 0),
+                          frame0, rest)
+    return frames, slots, (ec, et, ep)
+
+
+def run_lattice_gas_anchored(config: ParticleConfig,
+                             params_b: ParticleParams, key: jnp.ndarray, *,
+                             T: float, obs_dt: float, dt: float,
+                             rho0_plus=None, rho0_minus=None,
+                             record_fft: bool = True):
+    """Vmapped anchored run (bind/unbind/immobilize/exit live).  Returns
+    ``(frames, slots, (exit_count, exit_times, exit_pos))`` with batch-
+    leading arrays; exit logs are fixed-size ``config.n_exit_buf`` buffers."""
+    assert config.exclusion and config.anchor_positions is not None
+    B = params_b.beta.shape[0]
+    keys = jax.random.split(key, B)
+    init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+    if rho0_plus is not None and np.ndim(rho0_plus) == 2:
+        slots0 = jax.vmap(lambda k, rp, rm: lgk_init(config, k, rp, rm))(
+            init_keys, jnp.asarray(rho0_plus), jnp.asarray(rho0_minus))
+    else:
+        slots0 = jax.vmap(lambda k: lgk_init(config, k, rho0_plus,
+                                             rho0_minus))(init_keys)
+    n_frames = len(np.arange(0.0, T, obs_dt))
+    n_sub = max(1, int(math.ceil(obs_dt / dt - 1e-9)))
+    run = lambda p, o, k: _lgk_scan_anchored(
+        config, p, o, k, n_frames=n_frames, n_sub=n_sub, obs_dt=obs_dt,
+        record_fft=record_fft)
     return jax.vmap(run)(params_b, slots0, keys)

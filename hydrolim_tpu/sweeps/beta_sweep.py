@@ -159,29 +159,51 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
     if config.K > 1:
         run_lattice_gas = run_lattice_gas_k
     rho0_p, rho0_m = _profiles(config, init_kwargs)
-    params = broadcast_params(
-        config, beta=beta_values,
+    rates = dict(
         rate_diffusion=float(ps_kwargs["rate_diffusion"]),
-        rate_active=float(ps_kwargs["rate_active"]), n_runs=n_runs)
-    dt = ensemble_dt(config, beta_max=float(np.max(beta_values)),
-                     rate_diffusion=float(ps_kwargs["rate_diffusion"]),
-                     rate_active=float(ps_kwargs["rate_active"]))
+        rate_active=float(ps_kwargs["rate_active"]),
+        k_on=float(ps_kwargs.get("k_on", 0)),
+        k_off=float(ps_kwargs.get("k_off", 0)),
+        k_exit=float(ps_kwargs.get("k_exit", 0)))
+    params = broadcast_params(config, beta=beta_values, n_runs=n_runs,
+                              **rates)
+    dt = ensemble_dt(config, beta_max=float(np.max(beta_values)), **rates)
     T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
+    times = np.arange(0.0, T, obs_dt)
+    key = jax.random.PRNGKey(seed)
+    if config.anchor_positions is not None:
+        from hydrolim_tpu.particles.lattice_gas_k import (
+            run_lattice_gas_anchored,
+        )
+
+        frames, _, exit_log = run_lattice_gas_anchored(
+            config, params, key, T=T, obs_dt=obs_dt, dt=dt,
+            rho0_plus=rho0_p, rho0_minus=rho0_m)
+        frames, exit_log = jax.device_get((frames, exit_log))
+        out_for = _lattice_gas_out_accessor(frames, times,
+                                            exit_log=exit_log)
+        return config, out_for, dt, frames
     n_tracers = min(n_tracers, config.N)
-    frames, _ = run_lattice_gas(config, params, jax.random.PRNGKey(seed),
+    frames, _ = run_lattice_gas(config, params, key,
                                 T=T, obs_dt=obs_dt, dt=dt,
                                 rho0_plus=rho0_p, rho0_minus=rho0_m,
                                 n_tracers=n_tracers)
     frames = jax.device_get(frames)
-    times = np.arange(0.0, T, obs_dt)
     out_for = _lattice_gas_out_accessor(frames, times)
     return config, out_for, dt, frames
 
 
-def _lattice_gas_out_accessor(frames, times):
+def _lattice_gas_out_accessor(frames, times, exit_log=None):
 
     def out_for(i):
         tr = np.asarray(frames.tracer_pos[i])
+        if exit_log is not None:
+            ec, et, ep = exit_log
+            k = min(int(ec[i]), et.shape[1])
+            exit_times = list(np.asarray(et[i][:k]))
+            exit_positions = list(np.asarray(ep[i][:k]))
+        else:
+            exit_times, exit_positions = [], []
         return {
             "times_obs": times,
             "rho_p_list": np.asarray(frames.rho_p[i]),
@@ -195,8 +217,8 @@ def _lattice_gas_out_accessor(frames, times):
             "pos_frames": tr,
             "alive_frames": np.ones_like(tr, bool),
             "pos_list": None,
-            "exit_times": [],
-            "exit_positions": [],
+            "exit_times": exit_times,
+            "exit_positions": exit_positions,
         }
 
     return out_for

@@ -57,8 +57,8 @@ def test_per_step_identity_tracking_k3():
 
     def body(carry, k):
         slots, ts, tk, sp = carry
-        slots, (mr, ml, fl, new_k) = lgk_step(config, params, op, slots, k,
-                                              5e-3)
+        slots, (mr, ml, fl, new_k), _ex = lgk_step(config, params, op,
+                                                   slots, k, 5e-3)
         flat = tk * L + ts
         dmove = (mr.reshape(-1)[flat].astype(jnp.int32)
                  - ml.reshape(-1)[flat].astype(jnp.int32))
@@ -184,3 +184,74 @@ def test_system_run_lattice_gas_engine_schema_parity():
     assert out_l["rho_hat_complex"].shape == out_p["rho_hat_complex"].shape
     np.testing.assert_allclose(np.abs(out_l["rho_hat_complex"][:, 0]),
                                out_l["total_list"].sum(-1), rtol=1e-4)
+
+
+def test_anchored_engine_invariants_and_exits():
+    """Anchored slot engine: slot values stay in {0,±1,±2}, capacity holds
+    counting bound particles, and N_final + exits == N_initial."""
+    from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_anchored
+
+    config = _config(L=96, N=60, site_capacity=3, periodic=False,
+                     anchor_positions=[0.3, 0.7], anchor_radius=0.02,
+                     minus_anchor=True, immobilize_when_anchored=True)
+    params = broadcast_params(config, beta=[0.5], rate_diffusion=0.5,
+                              rate_active=3.0, k_on=20.0, k_off=2.0,
+                              k_exit=10.0, n_runs=4)
+    frames, slots, (ec, et, ep) = run_lattice_gas_anchored(
+        config, params, jax.random.PRNGKey(0), T=4.0, obs_dt=0.5, dt=1e-3)
+    slots = np.asarray(slots)
+    ec = np.asarray(ec)
+    assert set(np.unique(slots)) <= {-2, -1, 0, 1, 2}
+    occ = (slots != 0).sum(-2)
+    assert occ.max() <= 3
+    n_final = (slots != 0).sum((-2, -1))
+    np.testing.assert_array_equal(n_final + ec, 60)
+    assert ec.sum() > 0, "exit channel never fired"
+    # exit log entries are valid times/sites
+    et, ep = np.asarray(et), np.asarray(ep)
+    for b in range(4):
+        k = min(int(ec[b]), et.shape[1])
+        assert np.all(np.isfinite(et[b, :k]))
+        assert np.all((ep[b, :k] >= 0) & (ep[b, :k] < 96))
+        # exits only happen at anchor sites
+        anchor_sites = np.flatnonzero(config.anchor_mask())
+        assert np.all(np.isin(ep[b, :k], anchor_sites))
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+def test_anchored_engine_matches_exact_ctmc():
+    """Anchored channels vs the exact CTMC oracle: ensemble exit-count and
+    survival trajectories agree (K=3, bind/unbind/exit live)."""
+    from hydrolim_tpu.particles.init import init_particles
+    from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_anchored
+    from hydrolim_tpu.runtime.native import run_exact_gillespie
+
+    L, N, T, obs_dt = 96, 60, 4.0, 1.0
+    n_runs = 24
+    config = _config(L=L, N=N, site_capacity=3, periodic=False,
+                     anchor_positions=[0.3, 0.7], anchor_radius=0.02,
+                     minus_anchor=True, immobilize_when_anchored=True)
+    params = make_particle_params(config, beta=0.5, rate_diffusion=0.5,
+                                  rate_active=3.0, k_on=20.0, k_off=2.0,
+                                  k_exit=10.0)
+
+    exits_exact = []
+    for r in range(n_runs):
+        st = init_particles(config, jax.random.PRNGKey(700 + r))
+        out = run_exact_gillespie(config, params, np.asarray(st.pos),
+                                  np.asarray(st.sigma), T=T, obs_dt=obs_dt,
+                                  seed=50 + r)
+        exits_exact.append(N - int(out["n_alive"][-1]))
+    exits_exact = np.asarray(exits_exact, float)
+
+    params_b = broadcast_params(config, beta=[0.5], rate_diffusion=0.5,
+                                rate_active=3.0, k_on=20.0, k_off=2.0,
+                                k_exit=10.0, n_runs=n_runs)
+    _, _, (ec, _, _) = run_lattice_gas_anchored(
+        config, params_b, jax.random.PRNGKey(5), T=T, obs_dt=obs_dt,
+        dt=1e-3)
+    exits_tau = np.asarray(ec, float)
+
+    se = (exits_exact.std(ddof=1) + exits_tau.std(ddof=1)) / np.sqrt(n_runs)
+    assert abs(exits_exact.mean() - exits_tau.mean()) < 4 * se + 1.0, (
+        exits_exact.mean(), exits_tau.mean(), se)
