@@ -129,3 +129,53 @@ def test_anchored_minus_runs():
     out = pde.get_output()
     assert np.all(np.isfinite(out["rho_p"]))
     assert np.all(out["rho_p"] >= 0)
+
+
+def test_anchored_minus_oracle_and_legacy_double_diffusion():
+    """anchored_minus branch vs a direct NumPy replication, for both the
+    intended single implicit solve and the reference's double-solve quirk
+    (IMEX_PDE_solver_class.py:189-190 + :207-208, legacy_double_diffusion)."""
+    L, dx, dt = 64, 1.0 / 64, 5e-4
+    gamma, lam, beta = 0.2, 0.6, 1.5
+    rng = np.random.default_rng(3)
+    rho_p = rng.random(L)
+    rho_m = rng.random(L)
+    s = rho_p.sum() + rho_m.sum()
+    rho_p, rho_m = rho_p / s, rho_m / s
+
+    D = diags([1.0, -2.0, 1.0], [-1, 0, 1], shape=(L, L)).tolil()
+    D[0, 1] = 2.0
+    D[-1, -2] = 2.0
+    A = (diags(np.ones(L), 0) - gamma * dt * D / dx ** 2).tocsr()
+
+    for legacy in (False, True):
+        p = spsolve(A, rho_p)
+        m = spsolve(A, rho_m)
+        if legacy:          # the reference applies the solve twice
+            p = spsolve(A, p)
+            m = spsolve(A, m)
+        mag = (rho_p - rho_m) / (rho_p + rho_m + 1e-12)  # pre-step densities
+        cw = lambda sg: np.clip(np.exp(-beta * sg * mag), 1e-8, 1e8)
+        R_p = cw(-1) * m - cw(+1) * p
+        p_star = np.clip(p + dt * R_p, 0, None)
+        m_star = np.clip(m - dt * R_p, 0, None)
+        dp = np.empty(L)
+        dp[1:] = (p_star[1:] - p_star[:-1]) / dx
+        dp[0] = 0.0
+        p2 = np.clip(p_star + dt * (-lam * dp), 0, None)
+        M0 = (p + m).sum()
+        M1 = (p2 + m_star).sum()
+        p_ref, m_ref = p2 * M0 / M1, m_star * M0 / M1
+
+        config = PDEConfig(L=L, xlim=1.0, T=dt, dt=dt, bc="neumann",
+                           active_model="anchored_minus",
+                           legacy_double_diffusion=legacy)
+        params = make_pde_params(gamma=gamma, lam=lam, beta=beta)
+        ops = build_pde_ops(config, params)
+        p1, m1 = pde_step(config, params, ops,
+                          jnp.asarray(rho_p, jnp.float32),
+                          jnp.asarray(rho_m, jnp.float32))
+        np.testing.assert_allclose(np.asarray(p1), p_ref, rtol=5e-4,
+                                   atol=1e-6, err_msg=f"legacy={legacy}")
+        np.testing.assert_allclose(np.asarray(m1), m_ref, rtol=5e-4,
+                                   atol=1e-6, err_msg=f"legacy={legacy}")
