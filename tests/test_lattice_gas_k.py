@@ -255,3 +255,46 @@ def test_anchored_engine_matches_exact_ctmc():
     se = (exits_exact.std(ddof=1) + exits_tau.std(ddof=1)) / np.sqrt(n_runs)
     assert abs(exits_exact.mean() - exits_tau.mean()) < 4 * se + 1.0, (
         exits_exact.mean(), exits_tau.mean(), se)
+
+
+def test_crowding_suppression_matches_particle_engine():
+    """crowding_suppresses_rates=True (rate × (1−occ(target)/K),
+    :322-336): slot engine vs particle engine ensemble agreement, plus the
+    suppressed current is measurably below the unsuppressed one."""
+    from hydrolim_tpu.sweeps.ensemble import run_particle_ensemble
+
+    L, N, T, obs_dt, n_runs = 64, 96, 3.0, 0.5, 24
+    config = _config(L=L, N=N, site_capacity=3,
+                     crowding_suppresses_rates=True,
+                     active_model="bidirectional")
+    params = broadcast_params(config, beta=[1.5], rate_diffusion=1.0,
+                              rate_active=3.0, n_runs=n_runs)
+    fr_k, slots_k = run_lattice_gas_k(config, params, jax.random.PRNGKey(6),
+                                      T=T, obs_dt=obs_dt, dt=1.5e-3)
+    config_p = ParticleConfig(L=L, N=N, n_pad=N, init="fixed",
+                              scale_rates=False, local_kernel_sigma=0.0,
+                              periodic=True, site_capacity=3,
+                              crowding_suppresses_rates=True,
+                              active_model="bidirectional")
+    params_p = broadcast_params(config_p, beta=[1.5], rate_diffusion=1.0,
+                                rate_active=3.0, n_runs=n_runs)
+    res = jax.device_get(run_particle_ensemble(
+        config_p, params_p, jax.random.PRNGKey(7), T=T, obs_dt=obs_dt,
+        dt=1.5e-3, record_pos=False))
+    m_k = np.abs(np.asarray(fr_k.m_global))
+    m_p = np.abs(np.asarray(res.frames.m_global))
+    me, mt = m_k.mean(0), m_p.mean(0)
+    se = (m_k.std(0, ddof=1) + m_p.std(0, ddof=1)) / np.sqrt(n_runs)
+    assert np.all(np.abs(me - mt) < 4 * se + 0.06), (me, mt, se)
+    # occupancy histograms agree under crowding suppression
+    occ_k = np.abs(np.asarray(slots_k)).sum(-2)
+    from hydrolim_tpu.ops.segment import occupancy as _occ
+    h_k = np.array([(occ_k == v).mean() for v in range(4)])
+    # particle final state occupancy
+    fs = res.final_state
+    occ_p = np.stack([
+        np.bincount(np.asarray(fs.pos[b]) % L,
+                    weights=np.asarray(fs.alive[b], float),
+                    minlength=L) for b in range(n_runs)])
+    h_p = np.array([(occ_p == v).mean() for v in range(4)])
+    assert np.all(np.abs(h_k - h_p) < 0.05), (h_k, h_p)
