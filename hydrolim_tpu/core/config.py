@@ -207,9 +207,11 @@ class PDEConfig:
         assert self.active_model in ("bidirectional", "anchored_minus")
         # 'identity' = exact solve for gamma == 0 (A = I; the reference
         # single-run config, IMEX_PDE_solver_run.py:13 gamma=0) — skips the
-        # two spectral transforms per species per step entirely
+        # two spectral transforms per species per step entirely.
+        # 'banded' = large-L scale path: the exponentially-decaying inverse
+        # applied as a narrow convolution, O(L·W) and space-shardable.
         assert self.diffusion_solver in ("auto", "fft", "dct", "dense",
-                                         "identity")
+                                         "identity", "banded")
 
     @property
     def dx(self) -> float:
@@ -233,8 +235,12 @@ class PDEConfig:
 
     @property
     def solver_kind(self) -> str:
+        if self.diffusion_solver == "banded":
+            return "banded" if self.bc == "periodic" else "banded_dct"
         if self.diffusion_solver != "auto":
             return self.diffusion_solver
+        if self.L > 8192:   # the dense L×L spectral matrix stops scaling
+            return "banded" if self.bc == "periodic" else "banded_dct"
         return "fft" if self.bc == "periodic" else "dct"
 
 

@@ -47,6 +47,34 @@ def build_diffusion_op(L: int, dx: float, dt: float, gamma,
                        bc: str, kind: str) -> DiffusionSolveOp:
     """Build the solve operator.  ``gamma`` may be a python float or a jnp
     scalar (possibly traced/vmapped) on the spectral paths."""
+    if kind in ("banded", "banded_dct"):
+        # Large-L scale path: the rows of (I − c·D)⁻¹ decay exponentially
+        # away from the diagonal (tridiagonal-Toeplitz inverse), so the
+        # solve is a narrow banded convolution to float precision — O(L·W)
+        # instead of the O(L²) dense/DFT matrix, shardable over a 'space'
+        # mesh axis (the conv halo is W/2 sites).  Kernel computed once on
+        # host from the circulant symbol at a probe size (L-independent).
+        g = float(np.asarray(gamma))
+        c = g * dt / dx ** 2
+        # kernel radius ~ √c · ln(1/eps); probe size adapts to c
+        est_r = int(21.0 * (np.sqrt(max(c, 0.0)) + 1.0))
+        M0 = 1 << max(12, int(np.ceil(np.log2(8 * est_r))))
+        if M0 > (1 << 20):
+            raise ValueError(
+                f"banded diffusion kernel radius ~{est_r} too wide "
+                f"(c = {c:.3g}); use the spectral solver or rescale dt/dx")
+        lam = _laplacian_eigs_periodic(M0)
+        k = np.fft.irfft(1.0 / (1.0 - c * lam), n=M0)
+        eps = 1e-9 * abs(k[0])
+        nz = np.flatnonzero(np.abs(k[:M0 // 2]) >= eps)
+        r = int(nz[-1]) if nz.size else 0
+        if r >= M0 // 2 - 1:
+            raise ValueError(
+                f"banded diffusion kernel does not decay within the probe "
+                f"(c = {c:.3g} too large); use the spectral solver")
+        w = np.concatenate([k[M0 - r:], k[:r + 1]]) if r else k[:1]
+        return DiffusionSolveOp(jnp.asarray(w, jnp.float32),
+                                jnp.zeros((0, 0), jnp.float32))
     gamma = jnp.asarray(gamma, dtype=jnp.float32)
     if kind == "identity":   # gamma == 0: A = I exactly
         return DiffusionSolveOp(jnp.zeros((0,), jnp.float32),
@@ -88,6 +116,24 @@ def diffusion_solve(op: DiffusionSolveOp, rho: jnp.ndarray,
 
     if kind == "identity":
         return rho
+    if kind in ("banded", "banded_dct"):
+        w = op.denom
+        r = (w.shape[0] - 1) // 2
+        if kind == "banded_dct":   # Neumann = periodic on the even extension
+            x = jnp.concatenate([rho, jnp.flip(rho[..., 1:-1], axis=-1)],
+                                axis=-1)
+        else:
+            x = rho
+        Lx = x.shape[-1]
+        assert r < Lx, "banded kernel wider than the (extended) lattice"
+        xp = jnp.concatenate([x[..., Lx - r:], x, x[..., :r]], axis=-1)
+        flat = xp.reshape((-1, 1, xp.shape[-1]))
+        out = jax.lax.conv_general_dilated(
+            flat, w.reshape((1, 1, -1)), window_strides=(1,),
+            padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST)
+        out = out.reshape(x.shape[:-1] + (Lx,))
+        return out[..., :rho.shape[-1]]
     if kind == "fft":
         L = rho.shape[-1]
         return dft.irfft_ri(dft.rfft_ri(rho) / op.denom[..., :, None], n=L)

@@ -38,6 +38,7 @@ class PDEOps(NamedTuple):
 
     smooth: SmoothOp              # interaction-kernel smoothing operator
     dense_inv: jnp.ndarray        # (L, L) when solver_kind == 'dense', else (0,0)
+    banded_w: jnp.ndarray         # (W,) when solver_kind is banded*, else (0,)
 
 
 def build_pde_ops(config: PDEConfig, params: PDEParams) -> PDEOps:
@@ -46,20 +47,28 @@ def build_pde_ops(config: PDEConfig, params: PDEParams) -> PDEOps:
         smooth = build_smooth_op(k)
     else:
         smooth = build_smooth_op(None)
-    if config.solver_kind == "dense":
+    dense_inv = jnp.zeros((0, 0), jnp.float32)
+    banded_w = jnp.zeros((0,), jnp.float32)
+    kind = config.solver_kind
+    if kind == "dense":
         op = build_diffusion_op(config.L, config.dx, config.dt,
                                 float(np.asarray(params.gamma)), config.bc,
                                 "dense")
         dense_inv = op.a_inv
-    else:
-        dense_inv = jnp.zeros((0, 0), jnp.float32)
-    return PDEOps(smooth=smooth, dense_inv=dense_inv)
+    elif kind in ("banded", "banded_dct"):   # needs concrete gamma (host fft)
+        op = build_diffusion_op(config.L, config.dx, config.dt,
+                                float(np.asarray(params.gamma)), config.bc,
+                                kind)
+        banded_w = op.denom
+    return PDEOps(smooth=smooth, dense_inv=dense_inv, banded_w=banded_w)
 
 
 def _solve_op(config: PDEConfig, params: PDEParams, ops: PDEOps) -> DiffusionSolveOp:
     kind = config.solver_kind
     if kind == "dense":
         return DiffusionSolveOp(jnp.zeros((0,), jnp.float32), ops.dense_inv)
+    if kind in ("banded", "banded_dct"):
+        return DiffusionSolveOp(ops.banded_w, jnp.zeros((0, 0), jnp.float32))
     return build_diffusion_op(config.L, config.dx, config.dt, params.gamma,
                               config.bc, kind)
 
