@@ -26,27 +26,66 @@ from hydrolim_tpu.ops.convolve import periodic_gaussian_kernel, reflect_gaussian
 
 
 class SmoothOp(NamedTuple):
-    """Cached circular-convolution operator (one of the two fields is a
-    size-0 placeholder, depending on the global fft mode).  No complex
-    dtypes anywhere — the TPU backend lacks complex64."""
+    """Cached circular-convolution operator (exactly one of the three fields
+    is non-empty).  No complex dtypes anywhere — the TPU backend lacks
+    complex64."""
 
     kernel_rfft_ri: jnp.ndarray   # float32 (L//2+1, 2) — native-fft mode
     conv_mat: jnp.ndarray         # float32 (L, L)      — matmul mode
+    conv_kernel: jnp.ndarray      # float32 (W,)        — large-L narrow conv
+
+
+_ZK = lambda: jnp.zeros((0,), jnp.float32)
+
+# past this lattice size the L×L circulant matmul stops scaling; narrow
+# (symmetric) kernels switch to a wrap-padded banded convolution
+_NARROW_CONV_MIN_L = 4096
 
 
 def build_smooth_op(kernel: Optional[np.ndarray]) -> SmoothOp:
     if kernel is None:
         return SmoothOp(jnp.zeros((0, 2), jnp.float32),
-                        jnp.zeros((0, 0), jnp.float32))
+                        jnp.zeros((0, 0), jnp.float32), _ZK())
+    kernel = np.asarray(kernel, np.float64)
+    L = kernel.shape[0]
+    if L > _NARROW_CONV_MIN_L:
+        # centered support radius (Gaussian kernels are symmetric)
+        mags = np.abs(kernel)
+        eps = 1e-9 * mags.max()
+        d = np.minimum(np.arange(L), L - np.arange(L))
+        nz = d[mags >= eps]
+        r = int(nz.max()) if nz.size else 0
+        if r < L // 8:
+            w = np.concatenate([kernel[L - r:], kernel[:r + 1]]) \
+                if r else kernel[:1]
+            return SmoothOp(jnp.zeros((0, 2), jnp.float32),
+                            jnp.zeros((0, 0), jnp.float32),
+                            jnp.asarray(w, jnp.float32))
     if dft.fft_mode() == "native":
         K = np.fft.rfft(kernel)
         kri = np.stack([K.real, K.imag], axis=-1).astype(np.float32)
-        return SmoothOp(jnp.asarray(kri), jnp.zeros((0, 0), jnp.float32))
+        return SmoothOp(jnp.asarray(kri), jnp.zeros((0, 0), jnp.float32),
+                        _ZK())
     return SmoothOp(jnp.zeros((0, 2), jnp.float32),
-                    dft.circulant_matmul_matrix(kernel))
+                    dft.circulant_matmul_matrix(kernel), _ZK())
 
 
 def apply_smooth(op: SmoothOp, x: jnp.ndarray) -> jnp.ndarray:
+    if op.conv_kernel.shape[0] > 0:
+        import jax
+
+        w = op.conv_kernel
+        r = (w.shape[0] - 1) // 2
+        L = x.shape[-1]
+        xf = x.astype(jnp.float32)
+        xp = jnp.concatenate([xf[..., L - r:], xf, xf[..., :r]], axis=-1) \
+            if r else xf
+        flat = xp.reshape((-1, 1, xp.shape[-1]))
+        out = jax.lax.conv_general_dilated(
+            flat, w.reshape((1, 1, -1)), window_strides=(1,),
+            padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(x.shape[:-1] + (L,))
     if op.conv_mat.shape[0] > 0:
         return dft.circular_convolve(x, op.conv_mat)
     L = x.shape[-1]

@@ -94,3 +94,28 @@ def test_reflect_gaussian_wide_kernel_ring_matmul():
         ours = np.asarray(reflect_gaussian_filter(jnp.asarray(x), sg))
         ref = gaussian_filter1d(x.astype(np.float64), sg, mode="reflect")
         np.testing.assert_allclose(ours, ref, rtol=5e-4, atol=5e-5)
+
+
+def test_smooth_op_narrow_conv_large_L():
+    """Above the narrow-conv threshold the smoothing operator switches from
+    the L×L circulant matmul to a banded wrap convolution; results match the
+    exact numpy circular convolution, and a huge-L build stays O(L·W)."""
+    import jax.numpy as jnp
+
+    from hydrolim_tpu.fields.magnetization import apply_smooth, build_smooth_op
+    from hydrolim_tpu.ops.convolve import periodic_gaussian_kernel
+
+    L, dx, sigma = 8192, 1.0 / 8192, 0.002
+    k = periodic_gaussian_kernel(L, dx, sigma)
+    op = build_smooth_op(k)
+    assert op.conv_kernel.shape[0] > 0          # narrow-conv mode engaged
+    rng = np.random.default_rng(7)
+    x = rng.random(L)
+    got = np.asarray(apply_smooth(op, jnp.asarray(x, jnp.float32)))
+    want = np.real(np.fft.ifft(np.fft.fft(x) * np.fft.fft(k)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    # wide kernels (e.g. the 1e5-10 near-global sentinel) keep the exact path
+    k_wide = periodic_gaussian_kernel(L, dx, 10.0)
+    op_wide = build_smooth_op(k_wide)
+    assert op_wide.conv_kernel.shape[0] == 0
