@@ -281,24 +281,10 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
-    # run first: the axon worker degrades after sustained multi-program
-    # sessions, which skews late measurements (observed 35x on this metric)
-    try:
-        k3_1, k3_b = bench_k3_flagship()
-        print(f"# K=3 flagship (site-centric slot engine): {k3_1:.3e} "
-              f"particle-steps/sec single replica, {k3_b:.3e} at B=16",
-              file=sys.stderr)
-    except Exception as e:
-        print(f"# K=3 flagship bench failed: {e}", file=sys.stderr)
-    try:
-        k3p_1, k3p_b = bench_k3_pallas()
-        print(f"# K=3 flagship (fused Pallas exclusion kernel): "
-              f"{k3p_1:.3e} single replica, {k3p_b:.3e} at B=16 "
-              f"(XLA slot engine is the production path; the kernel is the "
-              f"validated fused-path reference)", file=sys.stderr)
-    except Exception as e:
-        print(f"# K=3 pallas bench unavailable: {e}", file=sys.stderr)
-
+    # Ordering: the axon worker degrades over sustained multi-program
+    # sessions (observed 35x on a late metric), so the HEADLINE benches
+    # (particle XLA + Pallas -- the JSON line consumers parse) run first
+    # and the secondary stderr metrics absorb any late-session skew.
     pps, step_time = bench_particle_steps()
     print(f"# particle bench (XLA path): {pps:.3e} particle-steps/sec/chip "
           f"(64x1e5 batch, {step_time * 1e3:.1f} ms / 100 steps)",
@@ -314,6 +300,21 @@ def main():
         pps = max(pps, pps_pl)
     except Exception as e:  # Mosaic unavailable off-TPU
         print(f"# pallas bench unavailable: {e}", file=sys.stderr)
+    try:
+        k3_1, k3_b = bench_k3_flagship()
+        print(f"# K=3 flagship (site-centric slot engine): {k3_1:.3e} "
+              f"particle-steps/sec single replica, {k3_b:.3e} at B=16",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"# K=3 flagship bench failed: {e}", file=sys.stderr)
+    try:
+        k3p_1, k3p_b = bench_k3_pallas()
+        print(f"# K=3 flagship (fused Pallas exclusion kernel): "
+              f"{k3p_1:.3e} single replica, {k3p_b:.3e} at B=16 "
+              f"(XLA slot engine is the production path; the kernel is the "
+              f"validated fused-path reference)", file=sys.stderr)
+    except Exception as e:
+        print(f"# K=3 pallas bench unavailable: {e}", file=sys.stderr)
     try:
         lg = bench_lattice_gas()
         print(f"# lattice-gas bench (K=1 exclusion, local kernel): "

@@ -72,20 +72,9 @@ def build_smooth_op(kernel: Optional[np.ndarray]) -> SmoothOp:
 
 def apply_smooth(op: SmoothOp, x: jnp.ndarray) -> jnp.ndarray:
     if op.conv_kernel.shape[0] > 0:
-        import jax
+        from hydrolim_tpu.ops.convolve import banded_circular_conv
 
-        w = op.conv_kernel
-        r = (w.shape[0] - 1) // 2
-        L = x.shape[-1]
-        xf = x.astype(jnp.float32)
-        xp = jnp.concatenate([xf[..., L - r:], xf, xf[..., :r]], axis=-1) \
-            if r else xf
-        flat = xp.reshape((-1, 1, xp.shape[-1]))
-        out = jax.lax.conv_general_dilated(
-            flat, w.reshape((1, 1, -1)), window_strides=(1,),
-            padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=jax.lax.Precision.HIGHEST)
-        return out.reshape(x.shape[:-1] + (L,))
+        return banded_circular_conv(x, op.conv_kernel)
     if op.conv_mat.shape[0] > 0:
         return dft.circular_convolve(x, op.conv_mat)
     L = x.shape[-1]

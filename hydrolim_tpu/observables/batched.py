@@ -119,8 +119,14 @@ def batched_estimates(total, m_global, rho_p, times,
     frame_val = jnp.sum(total * in_win, axis=-1) * dx_grid / rho_window
     frame_ok = (any_occ & (jnp.sum(in_win, axis=-1) > 0)).astype(jnp.float32) \
         * maskf
-    rho_eff = jnp.sum(frame_val * frame_ok, axis=-1) \
-        / jnp.maximum(jnp.sum(frame_ok, axis=-1), 1e-12)
+    n_ok_frames = jnp.sum(frame_ok, axis=-1)
+    # nan when no window frame has occupancy — matches the host estimator
+    # (silently returning 0.0 would deflate sweep means)
+    rho_eff = jnp.where(
+        n_ok_frames > 0,
+        jnp.sum(frame_val * frame_ok, axis=-1) / jnp.maximum(n_ok_frames,
+                                                             1e-12),
+        jnp.nan)
 
     # --- blocking probability (:197-229) ------------------------------------
     rp = jnp.asarray(rho_p, jnp.float32)[..., :-1]

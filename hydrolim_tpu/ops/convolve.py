@@ -108,3 +108,25 @@ def reflect_gaussian_filter(x: jnp.ndarray, sigma_grid: float,
         precision=jax.lax.Precision.HIGHEST,
     )
     return out.reshape(batch_shape + (out.shape[-1],))
+
+
+def banded_circular_conv(x, w):
+    """Periodic banded convolution with a centered symmetric kernel ``w``
+    ((W,), W = 2r+1) on the trailing axis, batched over leading dims — the
+    shared large-L primitive behind the banded diffusion solve
+    (ops.diffusion) and the narrow m-field smoothing (fields.magnetization).
+    Wrap-pads by r and runs one VALID `conv_general_dilated` at
+    `Precision.HIGHEST` (bf16 operands would quantize density fluctuations;
+    see VALIDATION.md)."""
+    r = (w.shape[0] - 1) // 2
+    L = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    assert r < L, "banded kernel wider than the lattice"
+    xp = jnp.concatenate([xf[..., L - r:], xf, xf[..., :r]], axis=-1) \
+        if r else xf
+    flat = xp.reshape((-1, 1, xp.shape[-1]))
+    out = jax.lax.conv_general_dilated(
+        flat, w.reshape((1, 1, -1)), window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(x.shape[:-1] + (L,))

@@ -117,23 +117,14 @@ def diffusion_solve(op: DiffusionSolveOp, rho: jnp.ndarray,
     if kind == "identity":
         return rho
     if kind in ("banded", "banded_dct"):
-        w = op.denom
-        r = (w.shape[0] - 1) // 2
+        from hydrolim_tpu.ops.convolve import banded_circular_conv
+
         if kind == "banded_dct":   # Neumann = periodic on the even extension
             x = jnp.concatenate([rho, jnp.flip(rho[..., 1:-1], axis=-1)],
                                 axis=-1)
         else:
             x = rho
-        Lx = x.shape[-1]
-        assert r < Lx, "banded kernel wider than the (extended) lattice"
-        xp = jnp.concatenate([x[..., Lx - r:], x, x[..., :r]], axis=-1)
-        flat = xp.reshape((-1, 1, xp.shape[-1]))
-        out = jax.lax.conv_general_dilated(
-            flat, w.reshape((1, 1, -1)), window_strides=(1,),
-            padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=jax.lax.Precision.HIGHEST)
-        out = out.reshape(x.shape[:-1] + (Lx,))
-        return out[..., :rho.shape[-1]]
+        return banded_circular_conv(x, op.denom)[..., :rho.shape[-1]]
     if kind == "fft":
         L = rho.shape[-1]
         return dft.irfft_ri(dft.rfft_ri(rho) / op.denom[..., :, None], n=L)

@@ -248,7 +248,11 @@ def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
     B, Kp, Lp = slots.shape
     assert Kp == _pad_rows(K), 'pack slots with pack_slots() (row padding)'
     assert 2 * Kp <= 16, 'row-id priority bits support K <= 8'
-    if conv_mat.size == 0:
+    if not use_local_m:
+        # minimal tiling-aligned placeholder — shipping a (Lp, Lp) zero
+        # matrix would waste ~4 MB of VMEM per program at L=1000
+        conv_mat = jnp.zeros((8, LANE), jnp.float32)
+    elif conv_mat.size == 0:
         conv_mat = jnp.zeros((Lp, Lp), jnp.float32)
     grid = (B,)
     kernel = functools.partial(
@@ -268,7 +272,7 @@ def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
             pl.BlockSpec((B, 3), lambda b: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
             slot_spec,
-            pl.BlockSpec((Lp, Lp), lambda b: (0, 0),
+            pl.BlockSpec(conv_mat.shape, lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=slot_spec,

@@ -34,29 +34,34 @@ def _factor2(n: int) -> Tuple[int, int]:
     return best
 
 
+def select_devices(n_devices: Optional[int] = None):
+    """Default-platform devices, falling back to the (virtual multi-device)
+    CPU platform only when the default backend is unavailable or has fewer
+    than ``n_devices`` — so real accelerators are never silently bypassed,
+    and single-chip machines can still validate multi-chip shardings.
+    (Callers that must never touch a possibly-broken default backend — the
+    driver dryrun — pass explicit ``devices`` instead.)"""
+    try:
+        devices = jax.devices()
+    except RuntimeError:
+        devices = []
+    if n_devices is not None and len(devices) < n_devices:
+        try:
+            cpus = jax.devices("cpu")
+        except RuntimeError:
+            cpus = []
+        if len(cpus) >= n_devices:
+            devices = cpus
+    return devices
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Tuple[str, str] = ("sweep", "part"),
               devices=None) -> Mesh:
-    """2-D mesh over the available devices (most-square factorization).
-
-    When ``n_devices`` is requested and a multi-device *CPU* platform can
-    satisfy it (virtual host devices via
-    ``--xla_force_host_platform_device_count`` / ``jax_num_cpu_devices``),
-    the mesh is built from those CPU devices **without ever enumerating the
-    default backend** — initializing a broken TPU client here was the round-1
-    dryrun failure (VERDICT.md #1).  A bare single-CPU platform does not
-    trigger the fallback, so real accelerator runs still get the default
-    devices."""
+    """2-D mesh over the available devices (most-square factorization);
+    device selection per :func:`select_devices`."""
     if devices is None:
-        if n_devices is not None:
-            try:
-                cpus = jax.devices("cpu")
-            except RuntimeError:
-                cpus = []
-            if len(cpus) >= n_devices and len(cpus) > 1:
-                devices = cpus
-        if devices is None:
-            devices = jax.devices()
+        devices = select_devices(n_devices)
     if n_devices is not None:
         assert len(devices) >= n_devices, (
             f"need {n_devices} devices, have {len(devices)}")

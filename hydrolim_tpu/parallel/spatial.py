@@ -32,20 +32,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def space_mesh(n_devices: Optional[int] = None, devices=None,
                axis_name: str = "space") -> Mesh:
-    """1-D mesh over the lattice axis.  Prefers a multi-device CPU platform
-    for validation on single-chip machines (same policy as
-    parallel.mesh.make_mesh — never enumerates a possibly-broken default
-    backend when CPUs suffice)."""
+    """1-D mesh over the lattice axis; device selection shared with
+    :func:`parallel.mesh.select_devices` (default platform first, CPU
+    fallback only when it cannot satisfy ``n_devices``)."""
+    from hydrolim_tpu.parallel.mesh import select_devices
+
     if devices is None:
-        if n_devices is not None:
-            try:
-                cpus = jax.devices("cpu")
-            except RuntimeError:
-                cpus = []
-            if len(cpus) >= n_devices and len(cpus) > 1:
-                devices = cpus
-        if devices is None:
-            devices = jax.devices()
+        devices = select_devices(n_devices)
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))

@@ -170,11 +170,13 @@ def _lg_record_counts(config: ParticleConfig, mfield_op: MFieldOp,
 
 
 def _init_tracers(occ0: jnp.ndarray, key: jnp.ndarray, n_tracers: int):
-    """Pick n_tracers random occupied sites (requires n_tracers ≤ N)."""
+    """Pick n_tracers random occupied sites.  Returns ``(sites, valid)`` —
+    surplus tags (fewer occupied sites than n_tracers, e.g. sparse Poisson
+    inits) are marked invalid instead of pointing at empty sites."""
     bits = jax.random.bits(key, occ0.shape, jnp.uint32) >> 1
     keys_arr = jnp.where(occ0 != 0, bits, jnp.uint32(0))
-    _, idx = jax.lax.top_k(keys_arr, n_tracers)
-    return idx.astype(jnp.int32)
+    vals, idx = jax.lax.top_k(keys_arr, n_tracers)
+    return idx.astype(jnp.int32), vals > 0
 
 
 @functools.partial(
@@ -191,15 +193,17 @@ def _lg_scan(config: ParticleConfig, params: ParticleParams,
 
     key, k_tr = jax.random.split(key)
     if n_tracers > 0:
-        tr0 = _init_tracers(occ0, k_tr, n_tracers)
+        tr0, tr_valid = _init_tracers(occ0, k_tr, n_tracers)
     else:
         tr0 = jnp.zeros((0,), jnp.int32)
+        tr_valid = jnp.zeros((0,), bool)
     wind0 = jnp.zeros_like(tr0)
 
     def rec(occ, tr, wind):
         f = _lg_record(config, mfield_op, occ, record_fft)
         if n_tracers > 0:
-            f = f._replace(tracer_pos=tr + wind * L)
+            # invalid (phantom) tags record sentinel -1 — estimators mask
+            f = f._replace(tracer_pos=jnp.where(tr_valid, tr + wind * L, -1))
         return f
 
     def frame_step(carry, _):

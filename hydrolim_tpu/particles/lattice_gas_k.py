@@ -257,12 +257,18 @@ def lgk_init(config: ParticleConfig, key: jnp.ndarray,
 
 
 def _init_tracers_k(slots0: jnp.ndarray, key: jnp.ndarray, n_tracers: int):
-    """Pick n_tracers distinct occupied (slot, site) flat indices."""
+    """Pick n_tracers distinct occupied (slot, site) flat indices.
+
+    Returns ``(sites, slots, valid)`` — when fewer than n_tracers slots are
+    occupied (e.g. a Poisson init realized < N particles), the surplus tags
+    are marked invalid instead of silently pointing at empty slots (they
+    would otherwise track phantom particles)."""
     K, L = slots0.shape
     bits = jax.random.bits(key, slots0.shape, jnp.uint32) >> 1
     keys_arr = jnp.where(slots0 != 0, bits, jnp.uint32(0))
-    _, idx = jax.lax.top_k(keys_arr.reshape(-1), n_tracers)
-    return (idx % L).astype(jnp.int32), (idx // L).astype(jnp.int32)
+    vals, idx = jax.lax.top_k(keys_arr.reshape(-1), n_tracers)
+    return ((idx % L).astype(jnp.int32), (idx // L).astype(jnp.int32),
+            vals > 0)
 
 
 @functools.partial(
@@ -279,10 +285,12 @@ def _lgk_scan(config: ParticleConfig, params: ParticleParams,
 
     key, k_tr = jax.random.split(key)
     if n_tracers > 0:
-        tr_site0, tr_slot0 = _init_tracers_k(slots0, k_tr, n_tracers)
+        tr_site0, tr_slot0, tr_valid = _init_tracers_k(slots0, k_tr,
+                                                       n_tracers)
     else:
         tr_site0 = jnp.zeros((0,), jnp.int32)
         tr_slot0 = jnp.zeros((0,), jnp.int32)
+        tr_valid = jnp.zeros((0,), bool)
     wind0 = jnp.zeros_like(tr_site0)
 
     def rec(slots, tr_site, wind):
@@ -291,7 +299,9 @@ def _lgk_scan(config: ParticleConfig, params: ParticleParams,
         f = _lg_record_counts(config, mfield_op, counts_p, counts_m,
                               record_fft)
         if n_tracers > 0:
-            f = f._replace(tracer_pos=tr_site + wind * L)
+            # invalid (phantom) tags record sentinel -1 — estimator masks
+            f = f._replace(tracer_pos=jnp.where(tr_valid,
+                                                tr_site + wind * L, -1))
         return f
 
     def frame_step(carry, _):

@@ -239,7 +239,12 @@ class ParticleSystem:
         times_obs = np.arange(0.0, T, obs_dt)
         M = len(times_obs)
         pos_u = g(frames.tracer_pos)                     # (M, N) unwrapped
-        pos_list = [(pos_u[k] % L).astype(np.int64) for k in range(M)]
+        # Poisson init may realize fewer than N particles; surplus tags are
+        # sentinel -1 (phantom-tracer guard) — mask them out everywhere
+        alive = pos_u >= 0                               # (M, N)
+        n_real = int(alive[0].sum())
+        pos_list = [(pos_u[k][alive[k]] % L).astype(np.int64)
+                    for k in range(M)]
         zeros = np.zeros((M, N), bool)
         if record_fft:
             rho_hat = np.fft.fft(g(frames.total), axis=-1)
@@ -252,8 +257,8 @@ class ParticleSystem:
             "rho_p_list": g(frames.rho_p).astype(float),
             "rho_m_list": g(frames.rho_m).astype(float),
             "total_list": g(frames.total).astype(float),
-            "particle_count_list": [N] * M,
-            "bound_list": [zeros[k] for k in range(M)],
+            "particle_count_list": [n_real] * M,
+            "bound_list": [zeros[k][alive[k]] for k in range(M)],
             "m_local_list": g(frames.m_local).astype(float),
             "m_global": g(frames.m_global).astype(float),
             "rho_hat_complex": rho_hat,
@@ -263,7 +268,7 @@ class ParticleSystem:
             "exit_positions": [],
             "exit_init_bin": [],
             "pos_frames": pos_u,
-            "alive_frames": np.ones((M, N), bool),
+            "alive_frames": alive,
             "bound_frames": zeros,
             "dt_eff": obs_dt / max(1, int(np.ceil(obs_dt / self._dt - 1e-9))),
         }

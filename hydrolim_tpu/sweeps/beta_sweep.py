@@ -214,8 +214,9 @@ def _lattice_gas_out_accessor(frames, times, exit_log=None):
             "var_list": np.asarray(frames.var[i]),
             "fft_amp_list": np.asarray(frames.fft_amp[i]),
             # tracer positions play the role of pos_frames for D_eff
+            # (sentinel -1 marks invalid/phantom tags under sparse inits)
             "pos_frames": tr,
-            "alive_frames": np.ones_like(tr, bool),
+            "alive_frames": tr >= 0,
             "pos_list": None,
             "exit_times": exit_times,
             "exit_positions": exit_positions,
@@ -374,7 +375,7 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
                 tr = np.asarray(f.tracer_pos)
                 dev_est = jax.device_get(batched_estimates(
                     f.total, f.m_global, f.rho_p, times, tr,
-                    np.ones_like(tr, bool), dx=config.dx,
+                    tr >= 0, dx=config.dx,
                     xlim=float(config.xlim),
                     has_positions=tr.shape[-1] > 0))
             else:
