@@ -7,8 +7,11 @@ This kernel runs K_STEPS of the site-centric slot engine
 (particles/lattice_gas_k.py — same generator, same admission rule) entirely
 in VMEM:
 
-- state: ``slots ∈ {0,±1}^(K, Lp)`` — K sublanes × Lp lanes (L padded to a
-  lane multiple); padding lanes are masked out of every rate/move,
+- state: signed slot payloads ``(K, Lp)`` int32 — K sublanes × Lp lanes (L
+  padded to a lane multiple); sign = spin, magnitude = particle identity
+  (1 for anonymous fields, ``id+1`` for tagged/tracer runs — payloads move
+  and compact intact, so identities survive every step); padding lanes are
+  masked out of every rate/move,
 - magnetization: global-m reduction, or local smoothing as ONE MXU matmul
   ``(2, Lp) @ (Lp, Lp)`` against a precomputed conv matrix that matches
   ``ops.convolve`` exactly (periodic torus kernel / non-periodic
@@ -126,12 +129,16 @@ def _kernel(scal_ref, seed_ref, slots_ref, conv_ref, slots_out, *,
         return jnp.where(lane < L, out, fill)
 
     def body(step, slots):
+        # slot payloads are SIGNED: sign = spin, magnitude = particle
+        # identity (1 for anonymous ±1 fields, `id+1` for tagged runs —
+        # sweeps/fast_exclusion.py).  All physics below reads only the sign;
+        # moves/compaction carry payloads intact, so identities survive.
         occ_slot = slots != 0
-        is_plus = slots == 1
-        is_minus = slots == -1
-        slots_f = slots.astype(jnp.float32)
-        counts_s = jnp.sum(slots_f, axis=0, keepdims=True)        # (1, Lp)
-        tot = jnp.sum(jnp.abs(slots_f), axis=0, keepdims=True)    # (1, Lp)
+        is_plus = slots > 0
+        is_minus = slots < 0
+        sgn_f = (is_plus.astype(jnp.float32) - is_minus.astype(jnp.float32))
+        counts_s = jnp.sum(sgn_f, axis=0, keepdims=True)          # (1, Lp)
+        tot = jnp.sum(jnp.abs(sgn_f), axis=0, keepdims=True)      # (1, Lp)
         occ_tot = tot.astype(jnp.int32)
 
         if use_local_m:
@@ -146,7 +153,7 @@ def _kernel(scal_ref, seed_ref, slots_ref, conv_ref, slots_out, *,
             n_alive = jnp.maximum(jnp.sum(tot), 1.0)
             m = jnp.full((1, Lp), s_sum / n_alive)
 
-        c = jnp.where(occ_slot, jnp.exp(-beta * slots_f * m), 0.0)
+        c = jnp.where(occ_slot, jnp.exp(-beta * sgn_f * m), 0.0)
 
         right_free = shift_left1(occ_tot, fill=K) < K             # (1, Lp)
         left_free = shift_right1(occ_tot, fill=K) < K
@@ -240,7 +247,8 @@ def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
       scalars: (B, 3) float32 [beta, rate_diffusion, rate_active] (site
         units).
       seeds: (B,) int32 — pass ``base + frame`` per invocation.
-      slots: (B, K, Lp) int32 slot fields (pad lanes zero).
+      slots: (B, K, Lp) int32 signed slot payloads (sign = spin, magnitude
+        = identity; pad lanes zero).
       conv_mat: (Lp, Lp) float32 smoothing matrix (ignored unless
         ``use_local_m``; pass a (0, 0) array for global m — it is replaced
         by a 1×1 zero placeholder internally).

@@ -146,11 +146,16 @@ def _profiles(config: ParticleConfig, init_kwargs: Optional[Dict]):
 def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
                                init_kwargs: Optional[Dict],
                                run_kwargs: Dict, seed: int = 0,
-                               n_tracers: int = 128):
+                               n_tracers: int = 128,
+                               kernel: str = "xla"):
     """(β × replicas) grid on the site-centric lattice-gas engine (K=1 occ
     field or the K>1 slot engine — both far above particle-centric exclusion
     throughput); returns (config, out_for(i) accessor, dt).  Tagged tracers
-    provide the displacement positions for D_eff."""
+    provide the displacement positions for D_eff.
+
+    ``kernel='auto'`` routes supported configurations (K<=8, no anchors/
+    crowding, default flip rate) to the fused Pallas slot kernel on TPU
+    (sweeps.fast_exclusion) and to the XLA slot engines otherwise."""
     from hydrolim_tpu.particles.lattice_gas import run_lattice_gas
     from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_k
 
@@ -184,6 +189,21 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
                                             exit_log=exit_log)
         return config, out_for, dt, frames
     n_tracers = min(n_tracers, config.N)
+    if kernel != "xla":
+        from hydrolim_tpu.sweeps.fast_exclusion import (
+            is_pallas_exclusion_path,
+            run_exclusion_sweep,
+        )
+
+        if is_pallas_exclusion_path(config):
+            frames, _ = run_exclusion_sweep(
+                config, params, key, T=T, obs_dt=obs_dt, dt=dt,
+                engine=kernel, rho0_plus=rho0_p, rho0_minus=rho0_m,
+                n_tracers=n_tracers)
+            out_for = _lattice_gas_out_accessor(frames, times)
+            return config, out_for, dt, frames
+        assert kernel == "auto", (
+            "kernel='pallas' requires the fused-kernel configuration class")
     frames, _ = run_lattice_gas(config, params, key,
                                 T=T, obs_dt=obs_dt, dt=dt,
                                 rho0_plus=rho0_p, rho0_minus=rho0_m,
@@ -348,10 +368,11 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
 
     if run:
         lg_frames = None
-        if engine == "lattice_gas":
+        if engine in ("lattice_gas", "pallas"):
             config, out_for, dt, lg_frames = run_sweep_grid_lattice_gas(
                 beta_values, n_runs_per_beta, ps_kwargs, init_kwargs,
-                run_kwargs, seed=seed)
+                run_kwargs, seed=seed,
+                kernel="auto" if engine == "pallas" else "xla")
         else:
             config, res, dt = run_sweep_grid(beta_values, n_runs_per_beta,
                                              ps_kwargs, init_kwargs,
@@ -370,7 +391,7 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
             from hydrolim_tpu.observables.batched import batched_estimates
 
             times = np.arange(0.0, T, obs_dt)
-            if engine == "lattice_gas":
+            if engine in ("lattice_gas", "pallas"):
                 f = lg_frames
                 tr = np.asarray(f.tracer_pos)
                 dev_est = jax.device_get(batched_estimates(
@@ -396,12 +417,12 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
                         float(dev_est.p_block[ri]))
                     out = None
                     if keep_outs:
-                        out = (out_for(ri) if engine == "lattice_gas" else
+                        out = (out_for(ri) if engine in ("lattice_gas", "pallas") else
                                frames_to_out(res.frames, ri, config, T,
                                              obs_dt,
                                              final_state=res.final_state))
                 else:
-                    if engine == "lattice_gas":
+                    if engine in ("lattice_gas", "pallas"):
                         out = out_for(ri)
                     else:
                         out = frames_to_out(res.frames, ri, config, T,

@@ -1,0 +1,229 @@
+"""Production EXCLUSION sweep runner on the fused Pallas slot kernel.
+
+Completes the user-facing story of ops/pallas_exclusion.py: round 2's fused
+exclusion kernel was bench/test-only — actual sweeps ran on the XLA slot
+engine (particles/lattice_gas_k.py).  This module advances the (β-grid ×
+replicas) batch one obs_dt frame per kernel invocation (slot state resident
+in VMEM across the Δt sub-steps), computing the frame observables between
+invocations — the same recording granularity and return contract as
+``run_lattice_gas_k`` but at fused-kernel throughput.
+
+Tracer identity rides the slot payloads: the kernel treats slot values as
+signed payloads (sign = spin, magnitude = particle id), so per-particle
+displacement series — hence D_eff (``PARTICLE_solver_BIOLOGY_EXCLUSION_
+sweep_beta.py:500-525`` semantics) — come out exactly, with no extra kernel
+state.  Falls back to the XLA slot engine automatically off-TPU
+(``engine='auto'``).
+
+Supported configuration class (the reference flagship,
+PARTICLE_solver_BIOLOGY_EXCLUSION.py:55-94): site exclusion with capacity
+K ≤ 8, periodic or non-periodic, plus_forward or bidirectional hops, global
+or Gaussian local m, default CW flip rate, no anchors/binding, no crowding
+suppression.  Everything else routes to the XLA engines.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hydrolim_tpu.core.config import ParticleConfig, ParticleParams
+from hydrolim_tpu.fields.magnetization import build_mfield_op
+from hydrolim_tpu.particles.lattice_gas import LatticeGasFrames, _lg_record_counts
+
+
+def default_device_is_tpu() -> bool:
+    """True iff jitted programs will actually run on a TPU.  Checks the
+    pinned default device first: the axon plugin lists the TPU in
+    ``jax.devices()`` even when ``jax_default_device`` pins CPU (CLAUDE.md),
+    and a Pallas call lowered for the CPU default device fails."""
+    try:
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return dd.platform not in ("cpu",)
+        return jax.devices()[0].platform not in ("cpu",)
+    except RuntimeError:
+        return False
+
+
+def is_pallas_exclusion_path(config: ParticleConfig) -> bool:
+    """True iff the fused kernel supports this configuration."""
+    return (config.exclusion
+            and config.K <= 8
+            and config.anchor_positions is None
+            and not config.crowding_suppresses_rates
+            and config.flip_rate_fn is None)
+
+
+def _record_fn(config: ParticleConfig, record_fft: bool):
+    mfield_op = build_mfield_op(config.L, config.dx,
+                                config.local_kernel_sigma, config.periodic)
+    K, L = config.K, config.L
+
+    @jax.jit
+    def rec(slots_padded, tags, valid):
+        """(B, Kp, Lp) payload slots → batched frame observables + raw
+        tracer sites (B, n_t; -1 for invalid tags)."""
+        slots = slots_padded[..., :K, :L]
+        counts_p = (slots > 0).sum(-2).astype(jnp.float32)
+        counts_m = (slots < 0).sum(-2).astype(jnp.float32)
+        frame = _lg_record_counts(config, mfield_op, counts_p, counts_m,
+                                  record_fft)
+        if tags.shape[-1] == 0:
+            return frame, jnp.zeros(slots.shape[:-2] + (0,), jnp.int32)
+        # id → site lookup: scatter each payload's lane index into a table
+        # indexed by |payload| (index 0 collects empty-slot writes — never
+        # read, tags are >= 1)
+        B = slots.shape[0]
+        ids = jnp.abs(slots).reshape(B, -1)                     # (B, K*L)
+        lane = jnp.broadcast_to(
+            jnp.arange(L, dtype=jnp.int32), (B, K, L)).reshape(B, -1)
+        site_of = jnp.zeros((B, K * L + 1), jnp.int32)
+        site_of = site_of.at[jnp.arange(B)[:, None], ids].set(lane)
+        raw = jnp.take_along_axis(site_of, tags, axis=-1)
+        return frame, jnp.where(valid, raw, -1)
+
+    return rec
+
+
+def _init_tags(slots0: np.ndarray, key, n_tracers: int):
+    """Per-replica tracer ids: n_tracers distinct occupied payloads.
+    Returns ``(tags (B, n_t) int32, valid (B, n_t) bool)`` — surplus tags
+    (fewer occupied slots than requested) are invalid, like
+    lattice_gas_k._init_tracers_k."""
+    B = slots0.shape[0]
+    flat = jnp.abs(jnp.asarray(slots0)).reshape(B, -1)
+    bits = jax.random.bits(key, flat.shape, jnp.uint32) >> 1
+    keys_arr = jnp.where(flat != 0, bits, jnp.uint32(0))
+    vals, idx = jax.lax.top_k(keys_arr, n_tracers)
+    tags = jnp.take_along_axis(flat, idx, axis=-1).astype(jnp.int32)
+    return tags, vals > 0
+
+
+def unwrap_tracer_sites(raw: np.ndarray, L: int, periodic: bool) -> np.ndarray:
+    """(M, B, n_t) raw sites (-1 invalid) → unwrapped positions (int32,
+    -1 where invalid).  Periodic wraps are resolved by minimal image per
+    frame — valid while per-frame |displacement| < L/2 (rates·obs_dt ≪ L
+    for every reference workload)."""
+    raw = np.asarray(raw)
+    if raw.shape[-1] == 0 or raw.shape[0] < 2:
+        return raw.astype(np.int32)
+    valid = raw >= 0
+    if periodic:
+        dr = raw[1:] - raw[:-1]
+        dr = (dr + L // 2) % L - L // 2
+        unwrapped = np.concatenate(
+            [raw[:1], raw[:1] + np.cumsum(dr, axis=0)], axis=0)
+    else:
+        unwrapped = raw
+    return np.where(valid, unwrapped, -1).astype(np.int32)
+
+
+def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
+                        key: jnp.ndarray, *, T: float, obs_dt: float,
+                        dt: float, engine: str = "auto", rho0_plus=None,
+                        rho0_minus=None, record_fft: bool = True,
+                        n_tracers: int = 0
+                        ) -> Tuple[LatticeGasFrames, np.ndarray]:
+    """Fused-kernel exclusion sweep over the batch of ``params_b``.
+
+    Same return contract as ``run_lattice_gas_k``: batched
+    ``LatticeGasFrames`` (leaves (B, M, …), tracer_pos unwrapped with -1
+    sentinels) plus the final (B, K, L) slot spin fields."""
+    from hydrolim_tpu.particles.lattice_gas_k import lgk_init, run_lattice_gas_k
+
+    assert is_pallas_exclusion_path(config), (
+        "run_exclusion_sweep requires the fused-kernel configuration class "
+        "(K<=8 exclusion, no anchors/crowding, default flip rate)")
+
+    if engine == "auto":
+        engine = "pallas" if default_device_is_tpu() else "xla"
+
+    if engine == "xla":
+        frames, slots = run_lattice_gas_k(
+            config, params_b, key, T=T, obs_dt=obs_dt, dt=dt,
+            rho0_plus=rho0_plus, rho0_minus=rho0_minus,
+            record_fft=record_fft, n_tracers=n_tracers)
+        return jax.device_get(frames), np.asarray(slots)
+
+    from hydrolim_tpu.ops.pallas_exclusion import (
+        build_conv_matrix,
+        exclusion_multi_step,
+        pack_slots,
+        unpack_slots,
+    )
+
+    B = params_b.beta.shape[0]
+    K, L = config.K, config.L
+    times = np.arange(0.0, T, obs_dt)
+    M = len(times)
+    n_sub = max(1, int(math.ceil(obs_dt / dt - 1e-9)))
+    dt_eff = obs_dt / n_sub
+
+    key, k_seed, k_tag = jax.random.split(key, 3)
+    keys = jax.random.split(key, B)
+    init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+    if rho0_plus is not None and np.ndim(rho0_plus) == 2:
+        spins0 = jax.vmap(lambda k, rp, rm: lgk_init(config, k, rp, rm))(
+            init_keys, jnp.asarray(rho0_plus), jnp.asarray(rho0_minus))
+    else:
+        spins0 = jax.vmap(lambda k: lgk_init(config, k, rho0_plus,
+                                             rho0_minus))(init_keys)
+    spins0 = np.asarray(spins0)
+
+    # payloads: sign = spin, magnitude = flat slot index + 1 at t=0
+    flat_ids = (np.arange(K * L, dtype=np.int32) + 1).reshape(K, L)
+    slots0 = spins0 * flat_ids[None]
+    if n_tracers > 0:
+        tags, valid = _init_tags(slots0, k_tag, min(n_tracers, K * L))
+    else:
+        tags = jnp.zeros((B, 0), jnp.int32)
+        valid = jnp.zeros((B, 0), bool)
+
+    scal = np.zeros((B, 3), np.float32)
+    scal[:, 0] = np.asarray(params_b.beta)
+    scal[:, 1] = np.asarray(params_b.rate_diffusion)
+    scal[:, 2] = np.asarray(params_b.rate_active)
+    scal = jnp.asarray(scal)
+    seeds0 = jax.random.randint(k_seed, (B,), 0, 2 ** 31 - 1 - M,
+                                dtype=jnp.int32)
+
+    use_local_m = config.local_kernel_sigma > 0
+    conv = build_conv_matrix(config) if use_local_m else np.zeros((0, 0))
+    bidi = config.active_model == "bidirectional"
+    rec = _record_fn(config, record_fft)
+
+    sl = pack_slots(slots0)
+    frames_list, raw_sites = [], []
+
+    def record(sl):
+        frame, raw = rec(sl, tags, valid)
+        frames_list.append(jax.device_get(frame))
+        raw_sites.append(np.asarray(raw))
+
+    record(sl)
+    for f in range(1, M):
+        sl = exclusion_multi_step(
+            scal, seeds0 + f, sl, conv, L=L, K=K, k_steps=n_sub, dt=dt_eff,
+            periodic=config.periodic, bidirectional=bidi,
+            use_local_m=use_local_m)
+        record(sl)
+
+    # stack per-frame hosts (M, B, ...) then move batch first (B, M, ...)
+    stacked = jax.tree.map(lambda *a: np.stack(a), *frames_list)
+    tracer_pos = unwrap_tracer_sites(np.stack(raw_sites), L,
+                                     config.periodic)
+    frames = LatticeGasFrames(
+        rho_p=np.moveaxis(stacked.rho_p, 0, 1),
+        rho_m=np.moveaxis(stacked.rho_m, 0, 1),
+        total=np.moveaxis(stacked.total, 0, 1),
+        m_local=np.moveaxis(stacked.m_local, 0, 1),
+        m_global=np.moveaxis(stacked.m_global, 0, 1),
+        var=np.moveaxis(stacked.var, 0, 1),
+        fft_amp=np.moveaxis(stacked.fft_amp, 0, 1),
+        tracer_pos=np.moveaxis(tracer_pos, 0, 1))
+    spins_final = np.sign(unpack_slots(sl, K, L)).astype(np.int32)
+    return frames, spins_final

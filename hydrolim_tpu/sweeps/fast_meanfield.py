@@ -68,12 +68,12 @@ def run_meanfield_sweep(config: ParticleConfig, params_b: ParticleParams,
     dt_eff = obs_dt / n_sub
 
     if engine == "auto":
-        try:
-            engine = ("pallas"
-                      if jax.devices()[0].platform not in ("cpu",)
-                      else "xla")
-        except RuntimeError:
-            engine = "xla"
+        from hydrolim_tpu.sweeps.fast_exclusion import default_device_is_tpu
+
+        # default-device check, not jax.devices(): the axon plugin lists the
+        # TPU even when jax_default_device pins CPU, and a Pallas call
+        # lowered for the CPU default device fails
+        engine = "pallas" if default_device_is_tpu() else "xla"
 
     # initial state
     k_pos, k_sig, k_seed = jax.random.split(key, 3)

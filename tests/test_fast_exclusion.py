@@ -1,0 +1,113 @@
+"""sweeps.fast_exclusion — the user-facing fused-exclusion sweep runner.
+
+CPU-testable surface: config gating, tracer-id selection, periodic unwrap,
+and the XLA fallback's frames/tracer contract (the Pallas engine itself is
+covered by tests/test_pallas_tpu.py on the TPU lane)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hydrolim_tpu.core.config import ParticleConfig
+from hydrolim_tpu.sweeps.ensemble import broadcast_params
+from hydrolim_tpu.sweeps.fast_exclusion import (
+    _init_tags,
+    is_pallas_exclusion_path,
+    run_exclusion_sweep,
+    unwrap_tracer_sites,
+)
+
+
+def _cfg(**kw):
+    base = dict(L=64, N=48, init="fixed", scale_rates=False,
+                local_kernel_sigma=0.01, periodic=True, site_capacity=2,
+                active_model="plus_forward")
+    base.update(kw)
+    return ParticleConfig(**base)
+
+
+def test_path_gating():
+    assert is_pallas_exclusion_path(_cfg())
+    assert is_pallas_exclusion_path(_cfg(site_capacity=8))
+    assert not is_pallas_exclusion_path(_cfg(site_capacity=9))
+    assert not is_pallas_exclusion_path(_cfg(site_capacity=None))
+    assert not is_pallas_exclusion_path(_cfg(anchor_positions=(0.5,)))
+    assert not is_pallas_exclusion_path(_cfg(crowding_suppresses_rates=True))
+    assert not is_pallas_exclusion_path(
+        _cfg(flip_rate_fn=lambda s, m, b: jnp.ones_like(m)))
+
+
+def test_init_tags_picks_occupied_ids():
+    K, L = 2, 32
+    spins = np.zeros((3, K, L), np.int32)
+    spins[:, 0, :10] = 1
+    spins[:, 1, 5:8] = -1
+    ids = (np.arange(K * L, dtype=np.int32) + 1).reshape(K, L)
+    slots = spins * ids[None]
+    tags, valid = _init_tags(slots, jax.random.PRNGKey(0), 8)
+    tags, valid = np.asarray(tags), np.asarray(valid)
+    assert valid.all()          # 13 occupied >= 8 requested
+    occupied_ids = set(np.abs(slots[0])[spins[0] != 0])
+    for b in range(3):
+        assert len(set(tags[b])) == 8          # distinct
+        assert set(tags[b]) <= occupied_ids
+
+
+def test_init_tags_marks_surplus_invalid():
+    spins = np.zeros((1, 1, 16), np.int32)
+    spins[0, 0, 3] = 1
+    spins[0, 0, 7] = -1
+    ids = np.arange(1, 17, dtype=np.int32).reshape(1, 16)
+    tags, valid = _init_tags(spins * ids[None], jax.random.PRNGKey(1), 5)
+    assert int(np.asarray(valid).sum()) == 2
+
+
+def test_unwrap_minimal_image():
+    L = 100
+    # one tracer walking right across the periodic seam
+    raw = np.array([[[97]], [[99]], [[1]], [[3]]])      # (M, B=1, n_t=1)
+    un = unwrap_tracer_sites(raw, L, periodic=True)
+    np.testing.assert_array_equal(un[:, 0, 0], [97, 99, 101, 103])
+    # leftward across the seam
+    raw = np.array([[[2]], [[0]], [[98]]])
+    un = unwrap_tracer_sites(raw, L, periodic=True)
+    np.testing.assert_array_equal(un[:, 0, 0], [2, 0, -2])
+    # invalid tags stay -1
+    raw = np.array([[[5, -1]], [[6, -1]]])
+    un = unwrap_tracer_sites(raw, L, periodic=True)
+    np.testing.assert_array_equal(un[:, 0, 1], [-1, -1])
+    # non-periodic: identity
+    raw = np.array([[[5]], [[90]]])
+    np.testing.assert_array_equal(
+        unwrap_tracer_sites(raw, L, periodic=False)[:, 0, 0], [5, 90])
+
+
+def test_xla_fallback_contract():
+    config = _cfg()
+    params = broadcast_params(config, beta=[0.5, 2.0], rate_diffusion=0.5,
+                              rate_active=2.0, n_runs=2)
+    frames, spins = run_exclusion_sweep(
+        config, params, jax.random.PRNGKey(0), T=2.0, obs_dt=0.5, dt=0.01,
+        engine="xla", n_tracers=16)
+    B, M, L = 4, 4, config.L
+    assert frames.rho_p.shape == (B, M, L)
+    assert frames.m_global.shape == (B, M)
+    assert frames.tracer_pos.shape == (B, M, 16)
+    assert spins.shape == (B, config.K, L)
+    # mass conserved (no exits in this class)
+    assert np.abs(spins).sum() == B * config.N
+    # occupancy never exceeds K
+    assert np.abs(spins).sum(axis=1).max() <= config.K
+
+
+def test_sweep_over_betas_engine_pallas_falls_back_on_cpu():
+    from hydrolim_tpu.sweeps.beta_sweep import sweep_over_betas
+
+    res = sweep_over_betas(
+        np.array([0.0, 2.0]), 2, engine="pallas",
+        ps_kwargs=dict(L=64, N=40, site_capacity=3, periodic=False),
+        run_kwargs=dict(T=2.0, obs_dt=0.5),
+        npz_path="/tmp/test_fx_sweep.npz", do_fit=False, plot_result=False)
+    assert res["means"].shape == (2,)
+    assert np.isfinite(res["means"]).all()
+    assert np.isfinite(res["m_means"]).all()

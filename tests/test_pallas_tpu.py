@@ -214,3 +214,88 @@ def test_pallas_exclusion_kernel_matches_slot_engine():
     h_x = np.array([(occ_x == v).mean() for v in range(K + 1)])
     h_p = np.array([(occ_p == v).mean() for v in range(K + 1)])
     assert np.all(np.abs(h_x - h_p) < 0.05), (h_x, h_p)
+
+
+def test_pallas_exclusion_payload_ids_survive():
+    """Signed slot payloads (sign = spin, magnitude = particle id) must move
+    and compact intact: the id multiset is invariant and every id keeps
+    occupying exactly one slot."""
+    if not _tpu_is_default():
+        pytest.skip("needs a TPU device as default")
+    import jax.numpy as jnp
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.ops.pallas_exclusion import (
+        build_conv_matrix,
+        exclusion_multi_step,
+        pack_slots,
+        unpack_slots,
+    )
+    from hydrolim_tpu.particles.lattice_gas_k import lgk_init
+
+    L, K, B = 256, 3, 4
+    config = ParticleConfig(L=L, N=200, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.01, periodic=True,
+                            site_capacity=K, active_model="plus_forward")
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    spins0 = np.stack([np.asarray(lgk_init(config, k)) for k in keys])
+    ids = (np.arange(K * L, dtype=np.int32) + 1).reshape(K, L)
+    slots0 = spins0 * ids[None]
+    id_sets = [set(np.abs(slots0[b])[slots0[b] != 0]) for b in range(B)]
+
+    sl = pack_slots(slots0)
+    conv = build_conv_matrix(config)
+    scal = np.zeros((B, 3), np.float32)
+    scal[:, 0], scal[:, 1], scal[:, 2] = 1.0, 1.0, 3.0
+    sl = exclusion_multi_step(jnp.asarray(scal),
+                              np.arange(B, dtype=np.int32), sl, conv,
+                              L=L, K=K, k_steps=500, dt=2e-3, periodic=True,
+                              bidirectional=False, use_local_m=True)
+    out = unpack_slots(sl, K, L)
+    for b in range(B):
+        vals = np.abs(out[b])[out[b] != 0]
+        assert len(vals) == 200                    # mass conserved
+        assert set(vals) == id_sets[b]             # identity multiset intact
+    occ = (out != 0).sum(1)
+    assert occ.max() <= K
+
+
+def test_run_exclusion_sweep_pallas_matches_xla():
+    """User-facing fused sweep vs the XLA slot engine at the reference
+    flagship shape (K=3, non-periodic, local m): ensemble |m|(t) within
+    error bars, occupancy histogram within 0.05, and tracer drift
+    (displacement-based v) agreeing between engines."""
+    if not _tpu_is_default():
+        pytest.skip("needs a TPU device as default")
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.sweeps.ensemble import broadcast_params
+    from hydrolim_tpu.sweeps.fast_exclusion import run_exclusion_sweep
+
+    config = ParticleConfig(L=200, N=150, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.01, periodic=False,
+                            site_capacity=3, active_model="plus_forward")
+    nrep, T, obs_dt, dt = 16, 4.0, 0.5, 2e-3
+    params = broadcast_params(config, beta=[1.5], rate_diffusion=0.5,
+                              rate_active=3.0, n_runs=nrep)
+
+    out = {}
+    for eng in ("pallas", "xla"):
+        frames, spins = run_exclusion_sweep(
+            config, params, jax.random.PRNGKey(3), T=T, obs_dt=obs_dt,
+            dt=dt, engine=eng, n_tracers=64)
+        tr = np.asarray(frames.tracer_pos, float)
+        valid = tr[:, :1] >= 0
+        drift = np.where(valid, tr[:, -1:] - tr[:, :1], np.nan)
+        out[eng] = (np.abs(np.asarray(frames.m_global)),
+                    np.abs(spins).sum(1), np.nanmean(drift))
+
+    m_p, occ_p, v_p = out["pallas"]
+    m_x, occ_x, v_x = out["xla"]
+    se = (m_p.std(0, ddof=1) + m_x.std(0, ddof=1)) / np.sqrt(nrep)
+    assert np.all(np.abs(m_p.mean(0) - m_x.mean(0)) < 4 * se + 0.06), (
+        m_p.mean(0), m_x.mean(0))
+    h_p = np.array([(occ_p == v).mean() for v in range(4)])
+    h_x = np.array([(occ_x == v).mean() for v in range(4)])
+    assert np.all(np.abs(h_p - h_x) < 0.05), (h_p, h_x)
+    # active plus-forward drift: both positive, same scale
+    assert v_p > 0 and v_x > 0
+    assert abs(v_p - v_x) < 0.35 * max(v_p, v_x) + 1.0, (v_p, v_x)
