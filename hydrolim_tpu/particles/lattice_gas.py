@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hydrolim_tpu.core.config import ParticleConfig, ParticleParams
+from hydrolim_tpu.particles.run import substeps_for
 from hydrolim_tpu.fields.magnetization import MFieldOp, build_mfield_op, local_m_field
 from hydrolim_tpu.ops import dft
 
@@ -283,7 +284,7 @@ def run_lattice_gas(config: ParticleConfig, params_b: ParticleParams,
     if occ_sharding is not None:
         occ0 = jax.device_put(occ0, occ_sharding)
     n_frames = len(np.arange(0.0, T, obs_dt))
-    n_sub = max(1, int(math.ceil(obs_dt / dt - 1e-9)))
+    n_sub = substeps_for(obs_dt, dt)
     run = lambda p, o, k: _lg_scan(config, p, o, k, n_frames=n_frames,
                                    n_sub=n_sub, obs_dt=obs_dt,
                                    record_fft=record_fft,

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hydrolim_tpu.core.config import ParticleConfig, ParticleParams
+from hydrolim_tpu.particles.run import substeps_for
 from hydrolim_tpu.fields.magnetization import MFieldOp, build_mfield_op, local_m_field
 from hydrolim_tpu.particles.lattice_gas import LatticeGasFrames, _lg_record_counts
 
@@ -369,7 +370,7 @@ def run_lattice_gas_k(config: ParticleConfig, params_b: ParticleParams,
     if occ_sharding is not None:
         slots0 = jax.device_put(slots0, occ_sharding)
     n_frames = len(np.arange(0.0, T, obs_dt))
-    n_sub = max(1, int(math.ceil(obs_dt / dt - 1e-9)))
+    n_sub = substeps_for(obs_dt, dt)
     run = lambda p, o, k: _lgk_scan(config, p, o, k, n_frames=n_frames,
                                     n_sub=n_sub, obs_dt=obs_dt,
                                     record_fft=record_fft,
@@ -456,7 +457,7 @@ def run_lattice_gas_anchored(config: ParticleConfig,
         slots0 = jax.vmap(lambda k: lgk_init(config, k, rho0_plus,
                                              rho0_minus))(init_keys)
     n_frames = len(np.arange(0.0, T, obs_dt))
-    n_sub = max(1, int(math.ceil(obs_dt / dt - 1e-9)))
+    n_sub = substeps_for(obs_dt, dt)
     run = lambda p, o, k: _lgk_scan_anchored(
         config, p, o, k, n_frames=n_frames, n_sub=n_sub, obs_dt=obs_dt,
         record_fft=record_fft)

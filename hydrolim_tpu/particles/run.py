@@ -86,7 +86,18 @@ def _record_frame(config: ParticleConfig, statics: StaticArrays,
 
 
 def substeps_for(obs_dt: float, dt_target: float) -> int:
-    return max(1, int(math.ceil(obs_dt / dt_target - 1e-9)))
+    """Δt sub-steps per observation frame, with a sanity bound: a garbage dt
+    (e.g. from ``ensemble_dt`` at an absurd β, where the flip-rate bound
+    e^β underflows dt to a denormal) would otherwise surface as a cryptic
+    OverflowError deep inside lax.fori_loop lowering."""
+    assert math.isfinite(dt_target) and dt_target > 0.0, (
+        f"dt must be positive and finite, got {dt_target!r}")
+    n = max(1, int(math.ceil(obs_dt / dt_target - 1e-9)))
+    assert n <= 100_000_000, (
+        f"{n} sub-steps per obs_dt frame (obs_dt={obs_dt!r}, "
+        f"dt={dt_target!r}) — dt is implausibly small; check the rate/beta "
+        "configuration passed to ensemble_dt")
+    return n
 
 
 @functools.partial(

@@ -7,6 +7,7 @@ config + vmappable params + jitted scan of ``hydrolim_tpu.particles``.
 """
 from __future__ import annotations
 
+import functools
 import inspect
 from typing import Any, Callable, Dict, Optional
 
@@ -176,9 +177,14 @@ class ParticleSystem:
         N particles tagged as identity tracers — same law, same out schema,
         ~30-50× the single-run throughput at the flagship K=3 config.
         Requires exclusion and no anchors (bind/exit channels route to the
-        particle engine)."""
-        if engine == "lattice_gas":
-            return self._run_lattice_gas(T, obs_dt, record_fft, record_var)
+        particle engine).  ``engine='pallas'`` additionally routes to the
+        fused Pallas slot kernel on TPU (sweeps.fast_exclusion; identity
+        rides the signed slot payloads) and falls back to the XLA slot
+        engine off-TPU."""
+        if engine in ("lattice_gas", "pallas"):
+            return self._run_lattice_gas(
+                T, obs_dt, record_fft, record_var,
+                kernel="auto" if engine == "pallas" else "xla")
         res = jax.device_get(self.run_raw(T=T, obs_dt=obs_dt))
         f = res.frames
         L = self.config.L
@@ -219,10 +225,12 @@ class ParticleSystem:
         return out
 
     def _run_lattice_gas(self, T: float, obs_dt: float, record_fft: bool,
-                         record_var: bool) -> Dict[str, Any]:
+                         record_var: bool, kernel: str = "xla"
+                         ) -> Dict[str, Any]:
         """Single run on the slot engine, full out-schema parity: every
         particle is a tagged tracer, so pos_list/pos_frames carry exact
-        identities (displacement estimators work unchanged)."""
+        identities (displacement estimators work unchanged).
+        ``kernel='auto'`` uses the fused Pallas slot kernel on TPU."""
         from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_k
 
         config = self.config
@@ -231,7 +239,19 @@ class ParticleSystem:
             "anchors/binding")
         N, L = config.N, config.L
         params_b = jax.tree.map(lambda x: np.asarray(x)[None], self.params)
-        frames, _slots = jax.tree.map(np.asarray, run_lattice_gas_k(
+        if kernel != "xla":
+            from hydrolim_tpu.sweeps.fast_exclusion import (
+                is_pallas_exclusion_path,
+                run_exclusion_sweep,
+            )
+
+            assert is_pallas_exclusion_path(config), (
+                "engine='pallas' requires the fused-kernel configuration "
+                "class (K<=8, no anchors/crowding, default flip rate)")
+            runner = functools.partial(run_exclusion_sweep, engine=kernel)
+        else:
+            runner = run_lattice_gas_k
+        frames, _slots = jax.tree.map(np.asarray, runner(
             config, params_b, self._split_key(), T=T, obs_dt=obs_dt,
             dt=self._dt, rho0_plus=self.rho0_plus, rho0_minus=self.rho0_minus,
             record_fft=record_fft, n_tracers=N))

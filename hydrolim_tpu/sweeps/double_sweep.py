@@ -132,7 +132,15 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
             rate_diffusion=float(base["rate_diffusion"]),
             rate_active=float(base["rate_active"]))
         ckey = jax.random.fold_in(jax.random.PRNGKey(seed), c0)
-        if engine == "lattice_gas":
+        if engine == "pallas":
+            from hydrolim_tpu.sweeps.fast_exclusion import run_exclusion_sweep
+
+            frames, _ = run_exclusion_sweep(
+                config, params_c, ckey, T=T, obs_dt=obs_dt, dt=dt,
+                engine="auto", rho0_plus=take(prof_p),
+                rho0_minus=take(prof_m), record_fft=False)
+            total, rho_p, m_g = frames.total, frames.rho_p, frames.m_global
+        elif engine == "lattice_gas":
             from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_k
 
             frames, _ = run_lattice_gas_k(

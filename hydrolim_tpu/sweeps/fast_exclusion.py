@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hydrolim_tpu.core.config import ParticleConfig, ParticleParams
+from hydrolim_tpu.particles.run import substeps_for
 from hydrolim_tpu.fields.magnetization import build_mfield_op
 from hydrolim_tpu.particles.lattice_gas import LatticeGasFrames, _lg_record_counts
 
@@ -160,7 +161,7 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     K, L = config.K, config.L
     times = np.arange(0.0, T, obs_dt)
     M = len(times)
-    n_sub = max(1, int(math.ceil(obs_dt / dt - 1e-9)))
+    n_sub = substeps_for(obs_dt, dt)
     dt_eff = obs_dt / n_sub
 
     key, k_seed, k_tag = jax.random.split(key, 3)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hydrolim_tpu.core.config import ParticleConfig, ParticleParams
+from hydrolim_tpu.particles.run import substeps_for
 from hydrolim_tpu.ops.segment import masked_bincount
 
 
@@ -64,7 +65,7 @@ def run_meanfield_sweep(config: ParticleConfig, params_b: ParticleParams,
     L = config.L
     times = np.arange(0.0, T, obs_dt)
     M = len(times)
-    n_sub = max(1, int(math.ceil(obs_dt / dt - 1e-9)))
+    n_sub = substeps_for(obs_dt, dt)
     dt_eff = obs_dt / n_sub
 
     if engine == "auto":

@@ -8,6 +8,7 @@ one vmapped program (hydrolim_tpu.sweeps.ensemble).
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import numpy as np
@@ -75,10 +76,12 @@ def sweep_beta_structure_ensemble(beta, n_runs: int, ps_kwargs: Dict,
 
 
 def _lattice_gas_outs(beta_values, n_runs, ps_kwargs, init_kwargs,
-                      run_kwargs, seed):
+                      run_kwargs, seed, kernel: str = "xla"):
     """Run the (β × replicas) grid on the site-centric lattice-gas engine
     (K=1 occ field, or the K>1 slot engine) and return reference-schema out
-    dicts per replica."""
+    dicts per replica.  ``kernel='auto'`` routes supported configurations to
+    the fused Pallas slot kernel on TPU (structure observables need no
+    particle identity, so n_tracers=0)."""
     import jax
 
     from hydrolim_tpu.particles.init import eval_profile
@@ -89,7 +92,17 @@ def _lattice_gas_outs(beta_values, n_runs, ps_kwargs, init_kwargs,
 
     config = config_from_kwargs(ps_kwargs)
     assert config.exclusion, "lattice-gas engines require site_capacity"
-    if config.K > 1:
+    if kernel != "xla":
+        from hydrolim_tpu.sweeps.fast_exclusion import (
+            is_pallas_exclusion_path,
+            run_exclusion_sweep,
+        )
+
+        assert is_pallas_exclusion_path(config), (
+            "pallas structure sweep requires the fused-kernel config class")
+        run_lattice_gas = functools.partial(run_exclusion_sweep,
+                                            engine=kernel)
+    elif config.K > 1:
         run_lattice_gas = run_lattice_gas_k
     rho0_p = rho0_m = None
     if config.init == "poisson":
@@ -146,10 +159,11 @@ def sweep_betas_for_structures(beta_values, n_runs_per_beta: int,
                               anchor_positions=None)
         init_kwargs = dict(rho0_plus=g[0], rho0_minus=g[1])
     beta_values = np.asarray(beta_values, dtype=float)
-    if engine == "lattice_gas":
-        config, out_for = _lattice_gas_outs(beta_values, n_runs_per_beta,
-                                            ps_kwargs, init_kwargs,
-                                            run_kwargs, seed)
+    if engine in ("lattice_gas", "pallas"):
+        config, out_for = _lattice_gas_outs(
+            beta_values, n_runs_per_beta, ps_kwargs, init_kwargs,
+            run_kwargs, seed,
+            kernel="auto" if engine == "pallas" else "xla")
     else:
         config, res, _ = run_sweep_grid(beta_values, n_runs_per_beta,
                                         ps_kwargs, init_kwargs, run_kwargs,
@@ -160,7 +174,7 @@ def sweep_betas_for_structures(beta_values, n_runs_per_beta: int,
         per_run = []
         for r in range(n_runs_per_beta):
             i = b_idx * n_runs_per_beta + r
-            if engine == "lattice_gas":
+            if engine in ("lattice_gas", "pallas"):
                 out = out_for(i)
             else:
                 out = frames_to_out(res.frames, i, config, T, obs_dt,
