@@ -311,8 +311,9 @@ def main():
         k3p_1, k3p_b = bench_k3_pallas()
         print(f"# K=3 flagship (fused Pallas exclusion kernel): "
               f"{k3p_1:.3e} single replica, {k3p_b:.3e} at B=16 "
-              f"(XLA slot engine is the production path; the kernel is the "
-              f"validated fused-path reference)", file=sys.stderr)
+              f"(production path for K<=8/no-anchors configs via "
+              f"engine='pallas'; XLA slot engine covers the rest)",
+              file=sys.stderr)
     except Exception as e:
         print(f"# K=3 pallas bench unavailable: {e}", file=sys.stderr)
     try:

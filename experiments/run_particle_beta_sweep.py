@@ -19,13 +19,14 @@ from hydrolim_tpu.sweeps.beta_sweep import sweep_over_betas
 
 
 def main(outdir: str = "beta_sweep_out", small: bool = False,
-         run: bool = True):
+         run: bool = True, engine: str = "particle", n_runs: int = None):
     beta_values = np.linspace(0, 3, 5 if small else 11)
     over = dict(L=200, N=100) if small else {}
     rk = dict(T=4.0, obs_dt=0.2) if small else None
     save = sweep_over_betas(
-        beta_values, n_runs_per_beta=2 if small else 3, run=run,
-        ps_kwargs=over or None, run_kwargs=rk,
+        beta_values,
+        n_runs_per_beta=n_runs or (2 if small else 3), run=run,
+        ps_kwargs=over or None, run_kwargs=rk, engine=engine,
         npz_path=f"{outdir}/beta_sweep_results.npz", outdir=outdir, seed=0)
     print("v_eff(beta):", np.round(save["means"], 4))
     print("D_eff(beta):", np.round(save["D_means"], 4))
@@ -40,5 +41,11 @@ if __name__ == "__main__":
     p.add_argument("--small", action="store_true")
     p.add_argument("--replot", action="store_true",
                    help="reload the npz checkpoint instead of re-running")
+    p.add_argument("--engine", default="particle",
+                   choices=["particle", "lattice_gas", "pallas"],
+                   help="pallas = fused slot kernel on TPU (falls back to "
+                        "the XLA slot engine off-TPU)")
+    p.add_argument("--n-runs", type=int, default=None)
     a = p.parse_args()
-    main(a.outdir, a.small, run=not a.replot)
+    main(a.outdir, a.small, run=not a.replot, engine=a.engine,
+         n_runs=a.n_runs)

@@ -1,0 +1,314 @@
+"""Pallas TPU kernel: fused multi-step IMEX PDE solver with tracers.
+
+The XLA solve (pde/stepper.py) pays ~8 MB of HBM matrix reads per step (the
+(L,L) smoothing circulant + the (L,L) implicit-diffusion inverse) plus a
+slow 1000-element tracer gather — ~45 µs/step single-replica on v5e where
+the arithmetic is ~1 µs.  This kernel keeps both operator matrices, the ρ±
+fields, the tracer ensemble and its windowed-displacement ring buffer
+resident in VMEM across K_STEPS steps:
+
+- implicit diffusion: one ``(2, Lp) @ (Lp, Lp)`` HIGHEST-precision matmul
+  (the dense inverse of ``I − γ·dt·D/dx²`` — IMEX_PDE_solver_class.py:68-82;
+  bf16 would freeze the dynamics, see ops/dft.py),
+- magnetization: pointwise / global / one smoothing matmul, shared by the
+  recorder, the tracer flips and the reaction (pre-diffusion densities,
+  :198),
+- upwind advection + CW reaction + positivity clip + mass renorm
+  (:187-233), both ``bidirectional`` and ``anchored_minus`` branches incl.
+  the flag-gated legacy double-diffusion quirk (:189-190, :207-208),
+- tracer SDE (:256-287): flip Bernoulli(c·dt) with m gathered at tracer
+  sites via a one-hot matmul (Mosaic has no vector gather), Euler–Maruyama
+  advance with in-kernel Box–Muller noise, windowed v_eff/D_eff from a
+  (window, n_t) circular buffer carried across invocations,
+- per-step records streamed to HBM as (K_STEPS, 8) rows:
+  [m_mean, Var, v_eff, D_eff, 0…].
+
+Scope: L ≤ ~2000 (dense operator matrices in VMEM), n_tracers ≤ 2048,
+window ≤ 512.  Larger L stays on the XLA path (banded large-L solvers).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+# record row: [m_mean, var, v_eff, D_eff, pad…].  Full 128-lane width —
+# Mosaic cannot dynamically sub-slice a ref narrower than one lane tile.
+_REC_W = LANE
+
+
+def _pad(n: int, mult: int = LANE) -> int:
+    return -(-n // mult) * mult
+
+
+def _kernel(scal_ref, seed_ref, step0_ref, rho_ref, pos_ref, spin_ref,
+            hist_ref, solve_ref, smooth_ref, rho_out, pos_out, spin_out,
+            hist_out, recs_ref, *, L: int, Lp: int, n_t: int, Ntp: int,
+            window: int, k_steps: int, dt: float, dx: float, xlim: float,
+            periodic: bool, m_mode: str, has_solve: bool, bidirectional: bool,
+            legacy_double_diffusion: bool, has_noise: bool):
+    b = pl.program_id(0)
+    beta = scal_ref[b, 0]
+    lam = scal_ref[b, 1]
+    noise_amp = scal_ref[b, 2]
+    pltpu.prng_seed(seed_ref[b], b)
+    n0 = step0_ref[b]
+
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
+    laneT = jax.lax.broadcasted_iota(jnp.int32, (1, Ntp), 1)
+    valid1 = (lane1 < L).astype(jnp.float32)
+    validT = (laneT < n_t).astype(jnp.float32)
+    inv_L = jnp.float32(1.0 / L)
+    inv_nt = jnp.float32(1.0 / max(n_t, 1))
+
+    def shift_right1(x, fill):
+        """out[i] = x[i-1] on the L-site topology (row vectors)."""
+        plain = pltpu.roll(x, 1, axis=1)
+        if periodic:
+            out = jnp.where(lane1 == 0, pltpu.roll(x, Lp - L + 1, axis=1),
+                            plain)
+        else:
+            out = jnp.where(lane1 == 0, fill, plain)
+        return jnp.where(lane1 < L, out, fill)
+
+    def shift_left1(x, fill):
+        """out[i] = x[i+1] on the L-site topology."""
+        plain = pltpu.roll(x, Lp - 1, axis=1)
+        if periodic:
+            out = jnp.where(lane1 == L - 1, pltpu.roll(x, L - 1, axis=1),
+                            plain)
+        else:
+            out = jnp.where(lane1 >= L - 1, fill, plain)
+        return jnp.where(lane1 < L, out, fill)
+
+    def upwind(f, direction):
+        """One-sided difference (pde/stepper.py:81-93)."""
+        if direction > 0:
+            d = (f - shift_right1(f, 0.0)) / dx
+            if not periodic:
+                d = jnp.where(lane1 == 0, 0.0, d)
+        else:
+            d = (shift_left1(f, 0.0) - f) / dx
+            if not periodic:
+                d = jnp.where(lane1 == L - 1, 0.0, d)
+        return d * valid1
+
+    def cw(s, m):
+        return jnp.clip(jnp.exp(-beta * s * m), 1e-8, 1e8)
+
+    def uniform():
+        bits = pltpu.prng_random_bits((1, Ntp))
+        return (bits & np.uint32(0x00FFFFFF)).astype(jnp.float32) * \
+            jnp.float32(2.0 ** -24)
+
+    def body(s, carry):
+        rho_p, rho_m, pos_u, spin = carry
+        n = n0 + s
+
+        # -- magnetization of the pre-step densities (shared) --------------
+        num = rho_p - rho_m
+        den = rho_p + rho_m
+        if m_mode == "smooth":
+            pack = jnp.concatenate([num, den], axis=0)          # (2, Lp)
+            sm = jax.lax.dot_general(
+                pack, smooth_ref[:], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            m = sm[0:1] / (sm[1:2] + 1e-12)
+        elif m_mode == "global":
+            g = jnp.sum(num * valid1) / (jnp.sum(den * valid1) + 1e-12)
+            m = jnp.full((1, Lp), g)
+        else:                                                    # pointwise
+            m = num / (den + 1e-12)
+
+        # -- per-step records (state n) -------------------------------------
+        m_mean = jnp.sum(m * valid1) * inv_L
+        t_mean = jnp.sum(den * valid1) * inv_L
+        var = jnp.sum((den - t_mean) ** 2 * valid1) * inv_L
+
+        # -- tracer SDE (:256-287) ------------------------------------------
+        pos_w = jnp.mod(pos_u, jnp.float32(xlim))
+        idx = jnp.mod((pos_w / dx).astype(jnp.int32), L)        # (1, Ntp)
+        # one-hot gather m_tr[j] = m[idx[j]] (Mosaic has no vector gather):
+        # m @ P with P[x, j] = (x == idx[j]), built in 256-row chunks so the
+        # peak one-hot intermediate is (256, Ntp) ≈ 1 MB instead of a full
+        # (Lp, Ntp) ≈ 4 MB on top of the 8 MB of resident operator matrices
+        m_tr = jnp.zeros((1, Ntp), jnp.float32)
+        chunk = 256
+        for c0 in range(0, Lp, chunk):
+            cw_ = min(chunk, Lp - c0)                           # tail < 256
+            rows = jax.lax.broadcasted_iota(jnp.int32, (cw_, Ntp), 0) + c0
+            Pc = (rows == jnp.broadcast_to(idx, (cw_, Ntp))).astype(
+                jnp.float32)
+            m_tr = m_tr + jax.lax.dot_general(
+                m[:, c0:c0 + cw_], Pc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (1, Ntp)
+        rate = cw(spin, m_tr)
+        flip = uniform() < rate * dt
+        spin = jnp.where(flip, -spin, spin)
+        if has_noise:
+            u2 = jnp.maximum(uniform(), jnp.float32(1e-12))
+            u3 = uniform()
+            z = jnp.sqrt(-2.0 * jnp.log(u2)) * jnp.cos(
+                jnp.float32(2.0 * np.pi) * u3)
+            pos_u = pos_u + lam * spin * dt + noise_amp * z
+        else:
+            pos_u = pos_u + lam * spin * dt
+
+        slot = jnp.mod(n, window)
+        hist_out[pl.ds(slot, 1), :] = pos_u
+        old = hist_out[pl.ds(jnp.mod(n + 1, window), 1), :]
+        dr = (pos_u - old) * validT
+        mean_dr = jnp.sum(dr) * inv_nt
+        var_dr = jnp.sum((dr - mean_dr) ** 2 * validT) * inv_nt
+        w_valid = n >= window
+        v_eff = jnp.where(w_valid, mean_dr / (window * dt), jnp.nan)
+        D_eff = jnp.where(w_valid, var_dr / (2.0 * window * dt), jnp.nan)
+
+        rec_lane = jax.lax.broadcasted_iota(jnp.int32, (1, _REC_W), 1)
+        row = jnp.where(rec_lane == 0, m_mean,
+                        jnp.where(rec_lane == 1, var,
+                                  jnp.where(rec_lane == 2, v_eff,
+                                            jnp.where(rec_lane == 3, D_eff,
+                                                      0.0))))
+        recs_ref[pl.ds(s, 1), :] = row
+
+        # -- IMEX step (:187-233) -------------------------------------------
+        if has_solve:
+            pack2 = jnp.concatenate([rho_p, rho_m], axis=0)
+            sol = jax.lax.dot_general(
+                pack2, solve_ref[:], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            rho_p1, rho_m1 = sol[0:1], sol[1:2]
+        else:
+            rho_p1, rho_m1 = rho_p, rho_m
+        if bidirectional:
+            adv_p = -lam * upwind(rho_p1, +1)
+            adv_m = +lam * upwind(rho_m1, -1)
+            R_p = cw(-1.0, m) * rho_m1 - cw(+1.0, m) * rho_p1
+            rho_p2 = jnp.maximum(rho_p1 + dt * (adv_p + R_p), 0.0)
+            rho_m2 = jnp.maximum(rho_m1 + dt * (adv_m - R_p), 0.0)
+        else:                            # anchored_minus (:205-227)
+            if legacy_double_diffusion and has_solve:
+                pack2 = jnp.concatenate([rho_p1, rho_m1], axis=0)
+                sol = jax.lax.dot_general(
+                    pack2, solve_ref[:], (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                rho_p1, rho_m1 = sol[0:1], sol[1:2]
+            R_p = cw(-1.0, m) * rho_m1 - cw(+1.0, m) * rho_p1
+            rho_p_star = jnp.maximum(rho_p1 + dt * R_p, 0.0)
+            rho_m2 = jnp.maximum(rho_m1 - dt * R_p, 0.0)
+            adv_p = -lam * upwind(rho_p_star, +1)
+            rho_p2 = jnp.maximum(rho_p_star + dt * adv_p, 0.0)
+        rho_p2 = rho_p2 * valid1
+        rho_m2 = rho_m2 * valid1
+
+        M0 = jnp.sum((rho_p1 + rho_m1) * valid1)
+        M1 = jnp.sum(rho_p2 + rho_m2)
+        scale = M0 / jnp.maximum(M1, 1e-30)
+        return rho_p2 * scale, rho_m2 * scale, pos_u, spin
+
+    hist_out[:] = hist_ref[:]
+    rho0 = rho_ref[:]
+    rho_p, rho_m, pos_u, spin = jax.lax.fori_loop(
+        0, k_steps, body,
+        (rho0[0:1], rho0[1:2], pos_ref[:], spin_ref[:]))
+    rho_out[:] = jnp.concatenate([rho_p, rho_m], axis=0)
+    pos_out[:] = pos_u
+    spin_out[:] = spin
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "n_t", "window", "k_steps", "dt", "dx", "xlim",
+                     "periodic", "m_mode", "has_solve", "bidirectional",
+                     "legacy_double_diffusion", "has_noise"))
+def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
+                   rho: jnp.ndarray, pos: jnp.ndarray, spin: jnp.ndarray,
+                   hist: jnp.ndarray, solve_mat: jnp.ndarray,
+                   smooth_mat: jnp.ndarray, *, L: int, n_t: int, window: int,
+                   k_steps: int, dt: float, dx: float, xlim: float,
+                   periodic: bool, m_mode: str, has_solve: bool,
+                   bidirectional: bool, legacy_double_diffusion: bool = False,
+                   has_noise: bool = True):
+    """Advance K_STEPS IMEX steps (fields + tracers) fully on-chip.
+
+    Args:
+      scal: (B, 4) float32 [beta, lam, sqrt(2·γ·dt), pad].
+      seeds: (B,) int32 — pass ``base + chunk_index`` per invocation.
+      step0: (B,) int32 global step offset (window validity + hist ring).
+      rho: (B, 2, Lp) float32 ρ± fields (pad lanes zero).
+      pos: (B, 1, Ntp) float32 unwrapped tracer positions.
+      spin: (B, 1, Ntp) float32 tracer spins ±1.
+      hist: (B, window, Ntp) float32 circular unwrapped buffer.
+      solve_mat: (Lp, Lp) — ``x @ M`` applies the implicit-diffusion inverse
+        (pass a (8, 128) zero placeholder with has_solve=False for γ=0).
+      smooth_mat: (Lp, Lp) — ``x @ M`` circular smoothing (placeholder
+        unless m_mode == 'smooth').
+
+    Returns (rho, pos, spin, hist, recs) with recs (B, k_steps, 128) float32
+    rows [m_mean, Var, v_eff, D_eff, 0…] (NaN v/D before the first full
+    window, like the XLA path)."""
+    B, _, Lp = rho.shape
+    Ntp = pos.shape[-1]
+    assert Lp == _pad(L) and Ntp == _pad(max(n_t, 1))
+    assert hist.shape[-2] == window
+    grid = (B,)
+    kernel = functools.partial(
+        _kernel, L=L, Lp=Lp, n_t=n_t, Ntp=Ntp, window=window,
+        k_steps=k_steps, dt=dt, dx=dx, xlim=xlim, periodic=periodic,
+        m_mode=m_mode, has_solve=has_solve, bidirectional=bidirectional,
+        legacy_double_diffusion=legacy_double_diffusion, has_noise=has_noise)
+
+    def squeeze(scal, seed, step0, rho, pos, spin, hist, solve, smooth,
+                rho_o, pos_o, spin_o, hist_o, recs):
+        kernel(scal, seed, step0, rho.at[0], pos.at[0], spin.at[0],
+               hist.at[0], solve, smooth, rho_o.at[0], pos_o.at[0],
+               spin_o.at[0], hist_o.at[0], recs.at[0])
+
+    bspec = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda b: (b,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    mspec = lambda m: pl.BlockSpec(m.shape, lambda b: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        squeeze,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, 4), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
+            bspec((2, Lp)),
+            bspec((1, Ntp)),
+            bspec((1, Ntp)),
+            bspec((window, Ntp)),
+            mspec(solve_mat),
+            mspec(smooth_mat),
+        ],
+        out_specs=[
+            bspec((2, Lp)),
+            bspec((1, Ntp)),
+            bspec((1, Ntp)),
+            bspec((window, Ntp)),
+            bspec((k_steps, _REC_W)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 2, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, Ntp), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, Ntp), jnp.float32),
+            jax.ShapeDtypeStruct((B, window, Ntp), jnp.float32),
+            jax.ShapeDtypeStruct((B, k_steps, _REC_W), jnp.float32),
+        ],
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
+    )(jnp.asarray(scal, jnp.float32), jnp.asarray(seeds, jnp.int32),
+      jnp.asarray(step0, jnp.int32), rho, pos, spin, hist,
+      jnp.asarray(solve_mat, jnp.float32), jnp.asarray(smooth_mat,
+                                                       jnp.float32))
+    return tuple(out)

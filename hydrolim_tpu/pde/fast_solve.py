@@ -1,0 +1,227 @@
+"""Fused-kernel PDE solve runner (ops/pallas_pde.py) — the production fast
+path for the PDE sweep drivers.
+
+``pde_solve_fused`` advances the whole (β × runs) batch through the fused
+multi-step IMEX kernel, one ``lax.scan`` over snapshot-interval chunks (the
+frame loop MUST stay on device: a host-side chunk loop costs a synchronous
+tunnel round-trip per chunk on the remote axon backend).  Returns a
+``PDESolveResult``-compatible batch: per-step m/Var/v_eff/D_eff records and
+snapshot blocks match ``pde/stepper.pde_solve`` semantics (record at state
+n, tracer update at n, step masked at n = nsteps); the rfft record is NOT
+computed on this path (``records.fft_ri`` is NaN) — sweep figures never
+consume it; the full-spectrum parity path stays on the XLA solve.
+
+The tracer RNG stream differs from the XLA path (on-core Mosaic PRNG,
+Box–Muller noise) — statistically equivalent, not bitwise.
+
+Scope: L ≤ 2048 (dense operator matrices in VMEM), uniform γ across the
+batch, n_tracers ≥ 1, nsteps a multiple of snapshot_interval.  Falls back
+to the vmapped XLA ``pde_solve`` otherwise or off-TPU (``engine='auto'``).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hydrolim_tpu.core.config import PDEConfig, PDEParams
+from hydrolim_tpu.ops import dft
+from hydrolim_tpu.ops.convolve import periodic_gaussian_kernel
+from hydrolim_tpu.ops.diffusion import build_diffusion_op
+from hydrolim_tpu.pde.stepper import (
+    PDEOps,
+    PDERecord,
+    PDESolveResult,
+    TracerState,
+    _tracer_update,
+    build_pde_ops,
+    magnetization,
+    pde_solve,
+)
+
+
+def is_fused_pde_path(config: PDEConfig, gamma_b) -> bool:
+    g = np.asarray(gamma_b)
+    return (config.L <= 2048
+            and config.n_tracers >= 1
+            and config.nsteps % config.snapshot_interval == 0
+            and bool(np.all(g == g.flat[0]))
+            and config.solver_kind in ("fft", "dct", "dense", "identity"))
+
+
+def _m_mode(config: PDEConfig) -> str:
+    if not config.gaussian_kernel:
+        return "pointwise"
+    if config.kernel_sigma > 1e5:
+        return "global"
+    return "smooth"
+
+
+def _pad_mat(M: np.ndarray, Lp: int) -> np.ndarray:
+    out = np.zeros((Lp, Lp), np.float32)
+    out[:M.shape[0], :M.shape[1]] = M
+    return out
+
+
+def build_kernel_mats(config: PDEConfig, gamma: float,
+                      Lp: int) -> Tuple[np.ndarray, np.ndarray, bool]:
+    """(solve_mat, smooth_mat, has_solve) with the kernel's ``x @ M``
+    orientation, zero-padded to (Lp, Lp)."""
+    placeholder = np.zeros((8, 128), np.float32)
+    kind = config.solver_kind
+    if kind == "identity" or gamma == 0.0:
+        solve_mat, has_solve = placeholder, False
+    else:
+        op = build_diffusion_op(config.L, config.dx, config.dt, gamma,
+                                config.bc, "dense")
+        # dense path applies a_inv @ x (einsum '...j,ij->...i'); the kernel
+        # computes x @ M, so ship the transpose
+        solve_mat = _pad_mat(np.asarray(op.a_inv).T, Lp)
+        has_solve = True
+    if _m_mode(config) == "smooth":
+        k = periodic_gaussian_kernel(config.L, config.dx, config.kernel_sigma)
+        smooth_mat = _pad_mat(
+            np.asarray(dft.circulant_matmul_matrix(k)), Lp)
+    else:
+        smooth_mat = placeholder
+    return solve_mat, smooth_mat, has_solve
+
+
+def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
+                    rho_p0: jnp.ndarray, rho_m0: jnp.ndarray,
+                    tracers0: TracerState, key: jnp.ndarray,
+                    engine: str = "auto") -> PDESolveResult:
+    """Batched fused solve; same call shape as ``vmap(pde_solve)``.
+
+    Args are batched on the leading axis (B); ``tracers0`` from the vmapped
+    ``pde_initialize``."""
+    from hydrolim_tpu.ops.pallas_pde import _pad, pde_multi_step
+    from hydrolim_tpu.sweeps.fast_exclusion import default_device_is_tpu
+
+    if engine == "auto":
+        engine = "pallas" if default_device_is_tpu() else "xla"
+    if engine == "xla":
+        solve = jax.vmap(
+            lambda p, rp, rm, tr, k: pde_solve(config, p, ops, rp, rm, tr, k))
+        keys = jax.random.split(key, params_b.beta.shape[0])
+        return solve(params_b, rho_p0, rho_m0, tracers0, keys)
+
+    gamma = float(np.asarray(params_b.gamma).flat[0])
+    assert is_fused_pde_path(config, params_b.gamma), (
+        "pde_solve_fused requires the fused-kernel configuration class "
+        "(L<=2048, uniform gamma, tracers, nsteps % snapshot_interval == 0)")
+    B = params_b.beta.shape[0]
+    L, dt, dx = config.L, config.dt, config.dx
+    Lp = _pad(L)
+    n_t = config.n_tracers
+    Ntp = _pad(n_t)
+    W = config.tracer_window
+    interval = config.snapshot_interval
+    nsteps = config.nsteps
+    n_chunks = nsteps // interval
+
+    solve_mat, smooth_mat, has_solve = build_kernel_mats(config, gamma, Lp)
+    m_mode = _m_mode(config)
+    bidi = config.active_model == "bidirectional"
+    has_noise = gamma > 0.0
+
+    scal = np.zeros((B, 4), np.float32)
+    scal[:, 0] = np.asarray(params_b.beta)
+    scal[:, 1] = np.asarray(params_b.lam)
+    scal[:, 2] = np.sqrt(2.0 * gamma * dt)
+    k_seed, k_final = jax.random.split(key)
+    seeds0 = jax.random.randint(k_seed, (B,), 0, 2 ** 31 - 1 - n_chunks - 1,
+                                dtype=jnp.int32)
+
+    def pad_to(x, n, axis=-1):
+        pad = n - x.shape[axis]
+        if pad <= 0:
+            return jnp.asarray(x, jnp.float32)
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(jnp.asarray(x, jnp.float32), widths)
+
+    rho = jnp.stack([pad_to(rho_p0, Lp), pad_to(rho_m0, Lp)], axis=1)
+    pos = pad_to(tracers0.unwrapped, Ntp)[:, None, :]
+    spin = pad_to(tracers0.spin.astype(jnp.float32), Ntp)[:, None, :]
+    hist = pad_to(tracers0.hist, Ntp)              # (B, W, Ntp)
+
+    solve_j = jnp.asarray(solve_mat)
+    smooth_j = jnp.asarray(smooth_mat)
+    scal_j = jnp.asarray(scal)
+
+    @jax.jit
+    def run_scanned(rho, pos, spin, hist, seeds0):
+        def chunk_body(carry, c):
+            rho, pos, spin, hist = carry
+            snap = rho[:, 0, :L] + rho[:, 1, :L]
+            snap_m = rho[:, 0, :L] - rho[:, 1, :L]
+            rho, pos, spin, hist, recs = pde_multi_step(
+                scal_j, seeds0 + c, jnp.full((B,), c * interval, jnp.int32),
+                rho, pos, spin, hist, solve_j, smooth_j, L=L, n_t=n_t,
+                window=W, k_steps=interval, dt=dt, dx=dx, xlim=config.xlim,
+                periodic=(config.bc == "periodic"), m_mode=m_mode,
+                has_solve=has_solve, bidirectional=bidi,
+                legacy_double_diffusion=config.legacy_double_diffusion,
+                has_noise=has_noise)
+            return (rho, pos, spin, hist), (recs, snap, snap_m)
+
+        (rho, pos, spin, hist), (recs, snaps, m_snaps) = jax.lax.scan(
+            chunk_body, (rho, pos, spin, hist),
+            jnp.arange(n_chunks, dtype=jnp.int32))
+        # (n_chunks, B, interval, REC_W) -> (B, nsteps, 4) — only the
+        # [m_mean, var, v_eff, D_eff] lanes are meaningful
+        recs = jnp.moveaxis(recs[..., :4], 0, 1).reshape(B, nsteps, 4)
+        return rho, pos, spin, hist, recs, snaps, m_snaps
+
+    rho, pos, spin, hist, recs, snaps, m_snaps = run_scanned(
+        rho, pos, spin, hist, seeds0)
+
+    # final iteration (n = nsteps): record + tracer update, no step —
+    # mirrors pde_solve's masked last iteration on the XLA path
+    rho_p_f = rho[:, 0, :L]
+    rho_m_f = rho[:, 1, :L]
+    tr_f = TracerState(
+        pos=jnp.mod(pos[:, 0, :n_t], config.xlim),
+        unwrapped=pos[:, 0, :n_t],
+        spin=spin[:, 0, :n_t].astype(jnp.int32),
+        hist=hist[..., :n_t])
+
+    @jax.jit
+    def final_record(rho_p, rho_m, tr, key):
+        def one(p, rp, rm, t, k):
+            m_field = magnetization(config, ops, rp, rm)
+            total = rp + rm
+            _, v_eff, D_eff = _tracer_update(config, p, m_field, t, k,
+                                             jnp.int32(nsteps))
+            return (jnp.mean(m_field), jnp.var(total), v_eff, D_eff,
+                    total, rp - rm)
+        keys = jax.random.split(key, B)
+        return jax.vmap(one)(params_b, rho_p, rho_m, tr, keys)
+
+    m_f, var_f, v_f, D_f, snap_f, snap_m_f = final_record(
+        rho_p_f, rho_m_f, tr_f, k_final)
+
+    n_iters = nsteps + 1
+    m_mean = jnp.concatenate([recs[:, :, 0], m_f[:, None]], axis=1)
+    var = jnp.concatenate([recs[:, :, 1], var_f[:, None]], axis=1)
+    v_eff = jnp.concatenate([recs[:, :, 2], v_f[:, None]], axis=1)
+    D_eff = jnp.concatenate([recs[:, :, 3], D_f[:, None]], axis=1)
+    # snapshots: chunk starts + the final state (pde_solve block semantics:
+    # n_blocks = ceil(n_iters / interval) block-start states)
+    snaps = jnp.concatenate([jnp.moveaxis(snaps, 0, 1), snap_f[:, None]], 1)
+    m_snaps = jnp.concatenate(
+        [jnp.moveaxis(m_snaps, 0, 1), snap_m_f[:, None]], 1)
+    snap_times = jnp.broadcast_to(
+        jnp.arange(n_chunks + 1, dtype=jnp.float32) * (interval * dt),
+        (B, n_chunks + 1))
+
+    records = PDERecord(
+        m_mean=m_mean, var=var,
+        fft_ri=jnp.full((B, n_iters, config.kmax, 2), jnp.nan, jnp.float32),
+        v_eff=v_eff, D_eff=D_eff)
+    return PDESolveResult(rho_p=rho_p_f, rho_m=rho_m_f, records=records,
+                          snapshots=snaps, m_snapshots=m_snaps,
+                          snap_times=snap_times)

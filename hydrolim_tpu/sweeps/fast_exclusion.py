@@ -64,7 +64,6 @@ def _record_fn(config: ParticleConfig, record_fft: bool):
                                 config.local_kernel_sigma, config.periodic)
     K, L = config.K, config.L
 
-    @jax.jit
     def rec(slots_padded, tags, valid):
         """(B, Kp, Lp) payload slots → batched frame observables + raw
         tracer sites (B, n_t; -1 for invalid tags)."""
@@ -197,26 +196,38 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     bidi = config.active_model == "bidirectional"
     rec = _record_fn(config, record_fft)
 
-    sl = pack_slots(slots0)
-    frames_list, raw_sites = [], []
+    sl0 = pack_slots(slots0)
+    conv_j = jnp.asarray(conv, jnp.float32)
 
-    def record(sl):
-        frame, raw = rec(sl, tags, valid)
-        frames_list.append(jax.device_get(frame))
-        raw_sites.append(np.asarray(raw))
+    # ONE compiled program for the whole run: the frame loop is a lax.scan
+    # over the fused kernel ONLY (per-frame slot states as scan ys), with
+    # the frame-observable computation vmapped over frames afterwards.
+    # Two hard-won constraints shape this:
+    # - a host-side frame loop (kernel dispatch + per-frame device_get)
+    #   costs a synchronous tunnel round-trip per frame on the remote axon
+    #   backend — measured 8x SLOWER than the XLA slot engine at the
+    #   reference beta-sweep scale despite the faster kernel;
+    # - the record computation INSIDE the scan body ballooned XLA compile
+    #   to ~19 min at that scale; as a vmapped post-pass it compiles fast
+    #   and fuses into the same single-dispatch program.
+    @jax.jit
+    def run_scanned(sl0, scal, seeds0, tags, valid):
+        def frame_body(sl, f):
+            sl = exclusion_multi_step(
+                scal, seeds0 + f, sl, conv_j, L=L, K=K, k_steps=n_sub,
+                dt=dt_eff, periodic=config.periodic, bidirectional=bidi,
+                use_local_m=use_local_m)
+            return sl, sl
 
-    record(sl)
-    for f in range(1, M):
-        sl = exclusion_multi_step(
-            scal, seeds0 + f, sl, conv, L=L, K=K, k_steps=n_sub, dt=dt_eff,
-            periodic=config.periodic, bidirectional=bidi,
-            use_local_m=use_local_m)
-        record(sl)
+        sl, sl_frames = jax.lax.scan(frame_body, sl0,
+                                     jnp.arange(1, M, dtype=jnp.int32))
+        all_sl = jnp.concatenate([sl0[None], sl_frames], axis=0)  # (M, B, …)
+        frames, raws = jax.vmap(lambda s: rec(s, tags, valid))(all_sl)
+        return sl, frames, raws
 
-    # stack per-frame hosts (M, B, ...) then move batch first (B, M, ...)
-    stacked = jax.tree.map(lambda *a: np.stack(a), *frames_list)
-    tracer_pos = unwrap_tracer_sites(np.stack(raw_sites), L,
-                                     config.periodic)
+    sl, stacked, raws = jax.device_get(
+        run_scanned(sl0, scal, seeds0, tags, valid))
+    tracer_pos = unwrap_tracer_sites(raws, L, config.periodic)
     frames = LatticeGasFrames(
         rho_p=np.moveaxis(stacked.rho_p, 0, 1),
         rho_m=np.moveaxis(stacked.rho_m, 0, 1),

@@ -16,6 +16,7 @@ TPU re-designs of the three reference driver scripts:
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from pathlib import Path
 from typing import Dict
@@ -33,9 +34,15 @@ from hydrolim_tpu.theory.meanfield import compute_m_of_beta
 def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
                      lam: float, n_runs: int, seed: int = 0,
                      mode: str = "homogeneous", rho0: float = 1.0,
-                     noise: float = 0.3, n_tracers: int = 1000):
+                     noise: float = 0.3, n_tracers: int = 1000,
+                     engine: str = "xla"):
     """Vmapped (β × runs) PDE batch; returns the batched PDESolveResult and
-    the flattened β array."""
+    the flattened β array.
+
+    ``engine='pallas'`` (or 'auto') runs the fused multi-step IMEX kernel
+    (pde/fast_solve.py) when the configuration qualifies — same records
+    except ``fft_ri`` (NaN on the fused path; no sweep figure consumes it)
+    and a statistically-equivalent tracer RNG stream."""
     beta_values = np.atleast_1d(np.asarray(beta_values, dtype=np.float32))
     flat_beta = np.repeat(beta_values, n_runs)
     B = flat_beta.shape[0]
@@ -49,6 +56,18 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
     init_fn = functools.partial(pde_initialize, config, mode=mode, rho0=rho0,
                                 noise=noise, n_tracers=n_tracers)
     rho_p, rho_m, tracers = jax.vmap(init_fn)(keys)
+    if engine != "xla":
+        from hydrolim_tpu.pde.fast_solve import is_fused_pde_path, pde_solve_fused
+
+        cfg = config if config.n_tracers == n_tracers else \
+            dataclasses.replace(config, n_tracers=n_tracers)
+        if is_fused_pde_path(cfg, params_b.gamma):
+            res = pde_solve_fused(cfg, params_b, ops, rho_p, rho_m, tracers,
+                                  jax.random.fold_in(keys[0], 1),
+                                  engine=engine)
+            return jax.device_get(res), flat_beta
+        assert engine == "auto", (
+            "engine='pallas' requires the fused-kernel configuration class")
     solve_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
     solve = jax.vmap(
         lambda p, rp, rm, tr, k: pde_solve(config, p, ops, rp, rm, tr, k))
@@ -78,7 +97,8 @@ def pde_beta_sweep(beta_values=None, n_runs: int = 3, T: float = 40.0,
                    gamma: float = 0.2, lam: float = 0.6,
                    kernel_sigma: float = 1e5 - 10, L: int = 1000,
                    dt: float = 5e-4, seed: int = 0, n_tracers: int = 1000,
-                   outdir: str = ".", plot_result: bool = True) -> Dict:
+                   outdir: str = ".", plot_result: bool = True,
+                   engine: str = "xla") -> Dict:
     """β sweep with theory overlay (IMEX_PDE_solver_run_sweep.py).
 
     v per run is |nanmean v_eff(t)| over [t_min, t_max] (:53-59); errorbars
@@ -92,7 +112,7 @@ def pde_beta_sweep(beta_values=None, n_runs: int = 3, T: float = 40.0,
                        fft_kmax=8)
     res, flat_beta = run_pde_ensemble(config, beta_values, gamma=gamma,
                                       lam=lam, n_runs=n_runs, seed=seed,
-                                      n_tracers=n_tracers)
+                                      n_tracers=n_tracers, engine=engine)
     t = np.linspace(0, T, config.nsteps + 1)
     mask = (t >= t_min) & (t <= t_max)
     n_iters = config.nsteps + 1
@@ -163,7 +183,8 @@ def pde_kernel_sigma_sweep(kernel_sigma_values=None, n_runs: int = 5,
                            L: int = 1000, dt: float = 5e-4, lam: float = 0.6,
                            n_tracers: int = 1000, outdir: str = ".",
                            plot_result: bool = True,
-                           record_every: int = 1, **overrides) -> Dict:
+                           record_every: int = 1, engine: str = "xla",
+                           **overrides) -> Dict:
     """Kernel-σ sweep: per-σ time series of |m|, |v_eff|, D_eff, Var(t)
     (mean ± std bands across runs).  Seeds follow the reference scheme
     seed = base + 1000·k_idx + r (:64) via fold_in."""
@@ -183,7 +204,7 @@ def pde_kernel_sigma_sweep(kernel_sigma_values=None, n_runs: int = 5,
         res, _ = run_pde_ensemble(config, [beta], gamma=gamma, lam=lam,
                                   n_runs=n_runs,
                                   seed=base_seed + 1000 * k_idx,
-                                  n_tracers=n_tracers)
+                                  n_tracers=n_tracers, engine=engine)
         n_iters = config.nsteps + 1
         m_results[sigma] = np.abs(np.asarray(res.records.m_mean)[:, :n_iters])
         v_results[sigma] = np.abs(np.asarray(res.records.v_eff)[:, :n_iters])

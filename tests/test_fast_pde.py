@@ -1,0 +1,112 @@
+"""pde.fast_solve — fused-PDE runner, CPU-testable surface.
+
+The kernel itself (ops/pallas_pde.py) is TPU-only (Mosaic PRNG); these
+tests pin down the pieces the kernel consumes: operator matrices match the
+XLA solve ops exactly, config gating, and the XLA fallback contract."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hydrolim_tpu.core.config import PDEConfig, PDEParams, make_pde_params
+from hydrolim_tpu.ops.diffusion import build_diffusion_op, diffusion_solve
+from hydrolim_tpu.pde.fast_solve import (
+    build_kernel_mats,
+    is_fused_pde_path,
+    pde_solve_fused,
+)
+from hydrolim_tpu.pde.stepper import build_pde_ops, magnetization
+
+
+def test_path_gating():
+    ok = PDEConfig(L=1000, T=1.0, dt=5e-4, snapshot_interval=50)
+    assert is_fused_pde_path(ok, np.full(4, 0.2))
+    assert not is_fused_pde_path(ok, np.array([0.1, 0.2]))   # non-uniform γ
+    big = PDEConfig(L=4096, T=1.0, dt=5e-4, snapshot_interval=50)
+    assert not is_fused_pde_path(big, np.full(4, 0.2))
+    ragged = PDEConfig(L=1000, T=1.0, dt=5e-4, snapshot_interval=33)
+    # nsteps=2000 not a multiple of 33
+    assert not is_fused_pde_path(ragged, np.full(4, 0.2))
+
+
+def test_solve_matrix_matches_spectral_solve():
+    L, dt, gamma = 200, 5e-4, 0.3
+    config = PDEConfig(L=L, T=1.0, dt=dt, bc="periodic",
+                       snapshot_interval=50)
+    Lp = 256
+    solve_mat, _, has_solve = build_kernel_mats(config, gamma, Lp)
+    assert has_solve
+    rng = np.random.default_rng(0)
+    x = rng.random((3, L)).astype(np.float32)
+    xp = np.zeros((3, Lp), np.float32)
+    xp[:, :L] = x
+    got = (xp @ solve_mat)[:, :L]
+    op = build_diffusion_op(L, config.dx, dt, gamma, "periodic", "fft")
+    want = np.asarray(diffusion_solve(op, jnp.asarray(x), "fft"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-6)
+    # pad lanes never leak
+    np.testing.assert_array_equal((xp @ solve_mat)[:, L:], 0.0)
+
+
+def test_solve_matrix_neumann():
+    L, dt, gamma = 128, 1e-3, 0.2
+    config = PDEConfig(L=L, T=1.0, dt=dt, bc="neumann",
+                       snapshot_interval=50, diffusion_solver="dense")
+    solve_mat, _, _ = build_kernel_mats(config, gamma, 128)
+    rng = np.random.default_rng(1)
+    x = rng.random((L,)).astype(np.float32)
+    got = x @ solve_mat
+    op = build_diffusion_op(L, config.dx, dt, gamma, "neumann", "dense")
+    want = np.asarray(diffusion_solve(op, jnp.asarray(x), "dense"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-6)
+
+
+def test_smooth_matrix_matches_magnetization():
+    L = 200
+    config = PDEConfig(L=L, T=1.0, dt=5e-4, gaussian_kernel=True,
+                       kernel_sigma=0.01, snapshot_interval=50)
+    _, smooth_mat, _ = build_kernel_mats(config, 0.0, 256)
+    params = make_pde_params(gamma=0.0, lam=0.6, beta=1.0)
+    ops = build_pde_ops(config, params)
+    rng = np.random.default_rng(2)
+    rp = rng.random(L).astype(np.float32)
+    rm = rng.random(L).astype(np.float32)
+    num, den = rp - rm, rp + rm
+    pack = np.zeros((2, 256), np.float32)
+    pack[0, :L], pack[1, :L] = num, den
+    sm = pack @ smooth_mat
+    got = sm[0, :L] / (sm[1, :L] + 1e-12)
+    want = np.asarray(magnetization(config, ops, jnp.asarray(rp),
+                                    jnp.asarray(rm)))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_gamma_zero_skips_solve():
+    config = PDEConfig(L=100, T=1.0, dt=1e-3, snapshot_interval=50)
+    _, _, has_solve = build_kernel_mats(config, 0.0, 128)
+    assert not has_solve
+
+
+def test_xla_fallback_matches_vmapped_solve():
+    from hydrolim_tpu.pde.init import pde_initialize
+    from hydrolim_tpu.pde.stepper import pde_solve
+
+    config = PDEConfig(L=64, T=0.1, dt=1e-3, gaussian_kernel=True,
+                       kernel_sigma=0.05, snapshot_interval=50, n_tracers=16)
+    B = 3
+    params_b = PDEParams(gamma=jnp.full(B, 0.2), lam=jnp.full(B, 0.6),
+                         beta=jnp.asarray([0.5, 1.0, 2.0]))
+    ops = build_pde_ops(config, make_pde_params(gamma=0.2, lam=0.6, beta=0.0))
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    init = jax.vmap(lambda k: pde_initialize(config, k, mode="homogeneous",
+                                             noise=0.2, n_tracers=16))
+    rp, rm, tr = init(keys)
+    key = jax.random.PRNGKey(7)
+    got = pde_solve_fused(config, params_b, ops, rp, rm, tr, key,
+                          engine="xla")
+    want = jax.vmap(lambda p, a, b, t, k: pde_solve(config, p, ops, a, b,
+                                                    t, k))(
+        params_b, rp, rm, tr, jax.random.split(key, B))
+    np.testing.assert_allclose(np.asarray(got.rho_p), np.asarray(want.rho_p),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.records.m_mean),
+                               np.asarray(want.records.m_mean), rtol=1e-6)

@@ -299,3 +299,58 @@ def test_run_exclusion_sweep_pallas_matches_xla():
     # active plus-forward drift: both positive, same scale
     assert v_p > 0 and v_x > 0
     assert abs(v_p - v_x) < 0.35 * max(v_p, v_x) + 1.0, (v_p, v_x)
+
+
+def test_pallas_pde_kernel_matches_xla_fields():
+    """Fused IMEX kernel vs the XLA solve: the FIELD dynamics carry no RNG,
+    so rho/m_mean/Var series must agree to f32 tolerance (dense vs spectral
+    solve); tracer v_eff/D_eff agree statistically."""
+    if not _tpu_is_default():
+        pytest.skip("needs a TPU device as default")
+    import jax.numpy as jnp
+    from hydrolim_tpu.core.config import PDEConfig, PDEParams, make_pde_params
+    from hydrolim_tpu.pde.fast_solve import pde_solve_fused
+    from hydrolim_tpu.pde.init import pde_initialize
+    from hydrolim_tpu.pde.stepper import build_pde_ops
+
+    config = PDEConfig(L=128, T=0.4, dt=1e-3, bc="periodic",
+                       gaussian_kernel=True, kernel_sigma=0.05,
+                       snapshot_interval=100, n_tracers=128,
+                       tracer_window_time=0.05)
+    B = 4
+    params_b = PDEParams(gamma=jnp.full(B, 0.2), lam=jnp.full(B, 0.6),
+                         beta=jnp.asarray([0.5, 1.0, 2.0, 3.0]))
+    ops = build_pde_ops(config, make_pde_params(gamma=0.2, lam=0.6, beta=0.0))
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    init = jax.vmap(lambda k: pde_initialize(config, k, mode="homogeneous",
+                                             noise=0.3, n_tracers=128))
+    rp, rm, tr = init(keys)
+    key = jax.random.PRNGKey(7)
+
+    got = pde_solve_fused(config, params_b, ops, rp, rm, tr, key,
+                          engine="pallas")
+    want = pde_solve_fused(config, params_b, ops, rp, rm, tr, key,
+                           engine="xla")
+
+    # deterministic field evolution: tight agreement
+    np.testing.assert_allclose(np.asarray(got.rho_p),
+                               np.asarray(want.rho_p), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.records.m_mean),
+                               np.asarray(want.records.m_mean), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.records.var),
+                               np.asarray(want.records.var),
+                               rtol=5e-3, atol=1e-6)
+    assert got.snapshots.shape == want.snapshots.shape
+    np.testing.assert_allclose(np.asarray(got.snap_times),
+                               np.asarray(want.snap_times), atol=1e-6)
+
+    # tracer statistics (independent RNG streams): window-mean agreement
+    n_iters = config.nsteps + 1
+    for name in ("v_eff", "D_eff"):
+        a = np.asarray(getattr(got.records, name))[:, :n_iters]
+        b = np.asarray(getattr(want.records, name))[:, :n_iters]
+        # NaN pattern identical (first `window` steps invalid)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+        ma, mb = np.nanmean(a, axis=1), np.nanmean(b, axis=1)
+        sd = (np.nanstd(a, axis=1) + np.nanstd(b, axis=1) + 1e-4)
+        assert np.all(np.abs(ma - mb) < sd), (name, ma, mb, sd)
