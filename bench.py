@@ -252,6 +252,43 @@ def bench_k3_pallas(B=16, reps=2):
     return run_once(1), run_once(B)
 
 
+def bench_pde_sweep_fused(T=10.0, n_runs=3, reps=2):
+    """Reference β-sweep scale (11 β × n_runs, L=1000, dt=5e-4, 1000
+    tracers, near-global kernel — IMEX_PDE_solver_run_sweep.py:26-40) on the
+    fused Pallas PDE kernel (ops/pallas_pde.py).  Returns (aggregate
+    replica-steps/s, warm wall seconds)."""
+    from hydrolim_tpu.core.config import PDEConfig, PDEParams, make_pde_params
+    from hydrolim_tpu.pde.fast_solve import pde_solve_fused
+    from hydrolim_tpu.pde.init import pde_initialize
+    from hydrolim_tpu.pde.stepper import build_pde_ops
+
+    beta_values = np.linspace(0, 3, 11).astype(np.float32)
+    config = PDEConfig(L=1000, T=T, dt=5e-4, bc="periodic",
+                       gaussian_kernel=True, kernel_sigma=1e5 - 10,
+                       snapshot_interval=1000, n_tracers=1000,
+                       tracer_window_time=0.25)
+    flat_beta = np.repeat(beta_values, n_runs)
+    B = flat_beta.shape[0]
+    params_b = PDEParams(gamma=jnp.full(B, 0.2), lam=jnp.full(B, 0.6),
+                         beta=jnp.asarray(flat_beta))
+    ops = build_pde_ops(config, make_pde_params(gamma=0.2, lam=0.6, beta=0.0))
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    init = jax.vmap(lambda k: pde_initialize(config, k, mode="homogeneous",
+                                             noise=0.3, n_tracers=1000))
+    rp, rm, tr = init(keys)
+    key = jax.random.PRNGKey(7)
+    run = lambda: pde_solve_fused(config, params_b, ops, rp, rm, tr, key,
+                                  engine="pallas")
+    jax.block_until_ready(run().rho_p)        # compile + warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run().rho_p)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return B * config.nsteps / best, best
+
+
 def bench_pde_solve_full():
     """Full PDE solve at the reference single-run scale (L=1000, T=20,
     dt=5e-4, 1000 tracers, kernel σ=0.005 — IMEX_PDE_solver_run.py:7-34),
@@ -332,6 +369,14 @@ def main():
     except Exception as e:  # secondary metric must not kill the headline
         print(f"# pde bench failed: {e}", file=sys.stderr)
         pde_sps = None
+    try:
+        fsw_sps, fsw_wall = bench_pde_sweep_fused()
+        print(f"# pde fused sweep (11 beta x 3 runs, 20k steps, 1000 "
+              f"tracers, Pallas kernel): {fsw_sps:.3e} aggregate "
+              f"replica-steps/sec, {fsw_wall:.1f} s warm wall "
+              f"(XLA batch path: ~7.6 s at the same scale)", file=sys.stderr)
+    except Exception as e:
+        print(f"# pde fused-sweep bench unavailable: {e}", file=sys.stderr)
     try:
         full_sps, full_wall = bench_pde_solve_full()
         print(f"# pde full solve (reference single-run scale, records + "

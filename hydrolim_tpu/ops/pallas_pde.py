@@ -247,7 +247,9 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
       rho: (B, 2, Lp) float32 ρ± fields (pad lanes zero).
       pos: (B, 1, Ntp) float32 unwrapped tracer positions.
       spin: (B, 1, Ntp) float32 tracer spins ±1.
-      hist: (B, window, Ntp) float32 circular unwrapped buffer.
+      hist: (B, Wp, Ntp) float32 circular unwrapped buffer, rows padded to
+        Wp = window rounded up to a multiple of 8 (Mosaic sublane tiling);
+        ring arithmetic stays modulo ``window``, rows ≥ window are unused.
       solve_mat: (Lp, Lp) — ``x @ M`` applies the implicit-diffusion inverse
         (pass a (8, 128) zero placeholder with has_solve=False for γ=0).
       smooth_mat: (Lp, Lp) — ``x @ M`` circular smoothing (placeholder
@@ -258,8 +260,9 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
     window, like the XLA path)."""
     B, _, Lp = rho.shape
     Ntp = pos.shape[-1]
+    Wp = _pad(window, 8)   # Mosaic sublane tiling: block rows must be 8-aligned
     assert Lp == _pad(L) and Ntp == _pad(max(n_t, 1))
-    assert hist.shape[-2] == window
+    assert hist.shape[-2] == Wp, (hist.shape, Wp)
     grid = (B,)
     kernel = functools.partial(
         _kernel, L=L, Lp=Lp, n_t=n_t, Ntp=Ntp, window=window,
@@ -288,7 +291,7 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
             bspec((2, Lp)),
             bspec((1, Ntp)),
             bspec((1, Ntp)),
-            bspec((window, Ntp)),
+            bspec((Wp, Ntp)),
             mspec(solve_mat),
             mspec(smooth_mat),
         ],
@@ -296,14 +299,14 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
             bspec((2, Lp)),
             bspec((1, Ntp)),
             bspec((1, Ntp)),
-            bspec((window, Ntp)),
+            bspec((Wp, Ntp)),
             bspec((k_steps, _REC_W)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 2, Lp), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, Ntp), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, Ntp), jnp.float32),
-            jax.ShapeDtypeStruct((B, window, Ntp), jnp.float32),
+            jax.ShapeDtypeStruct((B, Wp, Ntp), jnp.float32),
             jax.ShapeDtypeStruct((B, k_steps, _REC_W), jnp.float32),
         ],
         input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},

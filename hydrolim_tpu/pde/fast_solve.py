@@ -146,7 +146,8 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     rho = jnp.stack([pad_to(rho_p0, Lp), pad_to(rho_m0, Lp)], axis=1)
     pos = pad_to(tracers0.unwrapped, Ntp)[:, None, :]
     spin = pad_to(tracers0.spin.astype(jnp.float32), Ntp)[:, None, :]
-    hist = pad_to(tracers0.hist, Ntp)              # (B, W, Ntp)
+    Wp = _pad(W, 8)                                # Mosaic sublane tiling
+    hist = pad_to(pad_to(tracers0.hist, Ntp), Wp, axis=-2)  # (B, Wp, Ntp)
 
     solve_j = jnp.asarray(solve_mat)
     smooth_j = jnp.asarray(smooth_mat)
@@ -187,7 +188,7 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
         pos=jnp.mod(pos[:, 0, :n_t], config.xlim),
         unwrapped=pos[:, 0, :n_t],
         spin=spin[:, 0, :n_t].astype(jnp.int32),
-        hist=hist[..., :n_t])
+        hist=hist[:, :W, :n_t])
 
     @jax.jit
     def final_record(rho_p, rho_m, tr, key):

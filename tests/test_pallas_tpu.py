@@ -354,3 +354,48 @@ def test_pallas_pde_kernel_matches_xla_fields():
         ma, mb = np.nanmean(a, axis=1), np.nanmean(b, axis=1)
         sd = (np.nanstd(a, axis=1) + np.nanstd(b, axis=1) + 1e-4)
         assert np.all(np.abs(ma - mb) < sd), (name, ma, mb, sd)
+
+
+@pytest.mark.parametrize("legacy", [False, True])
+def test_pallas_pde_anchored_neumann_matches_xla(legacy):
+    """The other kernel branch set: anchored_minus reaction/advection order,
+    Neumann BC (dense solve + one-sided boundary stencils), global m-mode,
+    and the flag-gated legacy double-diffusion quirk."""
+    if not _tpu_is_default():
+        pytest.skip("needs a TPU device as default")
+    import jax.numpy as jnp
+    from hydrolim_tpu.core.config import PDEConfig, PDEParams, make_pde_params
+    from hydrolim_tpu.pde.fast_solve import pde_solve_fused
+    from hydrolim_tpu.pde.init import pde_initialize
+    from hydrolim_tpu.pde.stepper import build_pde_ops
+
+    config = PDEConfig(L=96, T=0.2, dt=1e-3, bc="neumann",
+                       active_model="anchored_minus", gaussian_kernel=True,
+                       kernel_sigma=1e6, diffusion_solver="dense",
+                       snapshot_interval=50, n_tracers=64,
+                       tracer_window_time=0.04, legacy_double_diffusion=legacy)
+    B = 3
+    params_b = PDEParams(gamma=jnp.full(B, 0.15), lam=jnp.full(B, 0.6),
+                         beta=jnp.asarray([0.5, 1.5, 2.5]))
+    ops = build_pde_ops(config, make_pde_params(gamma=0.15, lam=0.6,
+                                                beta=0.0))
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    init = jax.vmap(lambda k: pde_initialize(config, k, mode="poisson",
+                                             noise=0.1, n_tracers=64))
+    rp, rm, tr = init(keys)
+    key = jax.random.PRNGKey(11)
+
+    got = pde_solve_fused(config, params_b, ops, rp, rm, tr, key,
+                          engine="pallas")
+    want = pde_solve_fused(config, params_b, ops, rp, rm, tr, key,
+                           engine="xla")
+
+    np.testing.assert_allclose(np.asarray(got.rho_p),
+                               np.asarray(want.rho_p), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.rho_m),
+                               np.asarray(want.rho_m), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.records.m_mean),
+                               np.asarray(want.records.m_mean), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.records.var),
+                               np.asarray(want.records.var),
+                               rtol=5e-3, atol=1e-6)
