@@ -28,6 +28,23 @@ Interactions` (see SURVEY.md):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("HYDROLIM_NO_COMPILATION_CACHE", "") != "1":
+    # Mosaic compiles of the fused multi-step kernels take minutes through
+    # a remote-TPU tunnel (up to ~16 min for the scanned R-batched PDE
+    # program); the persistent cache makes every repeat shape instant.
+    # Opt out with HYDROLIM_NO_COMPILATION_CACHE=1.
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("HYDROLIM_CACHE_DIR", "/tmp/jax_comp_cache"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover — older jax without the knobs
+        pass
+
 from hydrolim_tpu.core.config import ParticleConfig, ParticleParams, PDEConfig, PDEParams  # noqa: F401
 from hydrolim_tpu.particles.system import ParticleSystem  # noqa: F401
 

@@ -5,9 +5,12 @@ The XLA solve (pde/stepper.py) pays ~8 MB of HBM matrix reads per step (the
 slow 1000-element tracer gather — ~45 µs/step single-replica on v5e where
 the arithmetic is ~1 µs.  This kernel keeps both operator matrices, the ρ±
 fields, the tracer ensemble and its windowed-displacement ring buffer
-resident in VMEM across K_STEPS steps:
+resident in VMEM across K_STEPS steps, and batches R replicas per grid
+program so the VPU's 8 sublanes and the MXU's rows are actually occupied
+(a single-replica program runs (1, L) row vectors at ~1/8 sublane
+utilization; the operator matrices are shared across the R replicas):
 
-- implicit diffusion: one ``(2, Lp) @ (Lp, Lp)`` HIGHEST-precision matmul
+- implicit diffusion: one ``(2R, Lp) @ (Lp, Lp)`` HIGHEST-precision matmul
   (the dense inverse of ``I − γ·dt·D/dx²`` — IMEX_PDE_solver_class.py:68-82;
   bf16 would freeze the dynamics, see ops/dft.py),
 - magnetization: pointwise / global / one smoothing matmul, shared by the
@@ -17,14 +20,15 @@ resident in VMEM across K_STEPS steps:
   (:187-233), both ``bidirectional`` and ``anchored_minus`` branches incl.
   the flag-gated legacy double-diffusion quirk (:189-190, :207-208),
 - tracer SDE (:256-287): flip Bernoulli(c·dt) with m gathered at tracer
-  sites via a one-hot matmul (Mosaic has no vector gather), Euler–Maruyama
+  sites via a one-hot matmul (Mosaic has no vector gather; skipped
+  entirely in global-m mode where m is spatially constant), Euler–Maruyama
   advance with in-kernel Box–Muller noise, windowed v_eff/D_eff from a
   (window, n_t) circular buffer carried across invocations,
-- per-step records streamed to HBM as (K_STEPS, 8) rows:
-  [m_mean, Var, v_eff, D_eff, 0…].
+- per-step records streamed to HBM as (R, K_STEPS, 128) blocks:
+  [m_mean, Var, v_eff, D_eff, 0…] per lane row.
 
-Scope: L ≤ ~2000 (dense operator matrices in VMEM), n_tracers ≤ 2048,
-window ≤ 512.  Larger L stays on the XLA path (banded large-L solvers).
+Scope: L ≤ ~2000 (dense operator matrices in VMEM), n_tracers ≤ 2048.
+Larger L stays on the XLA path (banded large-L solvers).
 """
 from __future__ import annotations
 
@@ -46,18 +50,19 @@ def _pad(n: int, mult: int = LANE) -> int:
     return -(-n // mult) * mult
 
 
-def _kernel(scal_ref, seed_ref, step0_ref, rho_ref, pos_ref, spin_ref,
-            hist_ref, solve_ref, smooth_ref, rho_out, pos_out, spin_out,
-            hist_out, recs_ref, *, L: int, Lp: int, n_t: int, Ntp: int,
-            window: int, k_steps: int, dt: float, dx: float, xlim: float,
-            periodic: bool, m_mode: str, has_solve: bool, bidirectional: bool,
+def _kernel(scalv_ref, seed_ref, step0_ref, rhop_ref, rhom_ref, pos_ref,
+            spin_ref, hist_ref, solve_ref, smooth_ref, rhop_out, rhom_out,
+            pos_out, spin_out, hist_out, recs_ref, *, L: int, Lp: int,
+            n_t: int, Ntp: int, window: int, k_steps: int, R: int, dt: float,
+            dx: float, xlim: float, periodic: bool, m_mode: str,
+            has_solve: bool, bidirectional: bool,
             legacy_double_diffusion: bool, has_noise: bool):
-    b = pl.program_id(0)
-    beta = scal_ref[b, 0]
-    lam = scal_ref[b, 1]
-    noise_amp = scal_ref[b, 2]
-    pltpu.prng_seed(seed_ref[b], b)
-    n0 = step0_ref[b]
+    g = pl.program_id(0)
+    beta = scalv_ref[:, 0:1]          # (R, 1) per-replica scalars
+    lam = scalv_ref[:, 1:2]
+    noise_amp = scalv_ref[:, 2:3]
+    pltpu.prng_seed(seed_ref[g], g)
+    n0 = step0_ref[g]
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
     laneT = jax.lax.broadcasted_iota(jnp.int32, (1, Ntp), 1)
@@ -67,7 +72,7 @@ def _kernel(scal_ref, seed_ref, step0_ref, rho_ref, pos_ref, spin_ref,
     inv_nt = jnp.float32(1.0 / max(n_t, 1))
 
     def shift_right1(x, fill):
-        """out[i] = x[i-1] on the L-site topology (row vectors)."""
+        """out[i] = x[i-1] on the L-site topology (rows = replicas)."""
         plain = pltpu.roll(x, 1, axis=1)
         if periodic:
             out = jnp.where(lane1 == 0, pltpu.roll(x, Lp - L + 1, axis=1),
@@ -102,9 +107,12 @@ def _kernel(scal_ref, seed_ref, step0_ref, rho_ref, pos_ref, spin_ref,
         return jnp.clip(jnp.exp(-beta * s * m), 1e-8, 1e8)
 
     def uniform():
-        bits = pltpu.prng_random_bits((1, Ntp))
+        bits = pltpu.prng_random_bits((R, Ntp))
         return (bits & np.uint32(0x00FFFFFF)).astype(jnp.float32) * \
             jnp.float32(2.0 ** -24)
+
+    def row_sum(x, mask):
+        return jnp.sum(x * mask, axis=1, keepdims=True)     # (R, 1)
 
     def body(s, carry):
         rho_p, rho_m, pos_u, spin = carry
@@ -114,40 +122,53 @@ def _kernel(scal_ref, seed_ref, step0_ref, rho_ref, pos_ref, spin_ref,
         num = rho_p - rho_m
         den = rho_p + rho_m
         if m_mode == "smooth":
-            pack = jnp.concatenate([num, den], axis=0)          # (2, Lp)
+            pack = jnp.concatenate([num, den], axis=0)          # (2R, Lp)
             sm = jax.lax.dot_general(
                 pack, smooth_ref[:], (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
-            m = sm[0:1] / (sm[1:2] + 1e-12)
+            m = sm[:R] / (sm[R:] + 1e-12)                       # (R, Lp)
         elif m_mode == "global":
-            g = jnp.sum(num * valid1) / (jnp.sum(den * valid1) + 1e-12)
-            m = jnp.full((1, Lp), g)
+            # spatially constant — carry as a (R, 1) column, broadcast late
+            m = row_sum(num, valid1) / (row_sum(den, valid1) + 1e-12)
         else:                                                    # pointwise
             m = num / (den + 1e-12)
 
         # -- per-step records (state n) -------------------------------------
-        m_mean = jnp.sum(m * valid1) * inv_L
-        t_mean = jnp.sum(den * valid1) * inv_L
-        var = jnp.sum((den - t_mean) ** 2 * valid1) * inv_L
+        if m_mode == "global":
+            m_mean = m
+        else:
+            m_mean = row_sum(m, valid1) * inv_L                 # (R, 1)
+        t_mean = row_sum(den, valid1) * inv_L
+        var = row_sum((den - t_mean) ** 2, valid1) * inv_L
 
         # -- tracer SDE (:256-287) ------------------------------------------
-        pos_w = jnp.mod(pos_u, jnp.float32(xlim))
-        idx = jnp.mod((pos_w / dx).astype(jnp.int32), L)        # (1, Ntp)
-        # one-hot gather m_tr[j] = m[idx[j]] (Mosaic has no vector gather):
-        # m @ P with P[x, j] = (x == idx[j]), built in 256-row chunks so the
-        # peak one-hot intermediate is (256, Ntp) ≈ 1 MB instead of a full
-        # (Lp, Ntp) ≈ 4 MB on top of the 8 MB of resident operator matrices
-        m_tr = jnp.zeros((1, Ntp), jnp.float32)
-        chunk = 256
-        for c0 in range(0, Lp, chunk):
-            cw_ = min(chunk, Lp - c0)                           # tail < 256
-            rows = jax.lax.broadcasted_iota(jnp.int32, (cw_, Ntp), 0) + c0
-            Pc = (rows == jnp.broadcast_to(idx, (cw_, Ntp))).astype(
-                jnp.float32)
-            m_tr = m_tr + jax.lax.dot_general(
-                m[:, c0:c0 + cw_], Pc, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)             # (1, Ntp)
+        if m_mode == "global":
+            m_tr = jnp.broadcast_to(m, (R, Ntp))
+        else:
+            pos_w = jnp.mod(pos_u, jnp.float32(xlim))
+            idx = jnp.mod((pos_w / dx).astype(jnp.int32), L)    # (R, Ntp)
+            # one-hot gather m_tr[r, j] = m[r, idx[r, j]] (no vector gather
+            # on Mosaic): per-replica m[r] @ P_r in 256-row chunks so the
+            # peak one-hot intermediate is (256, Ntp) ≈ 1 MB on top of the
+            # resident operator matrices
+            chunk = 256
+            rows_tr = []
+            for r in range(R):
+                m_tr_r = jnp.zeros((1, Ntp), jnp.float32)
+                idx_r = idx[r:r + 1]
+                for c0 in range(0, Lp, chunk):
+                    cw_ = min(chunk, Lp - c0)                   # tail < 256
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (cw_, Ntp), 0) + c0
+                    Pc = (rows == jnp.broadcast_to(idx_r, (cw_, Ntp))
+                          ).astype(jnp.float32)
+                    m_tr_r = m_tr_r + jax.lax.dot_general(
+                        m[r:r + 1, c0:c0 + cw_], Pc,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)     # (1, Ntp)
+                rows_tr.append(m_tr_r)
+            m_tr = jnp.concatenate(rows_tr, axis=0)             # (R, Ntp)
         rate = cw(spin, m_tr)
         flip = uniform() < rate * dt
         spin = jnp.where(flip, -spin, spin)
@@ -161,31 +182,33 @@ def _kernel(scal_ref, seed_ref, step0_ref, rho_ref, pos_ref, spin_ref,
             pos_u = pos_u + lam * spin * dt
 
         slot = jnp.mod(n, window)
-        hist_out[pl.ds(slot, 1), :] = pos_u
-        old = hist_out[pl.ds(jnp.mod(n + 1, window), 1), :]
-        dr = (pos_u - old) * validT
-        mean_dr = jnp.sum(dr) * inv_nt
-        var_dr = jnp.sum((dr - mean_dr) ** 2 * validT) * inv_nt
+        hist_out[:, pl.ds(slot, 1), :] = pos_u[:, None, :]
+        old = hist_out[:, pl.ds(jnp.mod(n + 1, window), 1), :]
+        dr = (pos_u - jnp.reshape(old, (R, Ntp))) * validT
+        mean_dr = jnp.sum(dr, axis=1, keepdims=True) * inv_nt   # (R, 1)
+        var_dr = jnp.sum((dr - mean_dr) ** 2 * validT, axis=1,
+                         keepdims=True) * inv_nt
         w_valid = n >= window
         v_eff = jnp.where(w_valid, mean_dr / (window * dt), jnp.nan)
         D_eff = jnp.where(w_valid, var_dr / (2.0 * window * dt), jnp.nan)
 
-        rec_lane = jax.lax.broadcasted_iota(jnp.int32, (1, _REC_W), 1)
-        row = jnp.where(rec_lane == 0, m_mean,
-                        jnp.where(rec_lane == 1, var,
-                                  jnp.where(rec_lane == 2, v_eff,
-                                            jnp.where(rec_lane == 3, D_eff,
+        rec_lane = jax.lax.broadcasted_iota(jnp.int32, (R, 1, _REC_W), 2)
+        row = jnp.where(rec_lane == 0, m_mean[:, :, None],
+                        jnp.where(rec_lane == 1, var[:, :, None],
+                                  jnp.where(rec_lane == 2, v_eff[:, :, None],
+                                            jnp.where(rec_lane == 3,
+                                                      D_eff[:, :, None],
                                                       0.0))))
-        recs_ref[pl.ds(s, 1), :] = row
+        recs_ref[:, pl.ds(s, 1), :] = row
 
         # -- IMEX step (:187-233) -------------------------------------------
         if has_solve:
-            pack2 = jnp.concatenate([rho_p, rho_m], axis=0)
+            pack2 = jnp.concatenate([rho_p, rho_m], axis=0)     # (2R, Lp)
             sol = jax.lax.dot_general(
                 pack2, solve_ref[:], (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
-            rho_p1, rho_m1 = sol[0:1], sol[1:2]
+            rho_p1, rho_m1 = sol[:R], sol[R:]
         else:
             rho_p1, rho_m1 = rho_p, rho_m
         if bidirectional:
@@ -201,7 +224,7 @@ def _kernel(scal_ref, seed_ref, step0_ref, rho_ref, pos_ref, spin_ref,
                     pack2, solve_ref[:], (((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
-                rho_p1, rho_m1 = sol[0:1], sol[1:2]
+                rho_p1, rho_m1 = sol[:R], sol[R:]
             R_p = cw(-1.0, m) * rho_m1 - cw(+1.0, m) * rho_p1
             rho_p_star = jnp.maximum(rho_p1 + dt * R_p, 0.0)
             rho_m2 = jnp.maximum(rho_m1 - dt * R_p, 0.0)
@@ -210,43 +233,45 @@ def _kernel(scal_ref, seed_ref, step0_ref, rho_ref, pos_ref, spin_ref,
         rho_p2 = rho_p2 * valid1
         rho_m2 = rho_m2 * valid1
 
-        M0 = jnp.sum((rho_p1 + rho_m1) * valid1)
-        M1 = jnp.sum(rho_p2 + rho_m2)
+        M0 = row_sum(rho_p1 + rho_m1, valid1)                   # (R, 1)
+        M1 = jnp.sum(rho_p2 + rho_m2, axis=1, keepdims=True)
         scale = M0 / jnp.maximum(M1, 1e-30)
         return rho_p2 * scale, rho_m2 * scale, pos_u, spin
 
     hist_out[:] = hist_ref[:]
-    rho0 = rho_ref[:]
     rho_p, rho_m, pos_u, spin = jax.lax.fori_loop(
         0, k_steps, body,
-        (rho0[0:1], rho0[1:2], pos_ref[:], spin_ref[:]))
-    rho_out[:] = jnp.concatenate([rho_p, rho_m], axis=0)
+        (rhop_ref[:], rhom_ref[:], pos_ref[:], spin_ref[:]))
+    rhop_out[:] = rho_p
+    rhom_out[:] = rho_m
     pos_out[:] = pos_u
     spin_out[:] = spin
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "n_t", "window", "k_steps", "dt", "dx", "xlim",
-                     "periodic", "m_mode", "has_solve", "bidirectional",
-                     "legacy_double_diffusion", "has_noise"))
+    static_argnames=("L", "n_t", "window", "k_steps", "r_batch", "dt", "dx",
+                     "xlim", "periodic", "m_mode", "has_solve",
+                     "bidirectional", "legacy_double_diffusion", "has_noise"))
 def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
-                   rho: jnp.ndarray, pos: jnp.ndarray, spin: jnp.ndarray,
-                   hist: jnp.ndarray, solve_mat: jnp.ndarray,
-                   smooth_mat: jnp.ndarray, *, L: int, n_t: int, window: int,
-                   k_steps: int, dt: float, dx: float, xlim: float,
+                   rho_p: jnp.ndarray, rho_m: jnp.ndarray, pos: jnp.ndarray,
+                   spin: jnp.ndarray, hist: jnp.ndarray,
+                   solve_mat: jnp.ndarray, smooth_mat: jnp.ndarray, *,
+                   L: int, n_t: int, window: int, k_steps: int,
+                   r_batch: int = 1, dt: float, dx: float, xlim: float,
                    periodic: bool, m_mode: str, has_solve: bool,
                    bidirectional: bool, legacy_double_diffusion: bool = False,
                    has_noise: bool = True):
     """Advance K_STEPS IMEX steps (fields + tracers) fully on-chip.
 
     Args:
-      scal: (B, 4) float32 [beta, lam, sqrt(2·γ·dt), pad].
-      seeds: (B,) int32 — pass ``base + chunk_index`` per invocation.
+      scal: (B, 4) float32 [beta, lam, sqrt(2·γ·dt), pad] per replica.
+      seeds: (B,) int32 — pass ``base + chunk_index`` per invocation; one
+        seed per grid program (every ``r_batch``-th entry) is consumed.
       step0: (B,) int32 global step offset (window validity + hist ring).
-      rho: (B, 2, Lp) float32 ρ± fields (pad lanes zero).
-      pos: (B, 1, Ntp) float32 unwrapped tracer positions.
-      spin: (B, 1, Ntp) float32 tracer spins ±1.
+      rho_p / rho_m: (B, Lp) float32 ρ± fields (pad lanes zero).
+      pos: (B, Ntp) float32 unwrapped tracer positions.
+      spin: (B, Ntp) float32 tracer spins ±1.
       hist: (B, Wp, Ntp) float32 circular unwrapped buffer, rows padded to
         Wp = window rounded up to a multiple of 8 (Mosaic sublane tiling);
         ring arithmetic stays modulo ``window``, rows ≥ window are unused.
@@ -254,64 +279,91 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
         (pass a (8, 128) zero placeholder with has_solve=False for γ=0).
       smooth_mat: (Lp, Lp) — ``x @ M`` circular smoothing (placeholder
         unless m_mode == 'smooth').
+      r_batch: replicas per grid program (B must divide evenly); the
+        operator matrices are shared within a program, and row-batching
+        fills the VPU sublanes / MXU rows a single replica leaves idle.
 
-    Returns (rho, pos, spin, hist, recs) with recs (B, k_steps, 128) float32
-    rows [m_mean, Var, v_eff, D_eff, 0…] (NaN v/D before the first full
-    window, like the XLA path)."""
-    B, _, Lp = rho.shape
+    Returns (rho_p, rho_m, pos, spin, hist, recs) with recs
+    (B, k_steps, 128) float32 rows [m_mean, Var, v_eff, D_eff, 0…]
+    (NaN v/D before the first full window, like the XLA path)."""
+    B, Lp = rho_p.shape
     Ntp = pos.shape[-1]
+    R = r_batch
     Wp = _pad(window, 8)   # Mosaic sublane tiling: block rows must be 8-aligned
     assert Lp == _pad(L) and Ntp == _pad(max(n_t, 1))
     assert hist.shape[-2] == Wp, (hist.shape, Wp)
-    grid = (B,)
+    assert B % R == 0, (B, R)
+    G = B // R
+    grid = (G,)
     kernel = functools.partial(
         _kernel, L=L, Lp=Lp, n_t=n_t, Ntp=Ntp, window=window,
-        k_steps=k_steps, dt=dt, dx=dx, xlim=xlim, periodic=periodic,
+        k_steps=k_steps, R=R, dt=dt, dx=dx, xlim=xlim, periodic=periodic,
         m_mode=m_mode, has_solve=has_solve, bidirectional=bidirectional,
         legacy_double_diffusion=legacy_double_diffusion, has_noise=has_noise)
 
-    def squeeze(scal, seed, step0, rho, pos, spin, hist, solve, smooth,
-                rho_o, pos_o, spin_o, hist_o, recs):
-        kernel(scal, seed, step0, rho.at[0], pos.at[0], spin.at[0],
-               hist.at[0], solve, smooth, rho_o.at[0], pos_o.at[0],
-               spin_o.at[0], hist_o.at[0], recs.at[0])
+    # per-replica scalars as a VMEM (G, R, LANE) array: lanes 0..3 hold
+    # [beta, lam, noise_amp]; the kernel column-slices (R, 1) blocks.
+    # Replica-major arrays are reshaped (B, …) → (G, R, …) so every block
+    # is (1, R, …): Mosaic only constrains the LAST TWO dims of a block
+    # (divisible by (8, 128) or equal to the array dims) — a flat (R, …)
+    # block with R ∉ {8, 16, …} would be rejected.
+    scalv = jnp.pad(jnp.asarray(scal, jnp.float32),
+                    ((0, 0), (0, LANE - scal.shape[1])))
+    seeds_g = jnp.asarray(seeds, jnp.int32)[::R]
+    step0_g = jnp.asarray(step0, jnp.int32)[::R]
+
+    def gshape(x):
+        return x.reshape((G, R) + x.shape[1:])
+
+    def squeeze(scalv, seed, step0, rp, rm, pos, spin, hist, solve, smooth,
+                rp_o, rm_o, pos_o, spin_o, hist_o, recs):
+        kernel(scalv.at[0], seed, step0, rp.at[0], rm.at[0], pos.at[0],
+               spin.at[0], hist.at[0], solve, smooth, rp_o.at[0],
+               rm_o.at[0], pos_o.at[0], spin_o.at[0], hist_o.at[0],
+               recs.at[0])
 
     bspec = lambda shape: pl.BlockSpec(
-        (1,) + shape, lambda b: (b,) + (0,) * len(shape),
+        (1, R) + shape, lambda g: (g, 0) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
-    mspec = lambda m: pl.BlockSpec(m.shape, lambda b: (0, 0),
+    mspec = lambda m: pl.BlockSpec(m.shape, lambda g: (0, 0),
                                    memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         squeeze,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, 4), lambda b: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
-            bspec((2, Lp)),
-            bspec((1, Ntp)),
-            bspec((1, Ntp)),
+            bspec((LANE,)),
+            pl.BlockSpec((G,), lambda g: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G,), lambda g: (0,), memory_space=pltpu.SMEM),
+            bspec((Lp,)),
+            bspec((Lp,)),
+            bspec((Ntp,)),
+            bspec((Ntp,)),
             bspec((Wp, Ntp)),
             mspec(solve_mat),
             mspec(smooth_mat),
         ],
         out_specs=[
-            bspec((2, Lp)),
-            bspec((1, Ntp)),
-            bspec((1, Ntp)),
+            bspec((Lp,)),
+            bspec((Lp,)),
+            bspec((Ntp,)),
+            bspec((Ntp,)),
             bspec((Wp, Ntp)),
             bspec((k_steps, _REC_W)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, 2, Lp), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, Ntp), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, Ntp), jnp.float32),
-            jax.ShapeDtypeStruct((B, Wp, Ntp), jnp.float32),
-            jax.ShapeDtypeStruct((B, k_steps, _REC_W), jnp.float32),
+            jax.ShapeDtypeStruct((G, R, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((G, R, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((G, R, Ntp), jnp.float32),
+            jax.ShapeDtypeStruct((G, R, Ntp), jnp.float32),
+            jax.ShapeDtypeStruct((G, R, Wp, Ntp), jnp.float32),
+            jax.ShapeDtypeStruct((G, R, k_steps, _REC_W), jnp.float32),
         ],
-        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
-    )(jnp.asarray(scal, jnp.float32), jnp.asarray(seeds, jnp.int32),
-      jnp.asarray(step0, jnp.int32), rho, pos, spin, hist,
-      jnp.asarray(solve_mat, jnp.float32), jnp.asarray(smooth_mat,
-                                                       jnp.float32))
-    return tuple(out)
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3, 7: 4},
+    )(gshape(scalv), seeds_g, step0_g, gshape(rho_p), gshape(rho_m),
+      gshape(pos), gshape(spin), gshape(hist),
+      jnp.asarray(solve_mat, jnp.float32),
+      jnp.asarray(smooth_mat, jnp.float32))
+    rp_o, rm_o, pos_o, spin_o, hist_o, recs = out
+    ung = lambda x: x.reshape((B,) + x.shape[2:])
+    return (ung(rp_o), ung(rm_o), ung(pos_o), ung(spin_o), ung(hist_o),
+            ung(recs))

@@ -80,6 +80,25 @@ def test_smooth_matrix_matches_magnetization():
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
 
 
+def test_wide_kernel_routes_to_global():
+    """σ = 1e5−10 (the reference's just-under-the-sentinel sweep quirk,
+    IMEX_PDE_solver_run_sweep.py:36) must route to the exact global mean:
+    the circulant is uniform to ~1e-11, far below f32 resolution."""
+    from hydrolim_tpu.pde.fast_solve import _m_mode
+
+    sweep = PDEConfig(L=1000, T=1.0, dt=5e-4, gaussian_kernel=True,
+                      kernel_sigma=1e5 - 10, snapshot_interval=50)
+    assert _m_mode(sweep) == "global"
+    local = PDEConfig(L=1000, T=1.0, dt=5e-4, gaussian_kernel=True,
+                      kernel_sigma=0.005, snapshot_interval=50)
+    assert _m_mode(local) == "smooth"
+    # and the smoothing circulant at the sweep sigma IS uniform
+    _, smooth_mat, _ = build_kernel_mats(
+        PDEConfig(L=128, T=1.0, dt=5e-4, gaussian_kernel=True,
+                  kernel_sigma=0.05, snapshot_interval=50), 0.0, 128)
+    assert smooth_mat.std() > 0  # a genuinely local kernel is not uniform
+
+
 def test_gamma_zero_skips_solve():
     config = PDEConfig(L=100, T=1.0, dt=1e-3, snapshot_interval=50)
     _, _, has_solve = build_kernel_mats(config, 0.0, 128)
