@@ -20,6 +20,7 @@ to the vmapped XLA ``pde_solve`` otherwise or off-TPU (``engine='auto'``).
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -102,11 +103,15 @@ def build_kernel_mats(config: PDEConfig, gamma: float,
 def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
                     rho_p0: jnp.ndarray, rho_m0: jnp.ndarray,
                     tracers0: TracerState, key: jnp.ndarray,
-                    engine: str = "auto") -> PDESolveResult:
+                    engine: str = "auto",
+                    keep_snapshots: bool = True) -> PDESolveResult:
     """Batched fused solve; same call shape as ``vmap(pde_solve)``.
 
     Args are batched on the leading axis (B); ``tracers0`` from the vmapped
-    ``pde_initialize``."""
+    ``pde_initialize``.  ``keep_snapshots=False`` skips accumulating the
+    per-chunk ρ snapshot blocks (empty arrays in the result) — at reference
+    sweep scale they are ~0.4 GB of HBM + host transfer that the sweep
+    drivers never read."""
     from hydrolim_tpu.ops.pallas_pde import _pad, pde_multi_step
     from hydrolim_tpu.sweeps.fast_exclusion import default_device_is_tpu
 
@@ -130,23 +135,37 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     W = config.tracer_window
     interval = config.snapshot_interval
     nsteps = config.nsteps
-    n_chunks = nsteps // interval
-
     solve_mat, smooth_mat, has_solve = build_kernel_mats(config, gamma, Lp)
     m_mode = _m_mode(config)
     bidi = config.active_model == "bidirectional"
     has_noise = gamma > 0.0
 
-    # replicas per grid program: share the operator matrices and fill the
-    # VPU sublanes; bounded by a ~14 MB VMEM budget (v5e has ~16 MB/core)
+    # Joint (replicas-per-program, steps-per-launch) choice against a
+    # ~14 MB VMEM budget (v5e has ~16 MB/core).  Replica-row batching R
+    # dominates (it fills VPU sublanes: measured R=4 @ 50-step chunks beats
+    # R=2 @ 800-step chunks ~1.6× at the reference sweep shape), so pick
+    # the largest feasible R at the snapshot cadence, then — snapshots are
+    # only observable at chunk boundaries, so only when keep_snapshots is
+    # off — grow the chunk while that R still fits (fewer kernel launches,
+    # shorter scan).  The per-step record rows (k_chunk × 128 lanes) are
+    # what the chunk growth pays for.
     Wp = _pad(W, 8)
     fixed = 4 * Lp * Lp * (int(has_solve) + int(m_mode == "smooth"))
-    per_rep = 4 * (Wp * Ntp + interval * 128 + 4 * Ntp + 2 * Lp)
-    R = 1
-    for cand in (8, 4, 2):
-        if fixed + cand * per_rep + 2 * 2 ** 20 <= 14 * 2 ** 20:
-            R = cand
-            break
+
+    def max_r(kc: int) -> int:
+        per = 4 * (Wp * Ntp + kc * 128 + 4 * Ntp + 2 * Lp)
+        for cand in (8, 4, 2):
+            if fixed + cand * per + 2 * 2 ** 20 <= 14 * 2 ** 20:
+                return cand
+        return 1
+
+    k_chunk = interval
+    R = max_r(interval)
+    if not keep_snapshots:
+        while (k_chunk * 2 <= 1024 and nsteps % (k_chunk * 2) == 0
+               and max_r(k_chunk * 2) == R):
+            k_chunk *= 2
+    n_chunks = nsteps // k_chunk
     Bp = -(-B // R) * R          # pad replicas to a multiple of R
     rep_idx = jnp.arange(Bp) % B
 
@@ -177,33 +196,41 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     smooth_j = jnp.asarray(smooth_mat)
     scal_j = jnp.asarray(scal)[rep_idx]
 
-    @jax.jit
-    def run_scanned(rho_p, rho_m, pos, spin, hist, seeds0):
+    @functools.partial(jax.jit, static_argnames=("keep",))
+    def run_scanned(rho_p, rho_m, pos, spin, hist, seeds0, keep=True):
         def chunk_body(carry, c):
             rho_p, rho_m, pos, spin, hist = carry
-            snap = (rho_p + rho_m)[:B, :L]
-            snap_m = (rho_p - rho_m)[:B, :L]
+            if keep:
+                snaps = ((rho_p + rho_m)[:B, :L], (rho_p - rho_m)[:B, :L])
+            else:
+                snaps = ()
             rho_p, rho_m, pos, spin, hist, recs = pde_multi_step(
-                scal_j, seeds0 + c, jnp.full((Bp,), c * interval, jnp.int32),
+                scal_j, seeds0 + c, jnp.full((Bp,), c * k_chunk, jnp.int32),
                 rho_p, rho_m, pos, spin, hist, solve_j, smooth_j, L=L,
-                n_t=n_t, window=W, k_steps=interval, r_batch=R, dt=dt, dx=dx,
+                n_t=n_t, window=W, k_steps=k_chunk, r_batch=R, dt=dt, dx=dx,
                 xlim=config.xlim, periodic=(config.bc == "periodic"),
                 m_mode=m_mode, has_solve=has_solve, bidirectional=bidi,
                 legacy_double_diffusion=config.legacy_double_diffusion,
                 has_noise=has_noise)
-            return (rho_p, rho_m, pos, spin, hist), (recs[:B], snap, snap_m)
+            return (rho_p, rho_m, pos, spin, hist), (recs[:B],) + snaps
 
-        carry, (recs, snaps, m_snaps) = jax.lax.scan(
+        carry, ys = jax.lax.scan(
             chunk_body, (rho_p, rho_m, pos, spin, hist),
             jnp.arange(n_chunks, dtype=jnp.int32))
         rho_p, rho_m, pos, spin, hist = carry
-        # (n_chunks, B, interval, REC_W) -> (B, nsteps, 4) — only the
+        recs = ys[0]
+        # (n_chunks, B, k_chunk, REC_W) -> (B, nsteps, 4) — only the
         # [m_mean, var, v_eff, D_eff] lanes are meaningful
         recs = jnp.moveaxis(recs[..., :4], 0, 1).reshape(B, nsteps, 4)
+        if keep:
+            snaps, m_snaps = ys[1], ys[2]
+        else:
+            snaps = jnp.zeros((0, B, L), jnp.float32)
+            m_snaps = jnp.zeros((0, B, L), jnp.float32)
         return rho_p, rho_m, pos, spin, hist, recs, snaps, m_snaps
 
     rho_p, rho_m, pos, spin, hist, recs, snaps, m_snaps = run_scanned(
-        rho_p, rho_m, pos, spin, hist, seeds0)
+        rho_p, rho_m, pos, spin, hist, seeds0, keep=keep_snapshots)
 
     # final iteration (n = nsteps): record + tracer update, no step —
     # mirrors pde_solve's masked last iteration on the XLA path
@@ -235,14 +262,20 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     var = jnp.concatenate([recs[:, :, 1], var_f[:, None]], axis=1)
     v_eff = jnp.concatenate([recs[:, :, 2], v_f[:, None]], axis=1)
     D_eff = jnp.concatenate([recs[:, :, 3], D_f[:, None]], axis=1)
-    # snapshots: chunk starts + the final state (pde_solve block semantics:
-    # n_blocks = ceil(n_iters / interval) block-start states)
-    snaps = jnp.concatenate([jnp.moveaxis(snaps, 0, 1), snap_f[:, None]], 1)
-    m_snaps = jnp.concatenate(
-        [jnp.moveaxis(m_snaps, 0, 1), snap_m_f[:, None]], 1)
-    snap_times = jnp.broadcast_to(
-        jnp.arange(n_chunks + 1, dtype=jnp.float32) * (interval * dt),
-        (B, n_chunks + 1))
+    if keep_snapshots:
+        # snapshots: chunk starts + the final state (pde_solve block
+        # semantics: n_blocks = ceil(n_iters / interval) block-start states)
+        snaps = jnp.concatenate([jnp.moveaxis(snaps, 0, 1),
+                                 snap_f[:, None]], 1)
+        m_snaps = jnp.concatenate(
+            [jnp.moveaxis(m_snaps, 0, 1), snap_m_f[:, None]], 1)
+        snap_times = jnp.broadcast_to(
+            jnp.arange(n_chunks + 1, dtype=jnp.float32) * (interval * dt),
+            (B, n_chunks + 1))
+    else:
+        snaps = jnp.zeros((B, 0, L), jnp.float32)
+        m_snaps = jnp.zeros((B, 0, L), jnp.float32)
+        snap_times = jnp.zeros((B, 0), jnp.float32)
 
     records = PDERecord(
         m_mean=m_mean, var=var,

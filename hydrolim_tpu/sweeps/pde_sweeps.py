@@ -35,14 +35,20 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
                      lam: float, n_runs: int, seed: int = 0,
                      mode: str = "homogeneous", rho0: float = 1.0,
                      noise: float = 0.3, n_tracers: int = 1000,
-                     engine: str = "xla"):
+                     engine: str = "xla", fetch_snapshots: bool = True):
     """Vmapped (β × runs) PDE batch; returns the batched PDESolveResult and
     the flattened β array.
 
     ``engine='pallas'`` (or 'auto') runs the fused multi-step IMEX kernel
     (pde/fast_solve.py) when the configuration qualifies — same records
     except ``fft_ri`` (NaN on the fused path; no sweep figure consumes it)
-    and a statistically-equivalent tracer RNG stream."""
+    and a statistically-equivalent tracer RNG stream.
+
+    ``fetch_snapshots=False`` skips materializing/transferring the
+    per-interval ρ snapshot blocks (empty (B, 0, L) arrays in the result) —
+    the sweep drivers only consume the per-step records, and the snapshot
+    blocks dominate the device→host transfer at reference scale
+    (1600 blocks × 33 replicas × 2 fields ≈ 0.4 GB over a remote tunnel)."""
     beta_values = np.atleast_1d(np.asarray(beta_values, dtype=np.float32))
     flat_beta = np.repeat(beta_values, n_runs)
     B = flat_beta.shape[0]
@@ -64,15 +70,20 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
         if is_fused_pde_path(cfg, params_b.gamma):
             res = pde_solve_fused(cfg, params_b, ops, rho_p, rho_m, tracers,
                                   jax.random.fold_in(keys[0], 1),
-                                  engine=engine)
+                                  engine=engine,
+                                  keep_snapshots=fetch_snapshots)
             return jax.device_get(res), flat_beta
         assert engine == "auto", (
             "engine='pallas' requires the fused-kernel configuration class")
     solve_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
     solve = jax.vmap(
         lambda p, rp, rm, tr, k: pde_solve(config, p, ops, rp, rm, tr, k))
-    return jax.device_get(solve(params_b, rho_p, rho_m, tracers,
-                                solve_keys)), flat_beta
+    res = solve(params_b, rho_p, rho_m, tracers, solve_keys)
+    if not fetch_snapshots:
+        res = res._replace(snapshots=jnp.zeros((B, 0, config.L)),
+                           m_snapshots=jnp.zeros((B, 0, config.L)),
+                           snap_times=jnp.zeros((B, 0)))
+    return jax.device_get(res), flat_beta
 
 
 def pde_single_run(outdir: str = "IMEX_output", seed: int = 58, **overrides):
@@ -112,7 +123,8 @@ def pde_beta_sweep(beta_values=None, n_runs: int = 3, T: float = 40.0,
                        fft_kmax=8)
     res, flat_beta = run_pde_ensemble(config, beta_values, gamma=gamma,
                                       lam=lam, n_runs=n_runs, seed=seed,
-                                      n_tracers=n_tracers, engine=engine)
+                                      n_tracers=n_tracers, engine=engine,
+                                      fetch_snapshots=False)
     t = np.linspace(0, T, config.nsteps + 1)
     mask = (t >= t_min) & (t <= t_max)
     n_iters = config.nsteps + 1
@@ -204,7 +216,8 @@ def pde_kernel_sigma_sweep(kernel_sigma_values=None, n_runs: int = 5,
         res, _ = run_pde_ensemble(config, [beta], gamma=gamma, lam=lam,
                                   n_runs=n_runs,
                                   seed=base_seed + 1000 * k_idx,
-                                  n_tracers=n_tracers, engine=engine)
+                                  n_tracers=n_tracers, engine=engine,
+                                  fetch_snapshots=False)
         n_iters = config.nsteps + 1
         m_results[sigma] = np.abs(np.asarray(res.records.m_mean)[:, :n_iters])
         v_results[sigma] = np.abs(np.asarray(res.records.v_eff)[:, :n_iters])
