@@ -25,7 +25,8 @@ from hydrolim_tpu.sweeps.pde_sweeps import (
 )
 
 
-def main(which: str, small: bool = False, outdir: str = "pde_out"):
+def main(which: str, small: bool = False, outdir: str = "pde_out",
+         engine: str = "xla"):
     if which == "single":
         kw = dict(L=128, T=2.0, dt=1e-3) if small else {}
         out = pde_single_run(outdir=outdir, **kw)
@@ -35,9 +36,9 @@ def main(which: str, small: bool = False, outdir: str = "pde_out"):
         if small:
             r = pde_beta_sweep(np.linspace(0, 3, 4), n_runs=2, T=6.0,
                                t_min=4.0, t_max=6.0, L=128, dt=1e-3,
-                               n_tracers=200, outdir=outdir)
+                               n_tracers=200, outdir=outdir, engine=engine)
         else:
-            r = pde_beta_sweep(outdir=outdir)
+            r = pde_beta_sweep(outdir=outdir, engine=engine)
         print("v(beta):", np.round(r["v_mean"], 4))
         print("D(beta):", np.round(r["D_mean"], 4))
         return r
@@ -45,7 +46,8 @@ def main(which: str, small: bool = False, outdir: str = "pde_out"):
         kw = dict(L=128, dt=1e-3, n_tracers=100, T=2.0,
                   kernel_sigma_values=[0.005, 0.05, 1.0], n_runs=2) \
             if small else {}
-        r = pde_kernel_sigma_sweep(variant=which, outdir=outdir, **kw)
+        r = pde_kernel_sigma_sweep(variant=which, outdir=outdir,
+                                   engine=engine, **kw)
         print("final |m| per sigma:",
               {s: float(np.mean(v[:, -1])) for s, v in r["m"].items()})
         return r
@@ -57,5 +59,10 @@ if __name__ == "__main__":
     p.add_argument("which", choices=["single", "beta", "magn", "magn2"])
     p.add_argument("--small", action="store_true")
     p.add_argument("--outdir", default="pde_out")
+    p.add_argument("--engine", default="xla",
+                   choices=["xla", "auto", "pallas"],
+                   help="pallas/auto = fused multi-step IMEX kernel on TPU "
+                        "(sweeps only; 'single' keeps the XLA facade for "
+                        "full spectra/snapshot output)")
     a = p.parse_args()
-    main(a.which, a.small, a.outdir)
+    main(a.which, a.small, a.outdir, engine=a.engine)

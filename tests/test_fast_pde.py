@@ -105,6 +105,28 @@ def test_gamma_zero_skips_solve():
     assert not has_solve
 
 
+def test_fetch_snapshots_false_drops_blocks_keeps_records():
+    """The sweep drivers' transfer opt-out: records identical, snapshot
+    blocks empty (they are ~0.4 GB at reference scale)."""
+    from hydrolim_tpu.sweeps.pde_sweeps import run_pde_ensemble
+
+    config = PDEConfig(L=64, T=0.1, dt=1e-3, gaussian_kernel=True,
+                       kernel_sigma=0.05, snapshot_interval=50, n_tracers=16)
+    kw = dict(gamma=0.2, lam=0.6, n_runs=2, seed=3, n_tracers=16)
+    full, fb = run_pde_ensemble(config, [0.5, 2.0], **kw)
+    thin, fb2 = run_pde_ensemble(config, [0.5, 2.0], fetch_snapshots=False,
+                                 **kw)
+    np.testing.assert_array_equal(fb, fb2)
+    np.testing.assert_array_equal(np.asarray(full.records.m_mean),
+                                  np.asarray(thin.records.m_mean))
+    np.testing.assert_array_equal(np.asarray(full.records.v_eff),
+                                  np.asarray(thin.records.v_eff))
+    np.testing.assert_array_equal(np.asarray(full.rho_p),
+                                  np.asarray(thin.rho_p))
+    assert full.snapshots.shape[1] > 0
+    assert thin.snapshots.shape[1] == 0 and thin.m_snapshots.shape[1] == 0
+
+
 def test_xla_fallback_matches_vmapped_solve():
     from hydrolim_tpu.pde.init import pde_initialize
     from hydrolim_tpu.pde.stepper import pde_solve
