@@ -43,13 +43,36 @@ from hydrolim_tpu.pde.stepper import (
 )
 
 
+_VMEM_BUDGET = 14 * 2 ** 20      # ~16 MB/core on v5e, minus working margin
+
+
+def _vmem_estimate(config: PDEConfig, gamma: float, r: int,
+                   k_chunk: int) -> int:
+    """Bytes of VMEM the kernel needs at r replicas/program: resident
+    operator matrices + per-replica state (hist ring dominates) + margin."""
+    from hydrolim_tpu.ops.pallas_pde import _pad
+
+    Lp = _pad(config.L)
+    Ntp = _pad(max(config.n_tracers, 1))
+    Wp = _pad(config.tracer_window, 8)
+    has_solve = config.solver_kind != "identity" and gamma != 0.0
+    fixed = 4 * Lp * Lp * (int(has_solve) + int(_m_mode(config) == "smooth"))
+    per_rep = 4 * (Wp * Ntp + k_chunk * 128 + 4 * Ntp + 2 * Lp)
+    return fixed + r * per_rep + 2 * 2 ** 20
+
+
 def is_fused_pde_path(config: PDEConfig, gamma_b) -> bool:
     g = np.asarray(gamma_b)
-    return (config.L <= 2048
-            and config.n_tracers >= 1
+    return (config.n_tracers >= 1
             and config.nsteps % config.snapshot_interval == 0
             and bool(np.all(g == g.flat[0]))
-            and config.solver_kind in ("fft", "dct", "dense", "identity"))
+            and config.solver_kind in ("fft", "dct", "dense", "identity")
+            # the whole working set must be VMEM-resident at r=1 — a bare
+            # L limit would admit smooth+solve configs whose two (Lp, Lp)
+            # matrices alone exceed the core's VMEM and die in Mosaic
+            # instead of falling back to the XLA solve
+            and _vmem_estimate(config, float(g.flat[0]), 1,
+                               config.snapshot_interval) <= _VMEM_BUDGET)
 
 
 def _m_mode(config: PDEConfig) -> str:
@@ -150,12 +173,10 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     # shorter scan).  The per-step record rows (k_chunk × 128 lanes) are
     # what the chunk growth pays for.
     Wp = _pad(W, 8)
-    fixed = 4 * Lp * Lp * (int(has_solve) + int(m_mode == "smooth"))
 
     def max_r(kc: int) -> int:
-        per = 4 * (Wp * Ntp + kc * 128 + 4 * Ntp + 2 * Lp)
         for cand in (8, 4, 2):
-            if fixed + cand * per + 2 * 2 ** 20 <= 14 * 2 ** 20:
+            if _vmem_estimate(config, gamma, cand, kc) <= _VMEM_BUDGET:
                 return cand
         return 1
 

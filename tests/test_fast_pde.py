@@ -26,6 +26,16 @@ def test_path_gating():
     ragged = PDEConfig(L=1000, T=1.0, dt=5e-4, snapshot_interval=33)
     # nsteps=2000 not a multiple of 33
     assert not is_fused_pde_path(ragged, np.full(4, 0.2))
+    # the gate is a VMEM estimate, not a bare L limit: at L=2048 the
+    # smooth+solve matrices alone are ~34 MB (> VMEM) and must route to
+    # XLA, while the matrix-free γ=0 + wide-kernel (global-m) config of
+    # the same L fits and stays fused
+    heavy = PDEConfig(L=2048, T=1.0, dt=5e-4, snapshot_interval=50,
+                      gaussian_kernel=True, kernel_sigma=0.05)
+    assert not is_fused_pde_path(heavy, np.full(4, 0.2))
+    light = PDEConfig(L=2048, T=1.0, dt=5e-4, snapshot_interval=50,
+                      gaussian_kernel=True, kernel_sigma=1e6)
+    assert is_fused_pde_path(light, np.zeros(4))
 
 
 def test_solve_matrix_matches_spectral_solve():
