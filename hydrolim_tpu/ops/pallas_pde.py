@@ -27,8 +27,8 @@ utilization; the operator matrices are shared across the R replicas):
 - per-step records streamed to HBM as (R, K_STEPS, 128) blocks:
   [m_mean, Var, v_eff, D_eff, 0…] per lane row.
 
-Scope: L ≤ ~2000 (dense operator matrices in VMEM), n_tracers ≤ 2048.
-Larger L stays on the XLA path (banded large-L solvers).
+Scope: bounded by VMEM (pde/fast_solve.is_fused_pde_path estimates it);
+larger L stays on the XLA path (banded large-L solvers).
 """
 from __future__ import annotations
 

@@ -14,9 +14,12 @@ consume it; the full-spectrum parity path stays on the XLA solve.
 The tracer RNG stream differs from the XLA path (on-core Mosaic PRNG,
 Box–Muller noise) — statistically equivalent, not bitwise.
 
-Scope: L ≤ 2048 (dense operator matrices in VMEM), uniform γ across the
-batch, n_tracers ≥ 1, nsteps a multiple of snapshot_interval.  Falls back
-to the vmapped XLA ``pde_solve`` otherwise or off-TPU (``engine='auto'``).
+Scope (``is_fused_pde_path``): the whole working set — operator matrices
+plus per-replica fields/tracer ring — must fit a ~14 MB VMEM budget
+(roughly L ≤ 1300 for smooth+solve configs, L ≤ 2048 matrix-free), with
+uniform γ across the batch, n_tracers ≥ 1, and nsteps a multiple of
+snapshot_interval.  Falls back to the vmapped XLA ``pde_solve`` otherwise
+or off-TPU (``engine='auto'``).
 """
 from __future__ import annotations
 
@@ -149,7 +152,8 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     gamma = float(np.asarray(params_b.gamma).flat[0])
     assert is_fused_pde_path(config, params_b.gamma), (
         "pde_solve_fused requires the fused-kernel configuration class "
-        "(L<=2048, uniform gamma, tracers, nsteps % snapshot_interval == 0)")
+        "(VMEM-resident working set, uniform gamma, tracers, "
+        "nsteps % snapshot_interval == 0)")
     B = params_b.beta.shape[0]
     L, dt, dx = config.L, config.dt, config.dx
     Lp = _pad(L)
