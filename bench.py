@@ -318,25 +318,13 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
-    # Ordering: the axon worker degrades over sustained multi-program
-    # sessions (observed 35x on a late metric), so the HEADLINE benches
-    # (particle XLA + Pallas -- the JSON line consumers parse) run first
-    # and the secondary stderr metrics absorb any late-session skew.
-    pps, step_time = bench_particle_steps()
-    print(f"# particle bench (XLA path): {pps:.3e} particle-steps/sec/chip "
-          f"(64x1e5 batch, {step_time * 1e3:.1f} ms / 100 steps)",
-          file=sys.stderr)
-    try:
-        pps_pl, t_pl = bench_particle_steps_pallas()
-        vpu_frac = pps_pl * _PALLAS_OPS_PER_STEP / _V5E_VPU_PEAK
-        print(f"# particle bench (Pallas fused): {pps_pl:.3e} "
-              f"particle-steps/sec/chip ({t_pl * 1e3:.1f} ms / 1000 steps); "
-              f"~{pps_pl * _PALLAS_OPS_PER_STEP:.2e} VPU lane-ops/s "
-              f"≈ {100 * vpu_frac:.0f}% of v5e VPU roofline "
-              f"({_PALLAS_OPS_PER_STEP} ops/step est.)", file=sys.stderr)
-        pps = max(pps, pps_pl)
-    except Exception as e:  # Mosaic unavailable off-TPU
-        print(f"# pallas bench unavailable: {e}", file=sys.stderr)
+    # Ordering: once any LARGE program has run, this remote worker's eager
+    # dispatches degrade to ~300 ms synchronous round-trips (bisected: the
+    # K=3 run_lattice_gas_k wrapper's few eager init dispatches go from
+    # pipelined-free to dominating a 50 ms run — a 36x metric distortion,
+    # same compiled code).  So the K=3 flagship pair runs FIRST, before the
+    # 64x1e5 particle benches; the headline JSON (particle XLA/Pallas max)
+    # is printed at the end regardless of ordering.
     try:
         k3_1, k3_b = bench_k3_flagship()
         print(f"# K=3 flagship (site-centric slot engine): {k3_1:.3e} "
@@ -353,6 +341,21 @@ def main():
               file=sys.stderr)
     except Exception as e:
         print(f"# K=3 pallas bench unavailable: {e}", file=sys.stderr)
+    pps, step_time = bench_particle_steps()
+    print(f"# particle bench (XLA path): {pps:.3e} particle-steps/sec/chip "
+          f"(64x1e5 batch, {step_time * 1e3:.1f} ms / 100 steps)",
+          file=sys.stderr)
+    try:
+        pps_pl, t_pl = bench_particle_steps_pallas()
+        vpu_frac = pps_pl * _PALLAS_OPS_PER_STEP / _V5E_VPU_PEAK
+        print(f"# particle bench (Pallas fused): {pps_pl:.3e} "
+              f"particle-steps/sec/chip ({t_pl * 1e3:.1f} ms / 1000 steps); "
+              f"~{pps_pl * _PALLAS_OPS_PER_STEP:.2e} VPU lane-ops/s "
+              f"≈ {100 * vpu_frac:.0f}% of v5e VPU roofline "
+              f"({_PALLAS_OPS_PER_STEP} ops/step est.)", file=sys.stderr)
+        pps = max(pps, pps_pl)
+    except Exception as e:  # Mosaic unavailable off-TPU
+        print(f"# pallas bench unavailable: {e}", file=sys.stderr)
     try:
         lg = bench_lattice_gas()
         print(f"# lattice-gas bench (K=1 exclusion, local kernel): "

@@ -30,11 +30,13 @@ __version__ = "0.1.0"
 
 import os as _os
 
-if _os.environ.get("HYDROLIM_NO_COMPILATION_CACHE", "") != "1":
+if (_os.environ.get("HYDROLIM_NO_COMPILATION_CACHE", "") != "1"
+        and "JAX_COMPILATION_CACHE_DIR" not in _os.environ):
     # Mosaic compiles of the fused multi-step kernels take minutes through
     # a remote-TPU tunnel (up to ~16 min for the scanned R-batched PDE
     # program); the persistent cache makes every repeat shape instant.
-    # Opt out with HYDROLIM_NO_COMPILATION_CACHE=1.
+    # A user-set JAX_COMPILATION_CACHE_DIR is respected (we only install a
+    # default); opt out entirely with HYDROLIM_NO_COMPILATION_CACHE=1.
     try:
         import jax as _jax
 

@@ -163,9 +163,12 @@ def _kernel(scalv_ref, seed_ref, step0_ref, rhop_ref, rhom_ref, pos_ref,
                         jnp.int32, (cw_, Ntp), 0) + c0
                     Pc = (rows == jnp.broadcast_to(idx_r, (cw_, Ntp))
                           ).astype(jnp.float32)
+                    # HIGHEST: the default lowers m to bf16, a systematic
+                    # ~2e-3 perturbation of every tracer flip rate
                     m_tr_r = m_tr_r + jax.lax.dot_general(
                         m[r:r + 1, c0:c0 + cw_], Pc,
                         (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)     # (1, Ntp)
                 rows_tr.append(m_tr_r)
             m_tr = jnp.concatenate(rows_tr, axis=0)             # (R, Ntp)

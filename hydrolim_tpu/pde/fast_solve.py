@@ -40,7 +40,6 @@ from hydrolim_tpu.pde.stepper import (
     PDESolveResult,
     TracerState,
     _tracer_update,
-    build_pde_ops,
     magnetization,
     pde_solve,
 )
@@ -126,6 +125,60 @@ def build_kernel_mats(config: PDEConfig, gamma: float,
     return solve_mat, smooth_mat, has_solve
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "B", "R", "k_chunk", "n_chunks", "m_mode",
+                     "has_solve", "has_noise", "keep"))
+def _run_scanned(config: PDEConfig, scal, seeds0, rho_p, rho_m, pos, spin,
+                 hist, solve_mat, smooth_mat, *, B: int, R: int,
+                 k_chunk: int, n_chunks: int, m_mode: str, has_solve: bool,
+                 has_noise: bool, keep: bool):
+    """Module-level jitted scan over fused-kernel chunks.
+
+    Everything value-like (scalars, seeds, fields, operator matrices) is a
+    TRACED argument — a closure would bake the matrices in as constants and
+    force a fresh trace + compile per call, defeating both jit caches for
+    e.g. the per-σ sweep loop where only the smoothing matrix changes."""
+    from hydrolim_tpu.ops.pallas_pde import pde_multi_step
+
+    L, dt = config.L, config.dt
+    Bp = rho_p.shape[0]
+    nsteps = n_chunks * k_chunk
+
+    def chunk_body(carry, c):
+        rho_p, rho_m, pos, spin, hist = carry
+        if keep:
+            snaps = ((rho_p + rho_m)[:B, :L], (rho_p - rho_m)[:B, :L])
+        else:
+            snaps = ()
+        rho_p, rho_m, pos, spin, hist, recs = pde_multi_step(
+            scal, seeds0 + c, jnp.full((Bp,), c * k_chunk, jnp.int32),
+            rho_p, rho_m, pos, spin, hist, solve_mat, smooth_mat, L=L,
+            n_t=config.n_tracers, window=config.tracer_window,
+            k_steps=k_chunk, r_batch=R, dt=dt, dx=config.dx,
+            xlim=config.xlim, periodic=(config.bc == "periodic"),
+            m_mode=m_mode, has_solve=has_solve,
+            bidirectional=(config.active_model == "bidirectional"),
+            legacy_double_diffusion=config.legacy_double_diffusion,
+            has_noise=has_noise)
+        return (rho_p, rho_m, pos, spin, hist), (recs[:B],) + snaps
+
+    carry, ys = jax.lax.scan(
+        chunk_body, (rho_p, rho_m, pos, spin, hist),
+        jnp.arange(n_chunks, dtype=jnp.int32))
+    rho_p, rho_m, pos, spin, hist = carry
+    recs = ys[0]
+    # (n_chunks, B, k_chunk, REC_W) -> (B, nsteps, 4) — only the
+    # [m_mean, var, v_eff, D_eff] lanes are meaningful
+    recs = jnp.moveaxis(recs[..., :4], 0, 1).reshape(B, nsteps, 4)
+    if keep:
+        snaps, m_snaps = ys[1], ys[2]
+    else:
+        snaps = jnp.zeros((0, B, L), jnp.float32)
+        m_snaps = jnp.zeros((0, B, L), jnp.float32)
+    return rho_p, rho_m, pos, spin, hist, recs, snaps, m_snaps
+
+
 def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
                     rho_p0: jnp.ndarray, rho_m0: jnp.ndarray,
                     tracers0: TracerState, key: jnp.ndarray,
@@ -164,7 +217,6 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     nsteps = config.nsteps
     solve_mat, smooth_mat, has_solve = build_kernel_mats(config, gamma, Lp)
     m_mode = _m_mode(config)
-    bidi = config.active_model == "bidirectional"
     has_noise = gamma > 0.0
 
     # Joint (replicas-per-program, steps-per-launch) choice against a
@@ -187,8 +239,14 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     k_chunk = interval
     R = max_r(interval)
     if not keep_snapshots:
+        # growth must re-check the budget at R itself: max_r() returns 1 as
+        # an unvalidated floor, so `max_r(kc*2) == R` alone is vacuous at
+        # R == 1 and would grow the per-step record rows past the budget
+        # the is_fused_pde_path gate enforced
         while (k_chunk * 2 <= 1024 and nsteps % (k_chunk * 2) == 0
-               and max_r(k_chunk * 2) == R):
+               and max_r(k_chunk * 2) == R
+               and _vmem_estimate(config, gamma, R,
+                                  k_chunk * 2) <= _VMEM_BUDGET):
             k_chunk *= 2
     n_chunks = nsteps // k_chunk
     Bp = -(-B // R) * R          # pad replicas to a multiple of R
@@ -221,41 +279,11 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     smooth_j = jnp.asarray(smooth_mat)
     scal_j = jnp.asarray(scal)[rep_idx]
 
-    @functools.partial(jax.jit, static_argnames=("keep",))
-    def run_scanned(rho_p, rho_m, pos, spin, hist, seeds0, keep=True):
-        def chunk_body(carry, c):
-            rho_p, rho_m, pos, spin, hist = carry
-            if keep:
-                snaps = ((rho_p + rho_m)[:B, :L], (rho_p - rho_m)[:B, :L])
-            else:
-                snaps = ()
-            rho_p, rho_m, pos, spin, hist, recs = pde_multi_step(
-                scal_j, seeds0 + c, jnp.full((Bp,), c * k_chunk, jnp.int32),
-                rho_p, rho_m, pos, spin, hist, solve_j, smooth_j, L=L,
-                n_t=n_t, window=W, k_steps=k_chunk, r_batch=R, dt=dt, dx=dx,
-                xlim=config.xlim, periodic=(config.bc == "periodic"),
-                m_mode=m_mode, has_solve=has_solve, bidirectional=bidi,
-                legacy_double_diffusion=config.legacy_double_diffusion,
-                has_noise=has_noise)
-            return (rho_p, rho_m, pos, spin, hist), (recs[:B],) + snaps
-
-        carry, ys = jax.lax.scan(
-            chunk_body, (rho_p, rho_m, pos, spin, hist),
-            jnp.arange(n_chunks, dtype=jnp.int32))
-        rho_p, rho_m, pos, spin, hist = carry
-        recs = ys[0]
-        # (n_chunks, B, k_chunk, REC_W) -> (B, nsteps, 4) — only the
-        # [m_mean, var, v_eff, D_eff] lanes are meaningful
-        recs = jnp.moveaxis(recs[..., :4], 0, 1).reshape(B, nsteps, 4)
-        if keep:
-            snaps, m_snaps = ys[1], ys[2]
-        else:
-            snaps = jnp.zeros((0, B, L), jnp.float32)
-            m_snaps = jnp.zeros((0, B, L), jnp.float32)
-        return rho_p, rho_m, pos, spin, hist, recs, snaps, m_snaps
-
-    rho_p, rho_m, pos, spin, hist, recs, snaps, m_snaps = run_scanned(
-        rho_p, rho_m, pos, spin, hist, seeds0, keep=keep_snapshots)
+    rho_p, rho_m, pos, spin, hist, recs, snaps, m_snaps = _run_scanned(
+        config, scal_j, seeds0, rho_p, rho_m, pos, spin, hist, solve_j,
+        smooth_j, B=B, R=R, k_chunk=k_chunk, n_chunks=n_chunks,
+        m_mode=m_mode, has_solve=has_solve, has_noise=has_noise,
+        keep=keep_snapshots)
 
     # final iteration (n = nsteps): record + tracer update, no step —
     # mirrors pde_solve's masked last iteration on the XLA path

@@ -35,6 +35,10 @@ from hydrolim_tpu.particles.run import substeps_for
 from hydrolim_tpu.fields.magnetization import build_mfield_op
 from hydrolim_tpu.particles.lattice_gas import LatticeGasFrames, _lg_record_counts
 
+# frames per block in the record post-pass (bounds the simultaneous
+# per-frame record intermediates; see run_exclusion_sweep)
+_REC_CHUNK = 128
+
 
 def default_device_is_tpu() -> bool:
     """True iff jitted programs will actually run on a TPU.  Checks the
@@ -201,15 +205,20 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
 
     # ONE compiled program for the whole run: the frame loop is a lax.scan
     # over the fused kernel ONLY (per-frame slot states as scan ys), with
-    # the frame-observable computation vmapped over frames afterwards.
-    # Two hard-won constraints shape this:
+    # the frame-observable computation applied afterwards in CHUNKS of
+    # frames.  Three hard-won constraints shape this:
     # - a host-side frame loop (kernel dispatch + per-frame device_get)
     #   costs a synchronous tunnel round-trip per frame on the remote axon
     #   backend — measured 8x SLOWER than the XLA slot engine at the
     #   reference beta-sweep scale despite the faster kernel;
-    # - the record computation INSIDE the scan body ballooned XLA compile
-    #   to ~19 min at that scale; as a vmapped post-pass it compiles fast
-    #   and fuses into the same single-dispatch program.
+    # - the record computation INSIDE the kernel scan body ballooned XLA
+    #   compile to ~19 min at that scale; as a post-pass it compiles fast
+    #   and stays in the same single-dispatch program;
+    # - a flat vmap over ALL frames materializes every per-frame record
+    #   intermediate (site_of/ids are (B, K·L) int32 each) simultaneously —
+    #   ~GBs for long-T runs — so the post-pass is a lax.map over
+    #   _REC_CHUNK-frame blocks: intermediates bounded per block, the
+    #   (M, B, Kp, Lp) slot-frame ys remain the only O(M) buffer.
     @jax.jit
     def run_scanned(sl0, scal, seeds0, tags, valid):
         def frame_body(sl, f):
@@ -221,9 +230,18 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
 
         sl, sl_frames = jax.lax.scan(frame_body, sl0,
                                      jnp.arange(1, M, dtype=jnp.int32))
-        all_sl = jnp.concatenate([sl0[None], sl_frames], axis=0)  # (M, B, …)
-        frames, raws = jax.vmap(lambda s: rec(s, tags, valid))(all_sl)
-        return sl, frames, raws
+
+        CH = min(_REC_CHUNK, M)
+        pad = (-M) % CH
+        all_sl = jnp.concatenate(
+            [sl0[None], sl_frames] +
+            ([jnp.zeros((pad,) + sl0.shape, sl0.dtype)] if pad else []),
+            axis=0)                                     # (M + pad, B, …)
+        blocks = all_sl.reshape((M + pad) // CH, CH, *sl0.shape)
+        frames, raws = jax.lax.map(
+            lambda blk: jax.vmap(lambda s: rec(s, tags, valid))(blk), blocks)
+        unblock = lambda x: x.reshape((M + pad,) + x.shape[2:])[:M]
+        return sl, jax.tree.map(unblock, frames), unblock(raws)
 
     sl, stacked, raws = jax.device_get(
         run_scanned(sl0, scal, seeds0, tags, valid))
