@@ -50,12 +50,12 @@ def _pad(n: int, mult: int = LANE) -> int:
     return -(-n // mult) * mult
 
 
-def _kernel(scalv_ref, seed_ref, step0_ref, rhop_ref, rhom_ref, pos_ref,
-            spin_ref, hist_ref, solve_ref, smooth_ref, rhop_out, rhom_out,
-            pos_out, spin_out, hist_out, recs_ref, *, L: int, Lp: int,
-            n_t: int, Ntp: int, window: int, k_steps: int, R: int, dt: float,
-            dx: float, xlim: float, periodic: bool, m_mode: str,
-            has_solve: bool, bidirectional: bool,
+def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, rhop_ref, rhom_ref,
+            pos_ref, spin_ref, hist_ref, solve_ref, smooth_ref, rhop_out,
+            rhom_out, pos_out, spin_out, hist_out, recs_ref, *, L: int,
+            Lp: int, n_t: int, Ntp: int, window: int, k_steps: int, R: int,
+            dt: float, dx: float, xlim: float, periodic: bool, m_mode: str,
+            narrow_r: int, has_solve: bool, bidirectional: bool,
             legacy_double_diffusion: bool, has_noise: bool):
     g = pl.program_id(0)
     beta = scalv_ref[:, 0:1]          # (R, 1) per-replica scalars
@@ -114,6 +114,16 @@ def _kernel(scalv_ref, seed_ref, step0_ref, rhop_ref, rhom_ref, pos_ref,
     def row_sum(x, mask):
         return jnp.sum(x * mask, axis=1, keepdims=True)     # (R, 1)
 
+    def roll_l(x, d):
+        """out[i] = x[(i - d) mod L] — the circular-convolution shift on
+        the L-site torus embedded in Lp padded lanes (static d)."""
+        dp = d % L
+        if dp == 0:
+            return x
+        plain = pltpu.roll(x, dp, axis=1)
+        fix = pltpu.roll(x, (dp + Lp - L) % Lp, axis=1)
+        return jnp.where(lane1 < dp, fix, plain)
+
     def body(s, carry):
         rho_p, rho_m, pos_u, spin = carry
         n = n0 + s
@@ -128,6 +138,16 @@ def _kernel(scalv_ref, seed_ref, step0_ref, rhop_ref, rhom_ref, pos_ref,
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
             m = sm[:R] / (sm[R:] + 1e-12)                       # (R, Lp)
+        elif m_mode == "narrow":
+            # small-σ circulant as 2r+1 wrap-corrected rolls — no (Lp, Lp)
+            # matrix in VMEM; the common normalization cancels in the ratio
+            sm_n = wts_ref[0, narrow_r] * num
+            sm_d = wts_ref[0, narrow_r] * den
+            for d in range(1, narrow_r + 1):
+                w = wts_ref[0, narrow_r + d]       # symmetric: w(-d)=w(d)
+                sm_n = sm_n + w * (roll_l(num, d) + roll_l(num, -d))
+                sm_d = sm_d + w * (roll_l(den, d) + roll_l(den, -d))
+            m = sm_n / (sm_d + 1e-12)                           # (R, Lp)
         elif m_mode == "global":
             # spatially constant — carry as a (R, 1) column, broadcast late
             m = row_sum(num, valid1) / (row_sum(den, valid1) + 1e-12)
@@ -254,16 +274,18 @@ def _kernel(scalv_ref, seed_ref, step0_ref, rhop_ref, rhom_ref, pos_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("L", "n_t", "window", "k_steps", "r_batch", "dt", "dx",
-                     "xlim", "periodic", "m_mode", "has_solve",
+                     "xlim", "periodic", "m_mode", "narrow_r", "has_solve",
                      "bidirectional", "legacy_double_diffusion", "has_noise"))
 def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
                    rho_p: jnp.ndarray, rho_m: jnp.ndarray, pos: jnp.ndarray,
                    spin: jnp.ndarray, hist: jnp.ndarray,
-                   solve_mat: jnp.ndarray, smooth_mat: jnp.ndarray, *,
+                   solve_mat: jnp.ndarray, smooth_mat: jnp.ndarray,
+                   wts: jnp.ndarray | None = None, *,
                    L: int, n_t: int, window: int, k_steps: int,
                    r_batch: int = 1, dt: float, dx: float, xlim: float,
-                   periodic: bool, m_mode: str, has_solve: bool,
-                   bidirectional: bool, legacy_double_diffusion: bool = False,
+                   periodic: bool, m_mode: str, narrow_r: int = 0,
+                   has_solve: bool, bidirectional: bool,
+                   legacy_double_diffusion: bool = False,
                    has_noise: bool = True):
     """Advance K_STEPS IMEX steps (fields + tracers) fully on-chip.
 
@@ -282,6 +304,11 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
         (pass a (8, 128) zero placeholder with has_solve=False for γ=0).
       smooth_mat: (Lp, Lp) — ``x @ M`` circular smoothing (placeholder
         unless m_mode == 'smooth').
+      wts: (1, LANE) float32 — for m_mode == 'narrow', the symmetric
+        circulant weights centered at lane ``narrow_r`` (w(d) at lane
+        narrow_r + d); None/placeholder otherwise.  Narrow mode applies
+        the small-σ smoothing as 2·narrow_r+1 wrap-corrected rolls and
+        needs no (Lp, Lp) matrix in VMEM.
       r_batch: replicas per grid program (B must divide evenly); the
         operator matrices are shared within a program, and row-batching
         fills the VPU sublanes / MXU rows a single replica leaves idle.
@@ -301,8 +328,11 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
     kernel = functools.partial(
         _kernel, L=L, Lp=Lp, n_t=n_t, Ntp=Ntp, window=window,
         k_steps=k_steps, R=R, dt=dt, dx=dx, xlim=xlim, periodic=periodic,
-        m_mode=m_mode, has_solve=has_solve, bidirectional=bidirectional,
+        m_mode=m_mode, narrow_r=narrow_r, has_solve=has_solve,
+        bidirectional=bidirectional,
         legacy_double_diffusion=legacy_double_diffusion, has_noise=has_noise)
+    if wts is None:
+        wts = jnp.zeros((1, LANE), jnp.float32)
 
     # per-replica scalars as a VMEM (G, R, LANE) array: lanes 0..3 hold
     # [beta, lam, noise_amp]; the kernel column-slices (R, 1) blocks.
@@ -318,9 +348,9 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
     def gshape(x):
         return x.reshape((G, R) + x.shape[1:])
 
-    def squeeze(scalv, seed, step0, rp, rm, pos, spin, hist, solve, smooth,
-                rp_o, rm_o, pos_o, spin_o, hist_o, recs):
-        kernel(scalv.at[0], seed, step0, rp.at[0], rm.at[0], pos.at[0],
+    def squeeze(scalv, seed, step0, wts, rp, rm, pos, spin, hist, solve,
+                smooth, rp_o, rm_o, pos_o, spin_o, hist_o, recs):
+        kernel(scalv.at[0], seed, step0, wts, rp.at[0], rm.at[0], pos.at[0],
                spin.at[0], hist.at[0], solve, smooth, rp_o.at[0],
                rm_o.at[0], pos_o.at[0], spin_o.at[0], hist_o.at[0],
                recs.at[0])
@@ -337,6 +367,8 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
             bspec((LANE,)),
             pl.BlockSpec((G,), lambda g: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((G,), lambda g: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, LANE), lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
             bspec((Lp,)),
             bspec((Lp,)),
             bspec((Ntp,)),
@@ -361,8 +393,9 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
             jax.ShapeDtypeStruct((G, R, Wp, Ntp), jnp.float32),
             jax.ShapeDtypeStruct((G, R, k_steps, _REC_W), jnp.float32),
         ],
-        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3, 7: 4},
-    )(gshape(scalv), seeds_g, step0_g, gshape(rho_p), gshape(rho_m),
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4},
+    )(gshape(scalv), seeds_g, step0_g, jnp.asarray(wts, jnp.float32),
+      gshape(rho_p), gshape(rho_m),
       gshape(pos), gshape(spin), gshape(hist),
       jnp.asarray(solve_mat, jnp.float32),
       jnp.asarray(smooth_mat, jnp.float32))

@@ -92,7 +92,43 @@ def _m_mode(config: PDEConfig) -> str:
     sigma_grid = config.kernel_sigma / config.dx
     if (config.L / 2.0) ** 2 / (2.0 * sigma_grid * sigma_grid) < 1e-8:
         return "global"
+    # A kernel much NARROWER than the domain applies as 2r+1 wrap-corrected
+    # rolls (ops/pallas_pde.py 'narrow') — no (Lp, Lp) matrix in VMEM, so
+    # the replica-row batch R can grow.  Truncation at 5.7σ leaves < 1e-7
+    # relative tail mass (and the normalization cancels in the num/den
+    # ratio), far inside the engines' parity tolerance.
+    r = _narrow_radius(config)
+    if 1 <= r <= _NARROW_R_MAX and 2 * r + 1 < config.L:
+        return "narrow"
     return "smooth"
+
+
+_NARROW_R_MAX = 63   # rolls per side; support must also fit the domain
+
+
+def _narrow_radius(config: PDEConfig) -> int:
+    """Roll radius covering the Gaussian to a relative tail < ~1e-7
+    (exp(-r^2 / 2 sigma^2) < 1e-7 at r of about 5.7 sigma), rounded up to
+    a multiple of 16 (capped at the narrow bound) so nearby σ values share
+    one compiled kernel — the radius is a static kernel parameter, and the
+    extra rolls carry ~zero weights (they only improve the truncation)."""
+    sigma_grid = config.kernel_sigma / config.dx
+    r = int(np.ceil(5.7 * sigma_grid))
+    if r <= _NARROW_R_MAX:
+        r = min(-(-r // 16) * 16, _NARROW_R_MAX)
+    return r
+
+
+def build_narrow_weights(config: PDEConfig) -> np.ndarray:
+    """(1, 128) float32 — symmetric circulant weights, w(d) at lane r+d."""
+    from hydrolim_tpu.ops.pallas_pde import LANE
+
+    r = _narrow_radius(config)
+    k = periodic_gaussian_kernel(config.L, config.dx, config.kernel_sigma)
+    out = np.zeros((1, LANE), np.float32)
+    for d in range(-r, r + 1):
+        out[0, r + d] = k[d % config.L]
+    return out
 
 
 def _pad_mat(M: np.ndarray, Lp: int) -> np.ndarray:
@@ -128,11 +164,11 @@ def build_kernel_mats(config: PDEConfig, gamma: float,
 @functools.partial(
     jax.jit,
     static_argnames=("config", "B", "R", "k_chunk", "n_chunks", "m_mode",
-                     "has_solve", "has_noise", "keep"))
+                     "narrow_r", "has_solve", "has_noise", "keep"))
 def _run_scanned(config: PDEConfig, scal, seeds0, rho_p, rho_m, pos, spin,
-                 hist, solve_mat, smooth_mat, *, B: int, R: int,
-                 k_chunk: int, n_chunks: int, m_mode: str, has_solve: bool,
-                 has_noise: bool, keep: bool):
+                 hist, solve_mat, smooth_mat, wts, *, B: int, R: int,
+                 k_chunk: int, n_chunks: int, m_mode: str, narrow_r: int,
+                 has_solve: bool, has_noise: bool, keep: bool):
     """Module-level jitted scan over fused-kernel chunks.
 
     Everything value-like (scalars, seeds, fields, operator matrices) is a
@@ -153,11 +189,11 @@ def _run_scanned(config: PDEConfig, scal, seeds0, rho_p, rho_m, pos, spin,
             snaps = ()
         rho_p, rho_m, pos, spin, hist, recs = pde_multi_step(
             scal, seeds0 + c, jnp.full((Bp,), c * k_chunk, jnp.int32),
-            rho_p, rho_m, pos, spin, hist, solve_mat, smooth_mat, L=L,
+            rho_p, rho_m, pos, spin, hist, solve_mat, smooth_mat, wts, L=L,
             n_t=config.n_tracers, window=config.tracer_window,
             k_steps=k_chunk, r_batch=R, dt=dt, dx=config.dx,
             xlim=config.xlim, periodic=(config.bc == "periodic"),
-            m_mode=m_mode, has_solve=has_solve,
+            m_mode=m_mode, narrow_r=narrow_r, has_solve=has_solve,
             bidirectional=(config.active_model == "bidirectional"),
             legacy_double_diffusion=config.legacy_double_diffusion,
             has_noise=has_noise)
@@ -217,6 +253,12 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     nsteps = config.nsteps
     solve_mat, smooth_mat, has_solve = build_kernel_mats(config, gamma, Lp)
     m_mode = _m_mode(config)
+    if m_mode == "narrow":
+        narrow_r = _narrow_radius(config)
+        wts = build_narrow_weights(config)
+    else:
+        narrow_r = 0
+        wts = np.zeros((1, 128), np.float32)
     has_noise = gamma > 0.0
 
     # Joint (replicas-per-program, steps-per-launch) choice against a
@@ -281,9 +323,9 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
 
     rho_p, rho_m, pos, spin, hist, recs, snaps, m_snaps = _run_scanned(
         config, scal_j, seeds0, rho_p, rho_m, pos, spin, hist, solve_j,
-        smooth_j, B=B, R=R, k_chunk=k_chunk, n_chunks=n_chunks,
-        m_mode=m_mode, has_solve=has_solve, has_noise=has_noise,
-        keep=keep_snapshots)
+        smooth_j, jnp.asarray(wts), B=B, R=R, k_chunk=k_chunk,
+        n_chunks=n_chunks, m_mode=m_mode, narrow_r=narrow_r,
+        has_solve=has_solve, has_noise=has_noise, keep=keep_snapshots)
 
     # final iteration (n = nsteps): record + tracer update, no step —
     # mirrors pde_solve's masked last iteration on the XLA path

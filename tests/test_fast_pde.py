@@ -72,8 +72,9 @@ def test_solve_matrix_neumann():
 
 def test_smooth_matrix_matches_magnetization():
     L = 200
+    # σ_grid = 16 → roll radius 92 > the narrow bound: stays a matmul
     config = PDEConfig(L=L, T=1.0, dt=5e-4, gaussian_kernel=True,
-                       kernel_sigma=0.01, snapshot_interval=50)
+                       kernel_sigma=0.08, snapshot_interval=50)
     _, smooth_mat, _ = build_kernel_mats(config, 0.0, 256)
     params = make_pde_params(gamma=0.0, lam=0.6, beta=1.0)
     ops = build_pde_ops(config, params)
@@ -90,23 +91,54 @@ def test_smooth_matrix_matches_magnetization():
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
 
 
-def test_wide_kernel_routes_to_global():
+def test_kernel_width_routing():
     """σ = 1e5−10 (the reference's just-under-the-sentinel sweep quirk,
-    IMEX_PDE_solver_run_sweep.py:36) must route to the exact global mean:
-    the circulant is uniform to ~1e-11, far below f32 resolution."""
+    IMEX_PDE_solver_run_sweep.py:36) must route to the exact global mean
+    (the circulant is uniform to ~1e-11, far below f32 resolution); small
+    σ routes to the rolled 'narrow' form; mid-width σ keeps the matmul."""
     from hydrolim_tpu.pde.fast_solve import _m_mode
 
-    sweep = PDEConfig(L=1000, T=1.0, dt=5e-4, gaussian_kernel=True,
-                      kernel_sigma=1e5 - 10, snapshot_interval=50)
-    assert _m_mode(sweep) == "global"
-    local = PDEConfig(L=1000, T=1.0, dt=5e-4, gaussian_kernel=True,
-                      kernel_sigma=0.005, snapshot_interval=50)
-    assert _m_mode(local) == "smooth"
-    # and the smoothing circulant at the sweep sigma IS uniform
-    _, smooth_mat, _ = build_kernel_mats(
-        PDEConfig(L=128, T=1.0, dt=5e-4, gaussian_kernel=True,
-                  kernel_sigma=0.05, snapshot_interval=50), 0.0, 128)
-    assert smooth_mat.std() > 0  # a genuinely local kernel is not uniform
+    mk = lambda sig, L=1000: PDEConfig(L=L, T=1.0, dt=5e-4,
+                                       gaussian_kernel=True,
+                                       kernel_sigma=sig,
+                                       snapshot_interval=50)
+    assert _m_mode(mk(1e5 - 10)) == "global"
+    assert _m_mode(mk(0.005)) == "narrow"      # σ_grid=5 → r=29 rolls
+    assert _m_mode(mk(0.05)) == "smooth"       # σ_grid=50 → r>63: matmul
+    assert _m_mode(mk(0.1, L=128)) == "smooth"
+    # and the smoothing circulant at a mid-width sigma is not uniform
+    _, smooth_mat, _ = build_kernel_mats(mk(0.1, L=128), 0.0, 128)
+    assert smooth_mat.std() > 0
+
+
+def test_narrow_weights_match_circulant():
+    """The truncated-roll weights reproduce the full periodic circulant:
+    out[j] = Σ_d w(d)·x[(j−d) mod L] vs the (L, L) matrix apply."""
+    from hydrolim_tpu.ops.convolve import periodic_gaussian_kernel
+    from hydrolim_tpu.pde.fast_solve import (
+        _m_mode,
+        _narrow_radius,
+        build_narrow_weights,
+    )
+
+    config = PDEConfig(L=200, T=1.0, dt=5e-4, gaussian_kernel=True,
+                       kernel_sigma=0.01, snapshot_interval=50)
+    assert _m_mode(config) == "narrow"
+    r = _narrow_radius(config)
+    w = build_narrow_weights(config)[0]
+    rng = np.random.default_rng(5)
+    x = rng.random(config.L).astype(np.float32)
+    got = np.zeros_like(x)
+    for d in range(-r, r + 1):
+        got += w[r + d] * np.roll(x, d)
+    k = periodic_gaussian_kernel(config.L, config.dx, config.kernel_sigma)
+    # full circulant: out[j] = sum_i x[i] * k[(j - i) mod L]
+    i = np.arange(config.L)
+    M = np.zeros((config.L, config.L), np.float32)
+    for j in range(config.L):
+        M[i, j] = k[(j - i) % config.L]
+    want = x @ M
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
 
 
 def test_gamma_zero_skips_solve():

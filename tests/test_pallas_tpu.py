@@ -301,22 +301,26 @@ def test_run_exclusion_sweep_pallas_matches_xla():
     assert abs(v_p - v_x) < 0.35 * max(v_p, v_x) + 1.0, (v_p, v_x)
 
 
-def test_pallas_pde_kernel_matches_xla_fields():
+@pytest.mark.parametrize("sigma", [0.05, 0.1])
+def test_pallas_pde_kernel_matches_xla_fields(sigma):
     """Fused IMEX kernel vs the XLA solve: the FIELD dynamics carry no RNG,
     so rho/m_mean/Var series must agree to f32 tolerance (dense vs spectral
-    solve); tracer v_eff/D_eff agree statistically."""
+    solve); tracer v_eff/D_eff agree statistically.  σ=0.05 exercises the
+    rolled 'narrow' smoothing (σ_grid=6.4 → 37 rolls), σ=0.1 the matmul
+    'smooth' branch (roll radius 73 > the narrow bound)."""
     if not _tpu_is_default():
         pytest.skip("needs a TPU device as default")
     import jax.numpy as jnp
     from hydrolim_tpu.core.config import PDEConfig, PDEParams, make_pde_params
-    from hydrolim_tpu.pde.fast_solve import pde_solve_fused
+    from hydrolim_tpu.pde.fast_solve import _m_mode, pde_solve_fused
     from hydrolim_tpu.pde.init import pde_initialize
     from hydrolim_tpu.pde.stepper import build_pde_ops
 
     config = PDEConfig(L=128, T=0.4, dt=1e-3, bc="periodic",
-                       gaussian_kernel=True, kernel_sigma=0.05,
+                       gaussian_kernel=True, kernel_sigma=sigma,
                        snapshot_interval=100, n_tracers=128,
                        tracer_window_time=0.05)
+    assert _m_mode(config) == ("narrow" if sigma == 0.05 else "smooth")
     B = 4
     params_b = PDEParams(gamma=jnp.full(B, 0.2), lam=jnp.full(B, 0.6),
                          beta=jnp.asarray([0.5, 1.0, 2.0, 3.0]))
