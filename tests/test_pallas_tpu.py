@@ -360,6 +360,45 @@ def test_pallas_pde_kernel_matches_xla_fields(sigma):
         assert np.all(np.abs(ma - mb) < sd), (name, ma, mb, sd)
 
 
+def test_pallas_pde_kernel_edge_shapes():
+    """Ragged shapes that stress the padding paths: odd L (pad lanes in
+    every roll/solve), tracer count not a lane multiple, a tiny ring
+    window, and B=5 with R-padding."""
+    if not _tpu_is_default():
+        pytest.skip("needs a TPU device as default")
+    import jax.numpy as jnp
+    from hydrolim_tpu.core.config import PDEConfig, PDEParams, make_pde_params
+    from hydrolim_tpu.pde.fast_solve import pde_solve_fused
+    from hydrolim_tpu.pde.init import pde_initialize
+    from hydrolim_tpu.pde.stepper import build_pde_ops
+
+    config = PDEConfig(L=100, T=0.2, dt=1e-3, bc="periodic",
+                       gaussian_kernel=True, kernel_sigma=0.02,
+                       snapshot_interval=50, n_tracers=50,
+                       tracer_window_time=0.037)
+    B = 5
+    params_b = PDEParams(gamma=jnp.full(B, 0.1), lam=jnp.full(B, 0.6),
+                         beta=jnp.linspace(0.2, 2.8, B))
+    ops = build_pde_ops(config, make_pde_params(gamma=0.1, lam=0.6, beta=0.0))
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    init = jax.vmap(lambda k: pde_initialize(config, k, mode="homogeneous",
+                                             noise=0.2, n_tracers=50))
+    rp, rm, tr = init(keys)
+    key = jax.random.PRNGKey(13)
+
+    got = pde_solve_fused(config, params_b, ops, rp, rm, tr, key,
+                          engine="pallas", keep_snapshots=False)
+    want = pde_solve_fused(config, params_b, ops, rp, rm, tr, key,
+                           engine="xla")
+    np.testing.assert_allclose(np.asarray(got.rho_p),
+                               np.asarray(want.rho_p), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.records.m_mean),
+                               np.asarray(want.records.m_mean), atol=2e-3)
+    assert got.snapshots.shape[1] == 0          # keep_snapshots=False
+    m = np.asarray(got.records.m_mean)
+    assert np.isfinite(m[:, :config.nsteps + 1]).all()
+
+
 @pytest.mark.parametrize("legacy", [False, True])
 def test_pallas_pde_anchored_neumann_matches_xla(legacy):
     """The other kernel branch set: anchored_minus reaction/advection order,
