@@ -7,10 +7,12 @@ module) keep the same names and output schema.
 """
 from __future__ import annotations
 
+import dataclasses
 from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from hydrolim_tpu.core.config import PDEConfig, make_pde_params
@@ -118,8 +120,39 @@ class IMEXPDE:
             self.config, sub, mode=mode, rho0=rho0, noise=noise,
             n_tracers=n_tracers)
 
-    def solve(self) -> None:
+    def solve(self, engine: str = "xla") -> None:
+        """Advance the full T horizon.
+
+        ``engine='pallas'`` (or ``'auto'``) runs the fused multi-step
+        Pallas kernel (pde/fast_solve.py) when the configuration qualifies
+        — identical fields and m/Var/v_eff/D_eff records, but the per-step
+        rfft series is NOT computed (``out['fft_*']`` become NaN, and the
+        FFT figure renders empty); the tracer RNG stream is statistically
+        equivalent, not bitwise.  ``'xla'`` (default) keeps the complete
+        spectral record.  ``'auto'`` falls back to XLA off-TPU or for
+        non-qualifying configs."""
         self.key, sub = jax.random.split(self.key)
+        if engine != "xla":
+            from hydrolim_tpu.pde.fast_solve import (
+                is_fused_pde_path,
+                pde_solve_fused,
+            )
+
+            cfg = self.config if self.config.n_tracers == self.n_tracers \
+                else dataclasses.replace(self.config,
+                                         n_tracers=self.n_tracers)
+            if is_fused_pde_path(cfg, np.asarray([float(self.params.gamma)])):
+                batch = lambda x: jnp.asarray(x)[None]
+                res = pde_solve_fused(
+                    cfg, jax.tree.map(batch, self.params), self.ops,
+                    batch(self.rho_p), batch(self.rho_m),
+                    jax.tree.map(batch, self.tracers), sub, engine=engine)
+                self._result = jax.device_get(
+                    jax.tree.map(lambda x: x[0], res))
+                return
+            assert engine == "auto", (
+                "engine='pallas' requires the fused-kernel configuration "
+                "class (see pde/fast_solve.is_fused_pde_path)")
         self._result = jax.device_get(pde_solve(
             self.config, self.params, self.ops, self.rho_p, self.rho_m,
             self.tracers, sub))

@@ -169,6 +169,32 @@ def test_fetch_snapshots_false_drops_blocks_keeps_records():
     assert thin.snapshots.shape[1] == 0 and thin.m_snapshots.shape[1] == 0
 
 
+def test_facade_engine_auto_cpu_fallback():
+    """IMEXPDE.solve(engine='auto') off-TPU = the XLA solve (field dynamics
+    identical; tracer streams may differ by key plumbing)."""
+    from hydrolim_tpu import IMEXPDE
+
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    mk = lambda: IMEXPDE(L=96, T=0.1, dt=1e-3, gamma=0.2, lam=0.6, beta=1.5,
+                         bc="periodic", gaussian_kernel=True,
+                         kernel_sigma=0.05, seed=11, outdir=tmp)
+    a = mk()
+    a.initialize("homogeneous", noise=0.2, n_tracers=32)
+    a.solve()
+    b = mk()
+    b.initialize("homogeneous", noise=0.2, n_tracers=32)
+    b.solve(engine="auto")
+    np.testing.assert_allclose(np.asarray(a._result.rho_p),
+                               np.asarray(b._result.rho_p), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a._result.records.m_mean),
+                               np.asarray(b._result.records.m_mean),
+                               rtol=1e-6)
+    out = b.get_output()
+    assert np.isfinite(out["m_series"]).all()
+
+
 def test_xla_fallback_matches_vmapped_solve():
     from hydrolim_tpu.pde.init import pde_initialize
     from hydrolim_tpu.pde.stepper import pde_solve
