@@ -229,6 +229,11 @@ def bench_k3_pallas(B=16, reps=2):
     ksteps = 10_000
 
     def run_once(nb):
+        from hydrolim_tpu.sweeps.fast_exclusion import _pick_r_batch
+
+        R = _pick_r_batch(config, nb)
+        if nb % R:
+            R = 1
         keys = jax.random.split(jax.random.PRNGKey(0), nb)
         slots0 = np.stack([np.asarray(lgk_init(config, k)) for k in keys])
         sl = pack_slots(slots0)
@@ -238,7 +243,7 @@ def bench_k3_pallas(B=16, reps=2):
         run = lambda f, s: exclusion_multi_step(
             jnp.asarray(scal), seeds + f, s, conv, L=1000, K=3,
             k_steps=ksteps, dt=2e-3, periodic=False, bidirectional=False,
-            use_local_m=True)
+            use_local_m=True, r_batch=R)
         sl = run(0, sl)
         jax.block_until_ready(sl)
         times = []

@@ -37,12 +37,25 @@ if (_os.environ.get("HYDROLIM_NO_COMPILATION_CACHE", "") != "1"
     # program); the persistent cache makes every repeat shape instant.
     # A user-set JAX_COMPILATION_CACHE_DIR is respected (we only install a
     # default); opt out entirely with HYDROLIM_NO_COMPILATION_CACHE=1.
+    # The default is PER-USER (not a world-shared /tmp path) so multi-user
+    # machines can't collide on — or poison — each other's AOT artifacts.
+    def _default_cache_dir():
+        base = _os.environ.get("XDG_CACHE_HOME",
+                               _os.path.expanduser("~/.cache"))
+        if not base.startswith("~"):          # expanduser resolved a home
+            return _os.path.join(base, "hydrolim_tpu", "jax_comp_cache")
+        import tempfile
+
+        uid = _os.getuid() if hasattr(_os, "getuid") else 0
+        return _os.path.join(tempfile.gettempdir(),
+                             f"hydrolim_tpu_cache_{uid}")
+
     try:
         import jax as _jax
 
         _jax.config.update(
             "jax_compilation_cache_dir",
-            _os.environ.get("HYDROLIM_CACHE_DIR", "/tmp/jax_comp_cache"))
+            _os.environ.get("HYDROLIM_CACHE_DIR", _default_cache_dir()))
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover — older jax without the knobs
         pass

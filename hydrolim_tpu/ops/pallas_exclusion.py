@@ -93,36 +93,46 @@ def build_conv_matrix(config: ParticleConfig) -> np.ndarray:
 
 
 def _kernel(scal_ref, seed_ref, slots_ref, conv_ref, slots_out, *,
-            L: int, Lp: int, K: int, Kp: int, k_steps: int, dt: float,
-            periodic: bool, bidirectional: bool, use_local_m: bool):
-    b = pl.program_id(0)
-    beta = scal_ref[b, 0]
-    p_dif = scal_ref[b, 1] * dt
-    p_act = scal_ref[b, 2] * dt
-    pltpu.prng_seed(seed_ref[b], b)
+            L: int, Lp: int, K: int, Kp: int, R: int, k_steps: int,
+            dt: float, periodic: bool, bidirectional: bool,
+            use_local_m: bool):
+    """R replicas per grid program (VERDICT r2 #6): state is (R, Kp, Lp)
+    with the (Kp, Lp) tiles stacked on the leading axis — per-replica
+    reductions run over axis 1 (the sublane axis of each tile), rolls over
+    axis 2, and the smoothing matmul packs all R replicas into ONE
+    (2R, Lp) @ (Lp, Lp) MXU call.  A single-replica program runs K..2K of 8
+    sublanes; row-batching fills them (the same trick as ops/pallas_pde)."""
+    g = pl.program_id(0)
+    # scal_ref: (R, 1, LANE) VMEM scalar slab — lane c holds scalar c;
+    # last-dim slices give natively-(R, 1, 1)-shaped per-replica scalars
+    # (an SMEM vector read or a 2-D→3-D reshape would not lower)
+    beta = scal_ref[:, :, 0:1]                   # (R, 1, 1)
+    p_dif = scal_ref[:, :, 1:2] * dt
+    p_act = scal_ref[:, :, 2:3] * dt
+    pltpu.prng_seed(seed_ref[g], g)
 
-    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
-    laneK = jax.lax.broadcasted_iota(jnp.int32, (Kp, Lp), 1)
-    rowK = jax.lax.broadcasted_iota(jnp.int32, (Kp, Lp), 0)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (R, 1, Lp), 2)
+    laneK = jax.lax.broadcasted_iota(jnp.int32, (R, Kp, Lp), 2)
+    rowK = jax.lax.broadcasted_iota(jnp.int32, (R, Kp, Lp), 1)
     validK = laneK < L
     wrap = Lp - L + 1
 
     def shift_right1(x, fill=0):
         """out[i] = x[i-1] on the L-site topology; pad lanes → fill."""
-        lane = lane1 if x.shape[0] == 1 else laneK
-        plain = pltpu.roll(x, 1, axis=1)
+        lane = lane1 if x.shape[1] == 1 else laneK
+        plain = pltpu.roll(x, 1, axis=2)
         if periodic:
-            out = jnp.where(lane == 0, pltpu.roll(x, wrap, axis=1), plain)
+            out = jnp.where(lane == 0, pltpu.roll(x, wrap, axis=2), plain)
         else:
             out = jnp.where(lane == 0, fill, plain)
         return jnp.where(lane < L, out, fill)
 
     def shift_left1(x, fill=0):
         """out[i] = x[i+1] on the L-site topology; pad lanes → fill."""
-        lane = lane1 if x.shape[0] == 1 else laneK
-        plain = pltpu.roll(x, Lp - 1, axis=1)   # pltpu.roll needs shift >= 0
+        lane = lane1 if x.shape[1] == 1 else laneK
+        plain = pltpu.roll(x, Lp - 1, axis=2)   # pltpu.roll needs shift >= 0
         if periodic:
-            out = jnp.where(lane == L - 1, pltpu.roll(x, L - 1, axis=1),
+            out = jnp.where(lane == L - 1, pltpu.roll(x, L - 1, axis=2),
                             plain)
         else:
             out = jnp.where(lane >= L - 1, fill, plain)
@@ -137,25 +147,26 @@ def _kernel(scal_ref, seed_ref, slots_ref, conv_ref, slots_out, *,
         is_plus = slots > 0
         is_minus = slots < 0
         sgn_f = (is_plus.astype(jnp.float32) - is_minus.astype(jnp.float32))
-        counts_s = jnp.sum(sgn_f, axis=0, keepdims=True)          # (1, Lp)
-        tot = jnp.sum(jnp.abs(sgn_f), axis=0, keepdims=True)      # (1, Lp)
+        counts_s = jnp.sum(sgn_f, axis=1, keepdims=True)        # (R, 1, Lp)
+        tot = jnp.sum(jnp.abs(sgn_f), axis=1, keepdims=True)    # (R, 1, Lp)
         occ_tot = tot.astype(jnp.int32)
 
         if use_local_m:
-            pack = jnp.concatenate([counts_s, tot], axis=0)       # (2, Lp)
-            conv = jnp.dot(pack, conv_ref[:],
-                           preferred_element_type=jnp.float32)
-            m = jnp.where(conv[1:2] > 0.0, conv[0:1] / jnp.where(
-                conv[1:2] > 0.0, conv[1:2], 1.0), 0.0)
-            m = jnp.clip(m, -1.0, 1.0)                            # (1, Lp)
+            pack = jnp.concatenate([counts_s, tot], axis=1)     # (R, 2, Lp)
+            conv = jnp.dot(pack.reshape(2 * R, Lp), conv_ref[:],
+                           preferred_element_type=jnp.float32
+                           ).reshape(R, 2, Lp)
+            m = jnp.where(conv[:, 1:2] > 0.0, conv[:, 0:1] / jnp.where(
+                conv[:, 1:2] > 0.0, conv[:, 1:2], 1.0), 0.0)
+            m = jnp.clip(m, -1.0, 1.0)                          # (R, 1, Lp)
         else:
-            s_sum = jnp.sum(counts_s)
-            n_alive = jnp.maximum(jnp.sum(tot), 1.0)
-            m = jnp.full((1, Lp), s_sum / n_alive)
+            s_sum = jnp.sum(counts_s, axis=2, keepdims=True)    # (R, 1, 1)
+            n_alive = jnp.maximum(jnp.sum(tot, axis=2, keepdims=True), 1.0)
+            m = jnp.broadcast_to(s_sum / n_alive, (R, 1, Lp))
 
         c = jnp.where(occ_slot, jnp.exp(-beta * sgn_f * m), 0.0)
 
-        right_free = shift_left1(occ_tot, fill=K) < K             # (1, Lp)
+        right_free = shift_left1(occ_tot, fill=K) < K           # (R, 1, Lp)
         left_free = shift_right1(occ_tot, fill=K) < K
         if not periodic:
             right_free = right_free & (lane1 < L - 1)
@@ -172,32 +183,32 @@ def _kernel(scal_ref, seed_ref, slots_ref, conv_ref, slots_out, *,
         t3 = t2 + c * dt
         # low-24-bit mask, NOT `>> 8`: Mosaic lowers the shift as arithmetic
         # (sign-extends), which would make u negative for half the draws
-        u = (pltpu.prng_random_bits((Kp, Lp)) & np.uint32(0x00FFFFFF)
+        u = (pltpu.prng_random_bits((R, Kp, Lp)) & np.uint32(0x00FFFFFF)
              ).astype(jnp.float32) * jnp.float32(2.0 ** -24)
         ev_left = u < t1
         ev_right = (u >= t1) & (u < t2)
         ev_flip = (u >= t2) & (u < t3)
 
         # unique candidate priorities as NON-NEGATIVE int32 (Mosaic has no
-        # unsigned reductions): 28 random high bits | row id (right movers
+        # unsigned reductions): 27 random high bits | row id (right movers
         # rows 0..K-1, left movers K..2K-1 at the destination lane)
-        bits = pltpu.prng_random_bits((Kp, Lp))
+        bits = pltpu.prng_random_bits((R, Kp, Lp))
         rand_hi = jnp.right_shift(bits, 1).astype(jnp.int32) & _MASK_HI
         pr = rand_hi | rowK
         plf = rand_hi | (rowK + Kp)
         cand_r = shift_right1(jnp.where(ev_right, pr, _SENT), fill=_SENT)
         cand_l = shift_left1(jnp.where(ev_left, plf, _SENT), fill=_SENT)
-        cand = jnp.concatenate([cand_r, cand_l], axis=0)         # (2Kp, Lp)
+        cand = jnp.concatenate([cand_r, cand_l], axis=1)      # (R, 2Kp, Lp)
 
-        free = (K - occ_tot)                                      # (1, Lp)
-        accept = jnp.zeros((2 * Kp, Lp), bool)
+        free = (K - occ_tot)                                    # (R, 1, Lp)
+        accept = jnp.zeros((R, 2 * Kp, Lp), bool)
         for r in range(K):
-            cur_min = jnp.min(cand, axis=0, keepdims=True)
+            cur_min = jnp.min(cand, axis=1, keepdims=True)
             win = (cand == cur_min) & (cand != _SENT) & (free > r)
             accept = accept | win
             cand = jnp.where(win, _SENT, cand)
-        acc_right_in = accept[:Kp]
-        acc_left_in = accept[Kp:]
+        acc_right_in = accept[:, :Kp]
+        acc_left_in = accept[:, Kp:]
 
         acc_right_src = shift_left1(acc_right_in.astype(jnp.int32)) > 0
         acc_left_src = shift_right1(acc_left_in.astype(jnp.int32)) > 0
@@ -207,88 +218,103 @@ def _kernel(scal_ref, seed_ref, slots_ref, conv_ref, slots_out, *,
 
         in_right = jnp.where(acc_right_in & validK, shift_right1(slots), 0)
         in_left = jnp.where(acc_left_in & validK, shift_left1(slots), 0)
-        combined = jnp.concatenate([stay, in_right, in_left], axis=0)
+        combined = jnp.concatenate([stay, in_right, in_left], axis=1)
         combined = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (3 * Kp, Lp), 1) < L,
+            jax.lax.broadcasted_iota(jnp.int32, (R, 3 * Kp, Lp), 2) < L,
             combined, 0)
 
         # front-pack the nonzero rows (stable): exclusive running count
         nz = (combined != 0).astype(jnp.int32)
         rows = []
-        running = jnp.zeros((1, Lp), jnp.int32)
+        running = jnp.zeros((R, 1, Lp), jnp.int32)
         sel = []
         for q in range(3 * Kp):
-            sel.append((running, nz[q:q + 1]))
-            running = running + nz[q:q + 1]
+            sel.append((running, nz[:, q:q + 1]))
+            running = running + nz[:, q:q + 1]
         for j in range(Kp):
-            row = jnp.zeros((1, Lp), jnp.int32)
+            row = jnp.zeros((R, 1, Lp), jnp.int32)
             for q in range(3 * Kp):
                 nzb, nzq = sel[q]
                 row = row + jnp.where((nzq > 0) & (nzb == j),
-                                      combined[q:q + 1], 0)
+                                      combined[:, q:q + 1], 0)
             rows.append(row)
-        return jnp.concatenate(rows, axis=0)
+        return jnp.concatenate(rows, axis=1)
 
     slots_out[:] = jax.lax.fori_loop(0, k_steps, body, slots_ref[:])
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "K", "k_steps", "dt", "periodic", "bidirectional",
-                     "use_local_m", "interpret"))
+    static_argnames=("L", "K", "k_steps", "r_batch", "dt", "periodic",
+                     "bidirectional", "use_local_m", "interpret"))
 def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
                          slots: jnp.ndarray, conv_mat: jnp.ndarray, *,
                          L: int, K: int, k_steps: int, dt: float,
                          periodic: bool, bidirectional: bool,
-                         use_local_m: bool, interpret: bool = False):
+                         use_local_m: bool, r_batch: int = 1,
+                         interpret: bool = False):
     """Advance K_STEPS exclusion steps fully on-chip.
 
     Args:
       scalars: (B, 3) float32 [beta, rate_diffusion, rate_active] (site
         units).
-      seeds: (B,) int32 — pass ``base + frame`` per invocation.
+      seeds: (B,) int32 — pass ``base + frame`` per invocation; with
+        ``r_batch`` > 1 one seed per grid program (every r_batch-th entry)
+        is consumed.
       slots: (B, K, Lp) int32 signed slot payloads (sign = spin, magnitude
         = identity; pad lanes zero).
       conv_mat: (Lp, Lp) float32 smoothing matrix (ignored unless
         ``use_local_m``; pass a (0, 0) array for global m — it is replaced
         by a 1×1 zero placeholder internally).
+      r_batch: replicas per grid program (B must divide evenly).  A
+        single-replica program occupies K..2K of 8 sublanes; row-batching
+        stacks R (Kp, Lp) tiles per program and shares the conv matrix
+        across one (2R, Lp) matmul (the pallas_pde (G, R, …) trick).
     """
     B, Kp, Lp = slots.shape
+    R = r_batch
     assert Kp == _pad_rows(K), 'pack slots with pack_slots() (row padding)'
     assert 2 * Kp <= 16, 'row-id priority bits support K <= 8'
+    assert B % R == 0, (B, R)
     if not use_local_m:
         # minimal tiling-aligned placeholder — shipping a (Lp, Lp) zero
         # matrix would waste ~4 MB of VMEM per program at L=1000
         conv_mat = jnp.zeros((8, LANE), jnp.float32)
     elif conv_mat.size == 0:
         conv_mat = jnp.zeros((Lp, Lp), jnp.float32)
-    grid = (B,)
+    G = B // R
+    grid = (G,)
     kernel = functools.partial(
-        _kernel, L=L, Lp=Lp, K=K, Kp=Kp, k_steps=k_steps, dt=dt,
+        _kernel, L=L, Lp=Lp, K=K, Kp=Kp, R=R, k_steps=k_steps, dt=dt,
         periodic=periodic, bidirectional=bidirectional,
         use_local_m=use_local_m)
 
     def squeeze(scal, seed, sl, conv, out):
-        kernel(scal, seed, sl.at[0], conv, out.at[0])
+        kernel(scal.at[0], seed, sl.at[0], conv, out.at[0])
 
-    slot_spec = pl.BlockSpec((1, Kp, Lp), lambda b: (b, 0, 0),
+    slot_spec = pl.BlockSpec((1, R, Kp, Lp), lambda g: (g, 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    scal_g = jnp.pad(jnp.asarray(scalars, jnp.float32),
+                     ((0, 0), (0, LANE - 3))).reshape(G, R, 1, LANE)
+    seeds_g = jnp.asarray(seeds, jnp.int32)[::R]
+    out = pl.pallas_call(
         squeeze,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, 3), lambda b: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R, 1, LANE), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G,), lambda g: (0,), memory_space=pltpu.SMEM),
             slot_spec,
-            pl.BlockSpec(conv_mat.shape, lambda b: (0, 0),
+            pl.BlockSpec(conv_mat.shape, lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=slot_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Kp, Lp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((G, R, Kp, Lp), jnp.int32),
         input_output_aliases={2: 0},
         interpret=interpret,
-    )(scalars, jnp.asarray(seeds, jnp.int32), slots,
+    )(scal_g, seeds_g, slots.reshape(G, R, Kp, Lp),
       jnp.asarray(conv_mat, jnp.float32))
+    return out.reshape(B, Kp, Lp)
 
 
 def pack_slots(slots: np.ndarray) -> jnp.ndarray:

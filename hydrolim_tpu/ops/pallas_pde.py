@@ -50,13 +50,14 @@ def _pad(n: int, mult: int = LANE) -> int:
     return -(-n // mult) * mult
 
 
-def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, rhop_ref, rhom_ref,
-            pos_ref, spin_ref, hist_ref, solve_ref, smooth_ref, rhop_out,
-            rhom_out, pos_out, spin_out, hist_out, recs_ref, *, L: int,
-            Lp: int, n_t: int, Ntp: int, window: int, k_steps: int, R: int,
-            dt: float, dx: float, xlim: float, periodic: bool, m_mode: str,
-            narrow_r: int, has_solve: bool, bidirectional: bool,
-            legacy_double_diffusion: bool, has_noise: bool):
+def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, swts_ref, rhop_ref,
+            rhom_ref, pos_ref, spin_ref, hist_ref, solve_ref, smooth_ref,
+            rhop_out, rhom_out, pos_out, spin_out, hist_out, recs_ref, *,
+            L: int, Lp: int, n_t: int, Ntp: int, window: int, k_steps: int,
+            R: int, dt: float, dx: float, xlim: float, periodic: bool,
+            m_mode: str, narrow_r: int, solve_mode: str, solve_r: int,
+            bidirectional: bool, legacy_double_diffusion: bool,
+            has_noise: bool):
     g = pl.program_id(0)
     beta = scalv_ref[:, 0:1]          # (R, 1) per-replica scalars
     lam = scalv_ref[:, 1:2]
@@ -123,6 +124,30 @@ def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, rhop_ref, rhom_ref,
         plain = pltpu.roll(x, dp, axis=1)
         fix = pltpu.roll(x, (dp + Lp - L) % Lp, axis=1)
         return jnp.where(lane1 < dp, fix, plain)
+
+    def apply_solve(rho_p, rho_m):
+        """Implicit diffusion (I − γ·dt·D/dx²)⁻¹ on both fields."""
+        if solve_mode == "dense":
+            pack2 = jnp.concatenate([rho_p, rho_m], axis=0)     # (2R, Lp)
+            sol = jax.lax.dot_general(
+                pack2, solve_ref[:], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            return sol[:R], sol[R:]
+        if solve_mode == "banded":
+            # large-L scale path (VERDICT r2 #7): the inverse kernel decays
+            # exponentially (ops/diffusion.py 'banded'), so the solve is a
+            # 2·solve_r+1-tap wrap-corrected roll convolution — no (Lp, Lp)
+            # matrix in VMEM; admits L far past the dense gate whenever
+            # γ·dt/dx² is small enough that solve_r ≤ the roll bound
+            def conv(x):
+                y = swts_ref[0, solve_r] * x
+                for d in range(1, solve_r + 1):
+                    w = swts_ref[0, solve_r + d]      # symmetric kernel
+                    y = y + w * (roll_l(x, d) + roll_l(x, -d))
+                return y * valid1
+            return conv(rho_p), conv(rho_m)
+        return rho_p, rho_m
 
     def body(s, carry):
         rho_p, rho_m, pos_u, spin = carry
@@ -225,15 +250,7 @@ def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, rhop_ref, rhom_ref,
         recs_ref[:, pl.ds(s, 1), :] = row
 
         # -- IMEX step (:187-233) -------------------------------------------
-        if has_solve:
-            pack2 = jnp.concatenate([rho_p, rho_m], axis=0)     # (2R, Lp)
-            sol = jax.lax.dot_general(
-                pack2, solve_ref[:], (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-            rho_p1, rho_m1 = sol[:R], sol[R:]
-        else:
-            rho_p1, rho_m1 = rho_p, rho_m
+        rho_p1, rho_m1 = apply_solve(rho_p, rho_m)
         if bidirectional:
             adv_p = -lam * upwind(rho_p1, +1)
             adv_m = +lam * upwind(rho_m1, -1)
@@ -241,13 +258,8 @@ def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, rhop_ref, rhom_ref,
             rho_p2 = jnp.maximum(rho_p1 + dt * (adv_p + R_p), 0.0)
             rho_m2 = jnp.maximum(rho_m1 + dt * (adv_m - R_p), 0.0)
         else:                            # anchored_minus (:205-227)
-            if legacy_double_diffusion and has_solve:
-                pack2 = jnp.concatenate([rho_p1, rho_m1], axis=0)
-                sol = jax.lax.dot_general(
-                    pack2, solve_ref[:], (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-                rho_p1, rho_m1 = sol[:R], sol[R:]
+            if legacy_double_diffusion and solve_mode != "none":
+                rho_p1, rho_m1 = apply_solve(rho_p1, rho_m1)
             R_p = cw(-1.0, m) * rho_m1 - cw(+1.0, m) * rho_p1
             rho_p_star = jnp.maximum(rho_p1 + dt * R_p, 0.0)
             rho_m2 = jnp.maximum(rho_m1 - dt * R_p, 0.0)
@@ -274,17 +286,19 @@ def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, rhop_ref, rhom_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("L", "n_t", "window", "k_steps", "r_batch", "dt", "dx",
-                     "xlim", "periodic", "m_mode", "narrow_r", "has_solve",
-                     "bidirectional", "legacy_double_diffusion", "has_noise"))
+                     "xlim", "periodic", "m_mode", "narrow_r", "solve_mode",
+                     "solve_r", "bidirectional", "legacy_double_diffusion",
+                     "has_noise"))
 def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
                    rho_p: jnp.ndarray, rho_m: jnp.ndarray, pos: jnp.ndarray,
                    spin: jnp.ndarray, hist: jnp.ndarray,
                    solve_mat: jnp.ndarray, smooth_mat: jnp.ndarray,
-                   wts: jnp.ndarray | None = None, *,
+                   wts: jnp.ndarray | None = None,
+                   solve_wts: jnp.ndarray | None = None, *,
                    L: int, n_t: int, window: int, k_steps: int,
                    r_batch: int = 1, dt: float, dx: float, xlim: float,
                    periodic: bool, m_mode: str, narrow_r: int = 0,
-                   has_solve: bool, bidirectional: bool,
+                   solve_mode: str, solve_r: int = 0, bidirectional: bool,
                    legacy_double_diffusion: bool = False,
                    has_noise: bool = True):
     """Advance K_STEPS IMEX steps (fields + tracers) fully on-chip.
@@ -301,7 +315,7 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
         Wp = window rounded up to a multiple of 8 (Mosaic sublane tiling);
         ring arithmetic stays modulo ``window``, rows ≥ window are unused.
       solve_mat: (Lp, Lp) — ``x @ M`` applies the implicit-diffusion inverse
-        (pass a (8, 128) zero placeholder with has_solve=False for γ=0).
+        (pass a (8, 128) zero placeholder unless solve_mode == 'dense').
       smooth_mat: (Lp, Lp) — ``x @ M`` circular smoothing (placeholder
         unless m_mode == 'smooth').
       wts: (1, LANE) float32 — for m_mode == 'narrow', the symmetric
@@ -309,6 +323,11 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
         narrow_r + d); None/placeholder otherwise.  Narrow mode applies
         the small-σ smoothing as 2·narrow_r+1 wrap-corrected rolls and
         needs no (Lp, Lp) matrix in VMEM.
+      solve_wts: (1, LANE) float32 — for solve_mode == 'banded', the
+        symmetric truncated inverse kernel of (I − γ·dt·D/dx²) centered at
+        lane ``solve_r`` (ops/diffusion.py 'banded'); None otherwise.
+        Banded mode is the large-L scale path: the solve applies as
+        2·solve_r+1 rolls, so no (Lp, Lp) matrix gates the VMEM budget.
       r_batch: replicas per grid program (B must divide evenly); the
         operator matrices are shared within a program, and row-batching
         fills the VPU sublanes / MXU rows a single replica leaves idle.
@@ -325,14 +344,18 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
     assert B % R == 0, (B, R)
     G = B // R
     grid = (G,)
+    assert solve_mode in ("none", "dense", "banded"), solve_mode
+    assert solve_mode != "banded" or (1 <= solve_r < LANE // 2 and periodic)
     kernel = functools.partial(
         _kernel, L=L, Lp=Lp, n_t=n_t, Ntp=Ntp, window=window,
         k_steps=k_steps, R=R, dt=dt, dx=dx, xlim=xlim, periodic=periodic,
-        m_mode=m_mode, narrow_r=narrow_r, has_solve=has_solve,
-        bidirectional=bidirectional,
+        m_mode=m_mode, narrow_r=narrow_r, solve_mode=solve_mode,
+        solve_r=solve_r, bidirectional=bidirectional,
         legacy_double_diffusion=legacy_double_diffusion, has_noise=has_noise)
     if wts is None:
         wts = jnp.zeros((1, LANE), jnp.float32)
+    if solve_wts is None:
+        solve_wts = jnp.zeros((1, LANE), jnp.float32)
 
     # per-replica scalars as a VMEM (G, R, LANE) array: lanes 0..3 hold
     # [beta, lam, noise_amp]; the kernel column-slices (R, 1) blocks.
@@ -348,10 +371,10 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
     def gshape(x):
         return x.reshape((G, R) + x.shape[1:])
 
-    def squeeze(scalv, seed, step0, wts, rp, rm, pos, spin, hist, solve,
-                smooth, rp_o, rm_o, pos_o, spin_o, hist_o, recs):
-        kernel(scalv.at[0], seed, step0, wts, rp.at[0], rm.at[0], pos.at[0],
-               spin.at[0], hist.at[0], solve, smooth, rp_o.at[0],
+    def squeeze(scalv, seed, step0, wts, swts, rp, rm, pos, spin, hist,
+                solve, smooth, rp_o, rm_o, pos_o, spin_o, hist_o, recs):
+        kernel(scalv.at[0], seed, step0, wts, swts, rp.at[0], rm.at[0],
+               pos.at[0], spin.at[0], hist.at[0], solve, smooth, rp_o.at[0],
                rm_o.at[0], pos_o.at[0], spin_o.at[0], hist_o.at[0],
                recs.at[0])
 
@@ -367,6 +390,8 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
             bspec((LANE,)),
             pl.BlockSpec((G,), lambda g: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((G,), lambda g: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, LANE), lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, LANE), lambda g: (0, 0),
                          memory_space=pltpu.SMEM),
             bspec((Lp,)),
@@ -393,8 +418,9 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
             jax.ShapeDtypeStruct((G, R, Wp, Ntp), jnp.float32),
             jax.ShapeDtypeStruct((G, R, k_steps, _REC_W), jnp.float32),
         ],
-        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4},
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3, 9: 4},
     )(gshape(scalv), seeds_g, step0_g, jnp.asarray(wts, jnp.float32),
+      jnp.asarray(solve_wts, jnp.float32),
       gshape(rho_p), gshape(rho_m),
       gshape(pos), gshape(spin), gshape(hist),
       jnp.asarray(solve_mat, jnp.float32),

@@ -71,6 +71,88 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(dev_array, axis_names)
 
 
+def sweep_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D all-``'sweep'`` mesh — pure sweep-grid data parallelism, the
+    right default for the user-facing sweep drivers (the flattened
+    (β × replicas) batch shards across every device; no particle/lattice
+    axis is split, so stepping needs zero communication)."""
+    if devices is None:
+        devices = select_devices(n_devices)
+    if n_devices is not None:
+        assert len(devices) >= n_devices, (
+            f"need {n_devices} devices, have {len(devices)}")
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("sweep",))
+
+
+def resolve_sweep_mesh(mesh: Optional[Mesh],
+                       n_devices: Optional[int]) -> Optional[Mesh]:
+    """Driver-kwarg plumbing: an explicit mesh wins; else ``n_devices``
+    builds a 1-D sweep mesh; else no sharding (None)."""
+    if mesh is not None:
+        return mesh
+    if n_devices is not None and n_devices > 1:
+        return sweep_mesh(n_devices)
+    return None
+
+
+def sweep_axis_size(mesh: Optional[Mesh]) -> int:
+    if mesh is None:
+        return 1
+    return int(mesh.shape.get(mesh.axis_names[0], 1))
+
+
+def pad_batch(tree, Bp: int):
+    """Pad every leading-batch-axis leaf to ``Bp`` rows by repeating the
+    last entry; the caller drops the pad replicas after the run.
+
+    Bit-equality contract: ``jax.random.split(key, B)`` and the
+    partitionable-threefry bit streams are PREFIX-STABLE in the batch size
+    (row i of a (B, …) draw depends only on its linear element indices), so
+    replicas 0..B-1 of the padded run are bit-identical to the unpadded
+    run — this is what makes 1-device and n-device sweep results equal
+    (tests/test_parallel.py)."""
+    import jax.numpy as jnp
+
+    def pad(x):
+        x = jnp.asarray(x)
+        if x.ndim == 0 or x.shape[0] >= Bp:
+            return x
+        return jnp.concatenate(
+            [x, jnp.repeat(x[-1:], Bp - x.shape[0], axis=0)], axis=0)
+
+    return jax.tree.map(pad, tree)
+
+
+def shard_batch(mesh: Mesh, tree, B: Optional[int] = None):
+    """Place leading-batch-axis leaves on ``P('sweep')`` (other axes
+    replicated); scalars and non-batch leaves are replicated.  ``B``
+    identifies the batch length (default: the first leaf's dim 0)."""
+    leaves = jax.tree.leaves(tree)
+    if B is None:
+        B = leaves[0].shape[0]
+    sweep = NamedSharding(mesh, P(mesh.axis_names[0]))
+    repl = NamedSharding(mesh, P())
+
+    def put(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == B:
+            return jax.device_put(x, sweep)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(put, tree)
+
+
+def pad_and_shard(mesh: Optional[Mesh], tree, B: int):
+    """``pad_batch`` to the sweep-axis multiple, then ``shard_batch``;
+    returns ``(tree, Bp)``.  No-op (tree, B) when mesh is None."""
+    if mesh is None:
+        return tree, B
+    n_sw = sweep_axis_size(mesh)
+    Bp = -(-B // n_sw) * n_sw
+    tree = pad_batch(tree, Bp)
+    return shard_batch(mesh, tree, Bp), Bp
+
+
 def sweep_sharding(mesh: Mesh, *more_axes) -> NamedSharding:
     """Sharding for a batch-leading array: batch on 'sweep', then the given
     trailing axes (None for replicated)."""

@@ -119,6 +119,18 @@ def lg_step(config: ParticleConfig, params: ParticleParams,
     return kept + gain, (moved_right, moved_left, flipped)
 
 
+# Invalid-tracer sentinel for ``LatticeGasFrames.tracer_pos``.  Unwrapped
+# positions are signed (a net-leftward walker crosses 0), so validity cannot
+# ride the sign bit: INT32_MIN is outside every reachable position
+# (|displacement| < 2^31 sites for any feasible run length).
+TRACER_INVALID = np.int32(np.iinfo(np.int32).min)
+
+
+def tracer_valid_mask(tracer_pos) -> np.ndarray:
+    """Boolean mask of real (non-phantom) tracer entries."""
+    return np.asarray(tracer_pos) != TRACER_INVALID
+
+
 class LatticeGasFrames(NamedTuple):
     rho_p: jnp.ndarray     # (M, L)
     rho_m: jnp.ndarray     # (M, L)
@@ -127,7 +139,7 @@ class LatticeGasFrames(NamedTuple):
     m_global: jnp.ndarray  # (M,)
     var: jnp.ndarray       # (M,)
     fft_amp: jnp.ndarray   # (M, L) or (M, 0)
-    tracer_pos: jnp.ndarray  # (M, T) unwrapped tracer sites (T may be 0)
+    tracer_pos: jnp.ndarray  # (M, T) unwrapped sites (TRACER_INVALID = phantom)
 
 
 def _lg_record(config: ParticleConfig, mfield_op: MFieldOp,
@@ -203,8 +215,9 @@ def _lg_scan(config: ParticleConfig, params: ParticleParams,
     def rec(occ, tr, wind):
         f = _lg_record(config, mfield_op, occ, record_fft)
         if n_tracers > 0:
-            # invalid (phantom) tags record sentinel -1 — estimators mask
-            f = f._replace(tracer_pos=jnp.where(tr_valid, tr + wind * L, -1))
+            # invalid (phantom) tags record TRACER_INVALID — estimators mask
+            f = f._replace(tracer_pos=jnp.where(tr_valid, tr + wind * L,
+                                                TRACER_INVALID))
         return f
 
     def frame_step(carry, _):

@@ -43,7 +43,11 @@ import numpy as np
 from hydrolim_tpu.core.config import ParticleConfig, ParticleParams
 from hydrolim_tpu.particles.run import substeps_for
 from hydrolim_tpu.fields.magnetization import MFieldOp, build_mfield_op, local_m_field
-from hydrolim_tpu.particles.lattice_gas import LatticeGasFrames, _lg_record_counts
+from hydrolim_tpu.particles.lattice_gas import (
+    LatticeGasFrames,
+    TRACER_INVALID,
+    _lg_record_counts,
+)
 
 _UINT_MAX = np.uint32(0xFFFFFFFF)
 
@@ -300,9 +304,10 @@ def _lgk_scan(config: ParticleConfig, params: ParticleParams,
         f = _lg_record_counts(config, mfield_op, counts_p, counts_m,
                               record_fft)
         if n_tracers > 0:
-            # invalid (phantom) tags record sentinel -1 — estimator masks
+            # invalid (phantom) tags record TRACER_INVALID — estimator masks
             f = f._replace(tracer_pos=jnp.where(tr_valid,
-                                                tr_site + wind * L, -1))
+                                                tr_site + wind * L,
+                                                TRACER_INVALID))
         return f
 
     def frame_step(carry, _):

@@ -260,8 +260,10 @@ class ParticleSystem:
         M = len(times_obs)
         pos_u = g(frames.tracer_pos)                     # (M, N) unwrapped
         # Poisson init may realize fewer than N particles; surplus tags are
-        # sentinel -1 (phantom-tracer guard) — mask them out everywhere
-        alive = pos_u >= 0                               # (M, N)
+        # TRACER_INVALID (phantom-tracer guard) — mask them out everywhere
+        from hydrolim_tpu.particles.lattice_gas import tracer_valid_mask
+
+        alive = tracer_valid_mask(pos_u)                 # (M, N)
         n_real = int(alive[0].sum())
         pos_list = [(pos_u[k][alive[k]] % L).astype(np.int64)
                     for k in range(M)]

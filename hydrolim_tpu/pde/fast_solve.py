@@ -7,19 +7,27 @@ frame loop MUST stay on device: a host-side chunk loop costs a synchronous
 tunnel round-trip per chunk on the remote axon backend).  Returns a
 ``PDESolveResult``-compatible batch: per-step m/Var/v_eff/D_eff records and
 snapshot blocks match ``pde/stepper.pde_solve`` semantics (record at state
-n, tracer update at n, step masked at n = nsteps); the rfft record is NOT
-computed on this path (``records.fft_ri`` is NaN) — sweep figures never
-consume it; the full-spectrum parity path stays on the XLA solve.
+n, tracer update at n, step masked at n = nsteps); the rfft record
+(``records.fft_ri``) is populated at SNAPSHOT cadence (chunk starts + the
+final state — one (B, L) @ (L, 2k) matmul-DFT per chunk; intermediate steps
+are NaN).  The reference records spectra every step
+(IMEX_PDE_solver_class.py:248-250); the per-step record stays on the XLA
+solve.
 
 The tracer RNG stream differs from the XLA path (on-core Mosaic PRNG,
 Box–Muller noise) — statistically equivalent, not bitwise.
 
 Scope (``is_fused_pde_path``): the whole working set — operator matrices
 plus per-replica fields/tracer ring — must fit a ~14 MB VMEM budget
-(roughly L ≤ 1300 for smooth+solve configs, L ≤ 2048 matrix-free), with
-uniform γ across the batch, n_tracers ≥ 1, and nsteps a multiple of
-snapshot_interval.  Falls back to the vmapped XLA ``pde_solve`` otherwise
-or off-TPU (``engine='auto'``).
+(roughly L ≤ 1300 for smooth+dense-solve configs), with uniform γ across
+the batch, n_tracers ≥ 1, and nsteps a multiple of snapshot_interval.
+Past the dense gate, periodic γ>0 configs stay fused via the BANDED
+in-kernel solve (``_solve_mode_of``): the exponentially-decaying inverse
+kernel of ops/diffusion.py applies as ≤ 2·63+1 wrap-corrected rolls, so
+large-L runs (which scale dt with dx, keeping γ·dt/dx² O(1)) need no
+(Lp, Lp) matrix; configs whose band is wider than the roll bound fall
+back to the vmapped XLA ``pde_solve`` (as does everything off-TPU,
+``engine='auto'``).
 """
 from __future__ import annotations
 
@@ -48,6 +56,55 @@ from hydrolim_tpu.pde.stepper import (
 _VMEM_BUDGET = 14 * 2 ** 20      # ~16 MB/core on v5e, minus working margin
 
 
+_BANDED_R_MAX = 63   # solve rolls per side (shares the narrow-roll bound)
+
+
+def _solve_mode_of(config: PDEConfig, gamma: float):
+    """(solve_mode, solve_r) for the fused kernel.
+
+    'none' for γ=0/identity; 'dense' (exact (Lp, Lp) inverse matmul) while
+    the matrix fits the VMEM budget alongside the smoothing operator;
+    otherwise 'banded' (VERDICT r2 #7): the truncated inverse kernel of
+    ops/diffusion.py applied as 2r+1 wrap-corrected rolls — feasible when
+    γ·dt/dx² is small enough that the kernel decays within the roll bound
+    (large-L runs scale dt with dx, keeping c = γ·dt/dx² O(1))."""
+    from hydrolim_tpu.ops.pallas_pde import _pad
+
+    if config.solver_kind == "identity" or gamma == 0.0:
+        return "none", 0
+    Lp = _pad(config.L)
+    fixed_smooth = 4 * Lp * Lp if _m_mode(config) == "smooth" else 0
+    if 4 * Lp * Lp + fixed_smooth + 4 * 2 ** 20 <= _VMEM_BUDGET:
+        return "dense", 0
+    if config.bc != "periodic":
+        return "unsupported", 0
+    try:
+        w = np.asarray(build_diffusion_op(config.L, config.dx, config.dt,
+                                          gamma, config.bc, "banded").denom)
+    except ValueError:
+        return "unsupported", 0
+    r = (len(w) - 1) // 2
+    if r > _BANDED_R_MAX:
+        return "unsupported", 0
+    # round up to a multiple of 16 (capped) so nearby γ·dt/dx² values share
+    # one compiled kernel — extra taps carry ~zero weight
+    return "banded", min(-(-max(r, 1) // 16) * 16, _BANDED_R_MAX)
+
+
+def build_banded_solve_weights(config: PDEConfig, gamma: float,
+                               solve_r: int) -> np.ndarray:
+    """(1, 128) float32 — symmetric truncated inverse kernel, w(d) at lane
+    solve_r + d (the layout build_narrow_weights uses for smoothing)."""
+    from hydrolim_tpu.ops.pallas_pde import LANE
+
+    w = np.asarray(build_diffusion_op(config.L, config.dx, config.dt,
+                                      gamma, config.bc, "banded").denom)
+    r = (len(w) - 1) // 2
+    out = np.zeros((1, LANE), np.float32)
+    out[0, solve_r - r:solve_r + r + 1] = w
+    return out
+
+
 def _vmem_estimate(config: PDEConfig, gamma: float, r: int,
                    k_chunk: int) -> int:
     """Bytes of VMEM the kernel needs at r replicas/program: resident
@@ -57,8 +114,9 @@ def _vmem_estimate(config: PDEConfig, gamma: float, r: int,
     Lp = _pad(config.L)
     Ntp = _pad(max(config.n_tracers, 1))
     Wp = _pad(config.tracer_window, 8)
-    has_solve = config.solver_kind != "identity" and gamma != 0.0
-    fixed = 4 * Lp * Lp * (int(has_solve) + int(_m_mode(config) == "smooth"))
+    mode, _ = _solve_mode_of(config, gamma)
+    fixed = 4 * Lp * Lp * (int(mode == "dense")
+                           + int(_m_mode(config) == "smooth"))
     per_rep = 4 * (Wp * Ntp + k_chunk * 128 + 4 * Ntp + 2 * Lp)
     return fixed + r * per_rep + 2 * 2 ** 20
 
@@ -68,7 +126,9 @@ def is_fused_pde_path(config: PDEConfig, gamma_b) -> bool:
     return (config.n_tracers >= 1
             and config.nsteps % config.snapshot_interval == 0
             and bool(np.all(g == g.flat[0]))
-            and config.solver_kind in ("fft", "dct", "dense", "identity")
+            and config.solver_kind in ("fft", "dct", "dense", "identity",
+                                       "banded")
+            and _solve_mode_of(config, float(g.flat[0]))[0] != "unsupported"
             # the whole working set must be VMEM-resident at r=1 — a bare
             # L limit would admit smooth+solve configs whose two (Lp, Lp)
             # matrices alone exceed the core's VMEM and die in Mosaic
@@ -138,37 +198,42 @@ def _pad_mat(M: np.ndarray, Lp: int) -> np.ndarray:
 
 
 def build_kernel_mats(config: PDEConfig, gamma: float,
-                      Lp: int) -> Tuple[np.ndarray, np.ndarray, bool]:
-    """(solve_mat, smooth_mat, has_solve) with the kernel's ``x @ M``
-    orientation, zero-padded to (Lp, Lp)."""
+                      Lp: int):
+    """(solve_mat, smooth_mat, solve_mode, solve_r, solve_wts) with the
+    kernel's ``x @ M`` orientation, zero-padded to (Lp, Lp); placeholders
+    for the operators the chosen modes don't need."""
     placeholder = np.zeros((8, 128), np.float32)
-    kind = config.solver_kind
-    if kind == "identity" or gamma == 0.0:
-        solve_mat, has_solve = placeholder, False
-    else:
+    solve_mode, solve_r = _solve_mode_of(config, gamma)
+    assert solve_mode != "unsupported"
+    solve_mat = placeholder
+    solve_wts = np.zeros((1, 128), np.float32)
+    if solve_mode == "dense":
         op = build_diffusion_op(config.L, config.dx, config.dt, gamma,
                                 config.bc, "dense")
         # dense path applies a_inv @ x (einsum '...j,ij->...i'); the kernel
         # computes x @ M, so ship the transpose
         solve_mat = _pad_mat(np.asarray(op.a_inv).T, Lp)
-        has_solve = True
+    elif solve_mode == "banded":
+        solve_wts = build_banded_solve_weights(config, gamma, solve_r)
     if _m_mode(config) == "smooth":
         k = periodic_gaussian_kernel(config.L, config.dx, config.kernel_sigma)
         smooth_mat = _pad_mat(
             np.asarray(dft.circulant_matmul_matrix(k)), Lp)
     else:
         smooth_mat = placeholder
-    return solve_mat, smooth_mat, has_solve
+    return solve_mat, smooth_mat, solve_mode, solve_r, solve_wts
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("config", "B", "R", "k_chunk", "n_chunks", "m_mode",
-                     "narrow_r", "has_solve", "has_noise", "keep"))
+                     "narrow_r", "solve_mode", "solve_r", "has_noise",
+                     "keep"))
 def _run_scanned(config: PDEConfig, scal, seeds0, rho_p, rho_m, pos, spin,
-                 hist, solve_mat, smooth_mat, wts, *, B: int, R: int,
-                 k_chunk: int, n_chunks: int, m_mode: str, narrow_r: int,
-                 has_solve: bool, has_noise: bool, keep: bool):
+                 hist, solve_mat, smooth_mat, wts, solve_wts, *, B: int,
+                 R: int, k_chunk: int, n_chunks: int, m_mode: str,
+                 narrow_r: int, solve_mode: str, solve_r: int,
+                 has_noise: bool, keep: bool):
     """Module-level jitted scan over fused-kernel chunks.
 
     Everything value-like (scalars, seeds, fields, operator matrices) is a
@@ -183,21 +248,29 @@ def _run_scanned(config: PDEConfig, scal, seeds0, rho_p, rho_m, pos, spin,
 
     def chunk_body(carry, c):
         rho_p, rho_m, pos, spin, hist = carry
+        # chunk-start spectra (state n = c·k_chunk): one (B, L) @ (L, 2k)
+        # matmul-DFT per chunk — the fused path records rfft at snapshot
+        # cadence (the reference records per step, IMEX_PDE_solver_class.py
+        # :248-250; the per-step record stays on the XLA path)
+        total_c = (rho_p + rho_m)[:B, :L]
+        fft_c = (dft.rfft_ri(total_c) / L)[:, :config.kmax]     # (B, k, 2)
         if keep:
-            snaps = ((rho_p + rho_m)[:B, :L], (rho_p - rho_m)[:B, :L])
+            snaps = (total_c, (rho_p - rho_m)[:B, :L])
         else:
             snaps = ()
         rho_p, rho_m, pos, spin, hist, recs = pde_multi_step(
             scal, seeds0 + c, jnp.full((Bp,), c * k_chunk, jnp.int32),
-            rho_p, rho_m, pos, spin, hist, solve_mat, smooth_mat, wts, L=L,
+            rho_p, rho_m, pos, spin, hist, solve_mat, smooth_mat, wts,
+            solve_wts, L=L,
             n_t=config.n_tracers, window=config.tracer_window,
             k_steps=k_chunk, r_batch=R, dt=dt, dx=config.dx,
             xlim=config.xlim, periodic=(config.bc == "periodic"),
-            m_mode=m_mode, narrow_r=narrow_r, has_solve=has_solve,
+            m_mode=m_mode, narrow_r=narrow_r, solve_mode=solve_mode,
+            solve_r=solve_r,
             bidirectional=(config.active_model == "bidirectional"),
             legacy_double_diffusion=config.legacy_double_diffusion,
             has_noise=has_noise)
-        return (rho_p, rho_m, pos, spin, hist), (recs[:B],) + snaps
+        return (rho_p, rho_m, pos, spin, hist), (recs[:B], fft_c) + snaps
 
     carry, ys = jax.lax.scan(
         chunk_body, (rho_p, rho_m, pos, spin, hist),
@@ -207,12 +280,13 @@ def _run_scanned(config: PDEConfig, scal, seeds0, rho_p, rho_m, pos, spin,
     # (n_chunks, B, k_chunk, REC_W) -> (B, nsteps, 4) — only the
     # [m_mean, var, v_eff, D_eff] lanes are meaningful
     recs = jnp.moveaxis(recs[..., :4], 0, 1).reshape(B, nsteps, 4)
+    fft_chunks = jnp.moveaxis(ys[1], 0, 1)       # (B, n_chunks, kmax, 2)
     if keep:
-        snaps, m_snaps = ys[1], ys[2]
+        snaps, m_snaps = ys[2], ys[3]
     else:
         snaps = jnp.zeros((0, B, L), jnp.float32)
         m_snaps = jnp.zeros((0, B, L), jnp.float32)
-    return rho_p, rho_m, pos, spin, hist, recs, snaps, m_snaps
+    return rho_p, rho_m, pos, spin, hist, recs, fft_chunks, snaps, m_snaps
 
 
 def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
@@ -235,8 +309,18 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     if engine == "xla":
         solve = jax.vmap(
             lambda p, rp, rm, tr, k: pde_solve(config, p, ops, rp, rm, tr, k))
-        keys = jax.random.split(key, params_b.beta.shape[0])
-        return solve(params_b, rho_p0, rho_m0, tracers0, keys)
+        Bx = params_b.beta.shape[0]
+        keys = jax.random.split(key, Bx)
+        res = solve(params_b, rho_p0, rho_m0, tracers0, keys)
+        if not keep_snapshots:
+            # honor the empty-(B, 0, L) contract on the fallback too — the
+            # flag exists to avoid materializing/transferring the snapshot
+            # blocks (~0.4 GB at reference sweep scale)
+            res = res._replace(
+                snapshots=jnp.zeros((Bx, 0, config.L), jnp.float32),
+                m_snapshots=jnp.zeros((Bx, 0, config.L), jnp.float32),
+                snap_times=jnp.zeros((Bx, 0), jnp.float32))
+        return res
 
     gamma = float(np.asarray(params_b.gamma).flat[0])
     assert is_fused_pde_path(config, params_b.gamma), (
@@ -251,7 +335,8 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     W = config.tracer_window
     interval = config.snapshot_interval
     nsteps = config.nsteps
-    solve_mat, smooth_mat, has_solve = build_kernel_mats(config, gamma, Lp)
+    (solve_mat, smooth_mat, solve_mode, solve_r,
+     solve_wts) = build_kernel_mats(config, gamma, Lp)
     m_mode = _m_mode(config)
     if m_mode == "narrow":
         narrow_r = _narrow_radius(config)
@@ -321,11 +406,13 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     smooth_j = jnp.asarray(smooth_mat)
     scal_j = jnp.asarray(scal)[rep_idx]
 
-    rho_p, rho_m, pos, spin, hist, recs, snaps, m_snaps = _run_scanned(
+    (rho_p, rho_m, pos, spin, hist, recs, fft_chunks, snaps,
+     m_snaps) = _run_scanned(
         config, scal_j, seeds0, rho_p, rho_m, pos, spin, hist, solve_j,
-        smooth_j, jnp.asarray(wts), B=B, R=R, k_chunk=k_chunk,
-        n_chunks=n_chunks, m_mode=m_mode, narrow_r=narrow_r,
-        has_solve=has_solve, has_noise=has_noise, keep=keep_snapshots)
+        smooth_j, jnp.asarray(wts), jnp.asarray(solve_wts), B=B, R=R,
+        k_chunk=k_chunk, n_chunks=n_chunks, m_mode=m_mode,
+        narrow_r=narrow_r, solve_mode=solve_mode, solve_r=solve_r,
+        has_noise=has_noise, keep=keep_snapshots)
 
     # final iteration (n = nsteps): record + tracer update, no step —
     # mirrors pde_solve's masked last iteration on the XLA path
@@ -345,11 +432,12 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
             _, v_eff, D_eff = _tracer_update(config, p, m_field, t, k,
                                              jnp.int32(nsteps))
             return (jnp.mean(m_field), jnp.var(total), v_eff, D_eff,
-                    total, rp - rm)
+                    total, rp - rm,
+                    (dft.rfft_ri(total) / L)[:config.kmax])
         keys = jax.random.split(key, B)
         return jax.vmap(one)(params_b, rho_p, rho_m, tr, keys)
 
-    m_f, var_f, v_f, D_f, snap_f, snap_m_f = final_record(
+    m_f, var_f, v_f, D_f, snap_f, snap_m_f, fft_f = final_record(
         rho_p_f, rho_m_f, tr_f, k_final)
 
     n_iters = nsteps + 1
@@ -372,10 +460,16 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
         m_snaps = jnp.zeros((B, 0, L), jnp.float32)
         snap_times = jnp.zeros((B, 0), jnp.float32)
 
+    # spectra at snapshot cadence: chunk-start rows (n = c·k_chunk) + the
+    # final state; intermediate steps stay NaN (the per-step record lives
+    # on the XLA path — IMEX_PDE_solver_class.py:248-250 cadence note in
+    # the module docstring)
+    fft_ri = jnp.full((B, n_iters, config.kmax, 2), jnp.nan, jnp.float32)
+    chunk_steps = jnp.arange(n_chunks) * k_chunk
+    fft_ri = fft_ri.at[:, chunk_steps].set(fft_chunks)
+    fft_ri = fft_ri.at[:, nsteps].set(fft_f)
     records = PDERecord(
-        m_mean=m_mean, var=var,
-        fft_ri=jnp.full((B, n_iters, config.kmax, 2), jnp.nan, jnp.float32),
-        v_eff=v_eff, D_eff=D_eff)
+        m_mean=m_mean, var=var, fft_ri=fft_ri, v_eff=v_eff, D_eff=D_eff)
     return PDESolveResult(rho_p=rho_p_f, rho_m=rho_m_f, records=records,
                           snapshots=snaps, m_snapshots=m_snaps,
                           snap_times=snap_times)

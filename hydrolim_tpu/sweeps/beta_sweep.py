@@ -21,6 +21,7 @@ import jax
 import numpy as np
 
 from hydrolim_tpu.core.config import ParticleConfig
+from hydrolim_tpu.particles.lattice_gas import tracer_valid_mask
 from hydrolim_tpu.observables.estimators import (
     compute_blocking_probability,
     compute_D_eff_active,
@@ -146,16 +147,26 @@ def _profiles(config: ParticleConfig, init_kwargs: Optional[Dict]):
 def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
                                init_kwargs: Optional[Dict],
                                run_kwargs: Dict, seed: int = 0,
-                               n_tracers: int = 128,
-                               kernel: str = "xla"):
+                               n_tracers: Optional[int] = None,
+                               kernel: str = "xla", mesh=None,
+                               n_devices: Optional[int] = None):
     """(β × replicas) grid on the site-centric lattice-gas engine (K=1 occ
     field or the K>1 slot engine — both far above particle-centric exclusion
     throughput); returns (config, out_for(i) accessor, dt).  Tagged tracers
-    provide the displacement positions for D_eff.
+    provide the displacement positions for D_eff; the default tags EVERY
+    particle (n_tracers=N), matching the reference's all-particle tracking
+    (``..._sweep_beta.py:500-525``) — pass a smaller count to trade
+    estimator variance for record memory.
 
     ``kernel='auto'`` routes supported configurations (K<=8, no anchors/
     crowding, default flip rate) to the fused Pallas slot kernel on TPU
-    (sweeps.fast_exclusion) and to the XLA slot engines otherwise."""
+    (sweeps.fast_exclusion) and to the XLA slot engines otherwise.
+
+    ``mesh=``/``n_devices=`` shard the flattened (β × replicas) batch over
+    a device mesh ('sweep' axis, pure DP): the batch is padded to the mesh
+    multiple (results bit-identical to the 1-device run — prefix-stable
+    key splits; see parallel.mesh.pad_batch) and pad replicas dropped."""
+    from hydrolim_tpu.parallel.mesh import pad_and_shard, resolve_sweep_mesh
     from hydrolim_tpu.particles.lattice_gas import run_lattice_gas
     from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_k
 
@@ -176,6 +187,10 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
     T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
     times = np.arange(0.0, T, obs_dt)
     key = jax.random.PRNGKey(seed)
+    mesh = resolve_sweep_mesh(mesh, n_devices)
+    B = params.beta.shape[0]
+    params, _Bp = pad_and_shard(mesh, params, B)
+    unpad = lambda tree: jax.tree.map(lambda a: np.asarray(a)[:B], tree)
     if config.anchor_positions is not None:
         from hydrolim_tpu.particles.lattice_gas_k import (
             run_lattice_gas_anchored,
@@ -184,11 +199,11 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
         frames, _, exit_log = run_lattice_gas_anchored(
             config, params, key, T=T, obs_dt=obs_dt, dt=dt,
             rho0_plus=rho0_p, rho0_minus=rho0_m)
-        frames, exit_log = jax.device_get((frames, exit_log))
+        frames, exit_log = unpad(jax.device_get((frames, exit_log)))
         out_for = _lattice_gas_out_accessor(frames, times,
                                             exit_log=exit_log)
         return config, out_for, dt, frames
-    n_tracers = min(n_tracers, config.N)
+    n_tracers = config.N if n_tracers is None else min(n_tracers, config.N)
     if kernel != "xla":
         from hydrolim_tpu.sweeps.fast_exclusion import (
             is_pallas_exclusion_path,
@@ -199,7 +214,8 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
             frames, _ = run_exclusion_sweep(
                 config, params, key, T=T, obs_dt=obs_dt, dt=dt,
                 engine=kernel, rho0_plus=rho0_p, rho0_minus=rho0_m,
-                n_tracers=n_tracers)
+                n_tracers=n_tracers, mesh=mesh)
+            frames = unpad(frames)
             out_for = _lattice_gas_out_accessor(frames, times)
             return config, out_for, dt, frames
         assert kernel == "auto", (
@@ -208,7 +224,7 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
                                 T=T, obs_dt=obs_dt, dt=dt,
                                 rho0_plus=rho0_p, rho0_minus=rho0_m,
                                 n_tracers=n_tracers)
-    frames = jax.device_get(frames)
+    frames = unpad(jax.device_get(frames))
     out_for = _lattice_gas_out_accessor(frames, times)
     return config, out_for, dt, frames
 
@@ -234,9 +250,9 @@ def _lattice_gas_out_accessor(frames, times, exit_log=None):
             "var_list": np.asarray(frames.var[i]),
             "fft_amp_list": np.asarray(frames.fft_amp[i]),
             # tracer positions play the role of pos_frames for D_eff
-            # (sentinel -1 marks invalid/phantom tags under sparse inits)
+            # (TRACER_INVALID marks invalid/phantom tags under sparse inits)
             "pos_frames": tr,
-            "alive_frames": tr >= 0,
+            "alive_frames": tracer_valid_mask(tr),
             "pos_list": None,
             "exit_times": exit_times,
             "exit_positions": exit_positions,
@@ -247,14 +263,25 @@ def _lattice_gas_out_accessor(frames, times, exit_log=None):
 
 def run_sweep_grid(beta_values, n_runs: int, ps_kwargs: Dict,
                    init_kwargs: Optional[Dict], run_kwargs: Dict,
-                   seed: int = 0, chunk_size: int = 256):
+                   seed: int = 0, chunk_size: int = 256, mesh=None,
+                   n_devices: Optional[int] = None):
     """Run the full (β × replicas) grid vmapped; returns
     (config, batched frames on host, dt).
 
     Grids larger than ``chunk_size`` replicas run as equal-shape chunks of
     one compiled executable — very large single programs (observed at 1024
     replicas × L=1000) can fault the axon TPU worker, and chunking also
-    bounds the device-resident frame memory."""
+    bounds the device-resident frame memory.
+
+    ``mesh=``/``n_devices=`` shard each chunk's batch over the mesh's
+    'sweep' axis (chunk size rounded up to the mesh multiple; replicas
+    bit-identical to the 1-device run — parallel.mesh.pad_batch)."""
+    from hydrolim_tpu.parallel.mesh import (
+        resolve_sweep_mesh,
+        shard_batch,
+        sweep_axis_size,
+    )
+
     config = config_from_kwargs(ps_kwargs)
     rho0_p, rho0_m = _profiles(config, init_kwargs)
     beta_flat = np.repeat(np.asarray(beta_values, dtype=np.float32), n_runs)
@@ -268,13 +295,17 @@ def run_sweep_grid(beta_values, n_runs: int, ps_kwargs: Dict,
     dt = ensemble_dt(config, beta_max=float(np.max(beta_values)), **rates)
     T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
 
-    C = min(chunk_size, B)
+    mesh = resolve_sweep_mesh(mesh, n_devices)
+    n_sw = sweep_axis_size(mesh)
+    C = -(-min(chunk_size, B) // n_sw) * n_sw
     chunks = []
     for c0 in range(0, B, C):
         pad = max(0, c0 + C - B)
         bc = np.concatenate([beta_flat[c0:c0 + C],
                              np.repeat(beta_flat[c0:c0 + 1], pad)])
         params = broadcast_params(config, beta=bc, **rates)
+        if mesh is not None:
+            params = shard_batch(mesh, params, C)
         res = run_particle_ensemble(
             config, params,
             jax.random.fold_in(jax.random.PRNGKey(seed), c0),
@@ -302,27 +333,48 @@ def _estimates_for_replica(out: Dict, ps: _PsShim):
 def sweep_beta_ensemble(beta, n_runs: int = 10, ps_kwargs: Optional[Dict] = None,
                         init_kwargs: Optional[Dict] = None,
                         run_kwargs: Optional[Dict] = None,
-                        rng_seeds=None, seed: int = 0):
-    """Single-β ensemble with the reference's 14-tuple return (:56-117)."""
+                        rng_seeds=None, seed: int = 0,
+                        estimator: str = "device", mesh=None,
+                        n_devices: Optional[int] = None):
+    """Single-β ensemble with the reference's 14-tuple return (:56-117).
+
+    Shares the batched on-device estimator path with ``sweep_over_betas``
+    (``estimator='device'``, the default — one jitted program for all
+    replicas); ``'host'`` keeps the per-replica NumPy estimators."""
     ps_kwargs = dict(DEFAULT_PS_KWARGS, **(ps_kwargs or {}))
     run_kwargs = dict(DEFAULT_RUN_KWARGS, **(run_kwargs or {}))
     if rng_seeds is not None:
         seed = int(np.asarray(rng_seeds).flat[0])
     config, res, dt = run_sweep_grid(np.asarray([beta]), n_runs, ps_kwargs,
-                                     init_kwargs, run_kwargs, seed=seed)
+                                     init_kwargs, run_kwargs, seed=seed,
+                                     mesh=mesh, n_devices=n_devices)
     ps = _PsShim(config)
     T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
-    v_list, D_list, m_list, rho_list, block_list, out_list = [], [], [], [], [], []
-    for r in range(n_runs):
-        out = frames_to_out(res.frames, r, config, T, obs_dt,
-                            final_state=res.final_state)
-        v, D, m, rho, blk = _estimates_for_replica(out, ps)
-        v_list.append(v)
-        D_list.append(D)
-        m_list.append(m)
-        rho_list.append(rho)
-        block_list.append(blk)
-        out_list.append(out)
+    out_list = [frames_to_out(res.frames, r, config, T, obs_dt,
+                              final_state=res.final_state)
+                for r in range(n_runs)]
+    if estimator == "device":
+        from hydrolim_tpu.observables.batched import batched_estimates
+
+        f = res.frames
+        est = jax.device_get(batched_estimates(
+            f.total, f.m_global, f.rho_p, np.arange(0.0, T, obs_dt),
+            f.pos, f.alive, dx=config.dx, xlim=float(config.xlim),
+            has_positions=f.pos.shape[-1] > 0))
+        v_list = list(np.asarray(est.v_eff, float)[:n_runs])
+        D_list = list(np.asarray(est.D_eff, float)[:n_runs])
+        m_list = list(np.asarray(est.m_mean, float)[:n_runs])
+        rho_list = list(np.asarray(est.rho_eff, float)[:n_runs])
+        block_list = list(np.asarray(est.p_block, float)[:n_runs])
+    else:
+        v_list, D_list, m_list, rho_list, block_list = [], [], [], [], []
+        for out in out_list:
+            v, D, m, rho, blk = _estimates_for_replica(out, ps)
+            v_list.append(v)
+            D_list.append(D)
+            m_list.append(m)
+            rho_list.append(rho)
+            block_list.append(blk)
 
     def _stats(vals):
         a = np.asarray(vals, dtype=float)
@@ -348,7 +400,8 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
                      keep_outs: bool = False, do_fit: bool = True,
                      plot_result: bool = True,
                      engine: str = "particle",
-                     estimator: str = "device") -> Dict:
+                     estimator: str = "device", mesh=None,
+                     n_devices: Optional[int] = None) -> Dict:
     """Full β sweep (:828-1028): one vmapped grid run → estimator means ±
     SE per β → npz checkpoint → (θ,γ) fit and figures.  ``run=False``
     reloads ``npz_path`` and re-plots without re-simulating.
@@ -356,7 +409,11 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
     ``estimator='device'`` (particle engine only) evaluates all five
     estimators for every replica in one jitted batched program
     (observables.batched) — estimation stays ≪ sim time at 10³+ replicas;
-    ``'host'`` keeps the per-replica NumPy path."""
+    ``'host'`` keeps the per-replica NumPy path.
+
+    ``mesh=``/``n_devices=`` shard the (β × replicas) batch over a device
+    mesh (pure sweep-axis DP; per-replica observables bit-identical to the
+    1-device run — see run_sweep_grid / parallel.mesh)."""
     beta_values = np.asarray(beta_values, dtype=float)
     ps_kwargs = dict(DEFAULT_PS_KWARGS, **(ps_kwargs or {}))
     run_kwargs = dict(DEFAULT_RUN_KWARGS, **(run_kwargs or {}))
@@ -372,11 +429,13 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
             config, out_for, dt, lg_frames = run_sweep_grid_lattice_gas(
                 beta_values, n_runs_per_beta, ps_kwargs, init_kwargs,
                 run_kwargs, seed=seed,
-                kernel="auto" if engine == "pallas" else "xla")
+                kernel="auto" if engine == "pallas" else "xla",
+                mesh=mesh, n_devices=n_devices)
         else:
             config, res, dt = run_sweep_grid(beta_values, n_runs_per_beta,
                                              ps_kwargs, init_kwargs,
-                                             run_kwargs, seed=seed)
+                                             run_kwargs, seed=seed,
+                                             mesh=mesh, n_devices=n_devices)
         ps = _PsShim(config)
         T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
         nb = len(beta_values)
@@ -396,7 +455,7 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
                 tr = np.asarray(f.tracer_pos)
                 dev_est = jax.device_get(batched_estimates(
                     f.total, f.m_global, f.rho_p, times, tr,
-                    tr >= 0, dx=config.dx,
+                    tracer_valid_mask(tr), dx=config.dx,
                     xlim=float(config.xlim),
                     has_positions=tr.shape[-1] > 0))
             else:

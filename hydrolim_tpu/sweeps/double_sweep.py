@@ -56,7 +56,8 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
                        ps_kwargs: Optional[Dict] = None,
                        run_kwargs: Optional[Dict] = None, outdir: str = ".",
                        seed: int = 0, plot_result: bool = True,
-                       chunk_size: int = 44, engine: str = "particle") -> Dict:
+                       chunk_size: int = 44, engine: str = "particle",
+                       n_devices: Optional[int] = None) -> Dict:
     """The whole (N × β × replicas) grid as ONE compiled program.
 
     N enters only through the Poisson init intensities, so every grid point
@@ -117,8 +118,15 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
     # blocking estimator runs ON DEVICE for the whole chunk (VERDICT r1 #4:
     # the per-replica host loop dominated at 836+ replicas)
     from hydrolim_tpu.observables.batched import batched_estimates
+    from hydrolim_tpu.parallel.mesh import (
+        resolve_sweep_mesh,
+        shard_batch,
+        sweep_axis_size,
+    )
 
-    C = min(chunk_size, B)
+    mesh = resolve_sweep_mesh(None, n_devices)
+    n_sw = sweep_axis_size(mesh)
+    C = -(-min(chunk_size, B) // n_sw) * n_sw
     p_block_flat = np.zeros((B,), float)
     times = np.arange(0.0, T, obs_dt)
     for c0 in range(0, B, C):
@@ -131,6 +139,8 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
             config, beta=take(flat_beta),
             rate_diffusion=float(base["rate_diffusion"]),
             rate_active=float(base["rate_active"]))
+        if mesh is not None:
+            params_c = shard_batch(mesh, params_c, C)
         ckey = jax.random.fold_in(jax.random.PRNGKey(seed), c0)
         if engine == "pallas":
             from hydrolim_tpu.sweeps.fast_exclusion import run_exclusion_sweep
@@ -138,7 +148,7 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
             frames, _ = run_exclusion_sweep(
                 config, params_c, ckey, T=T, obs_dt=obs_dt, dt=dt,
                 engine="auto", rho0_plus=take(prof_p),
-                rho0_minus=take(prof_m), record_fft=False)
+                rho0_minus=take(prof_m), record_fft=False, mesh=mesh)
             total, rho_p, m_g = frames.total, frames.rho_p, frames.m_global
         elif engine == "lattice_gas":
             from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_k

@@ -48,7 +48,9 @@ def default_device_is_tpu() -> bool:
     try:
         dd = jax.config.jax_default_device
         if dd is not None:
-            return dd.platform not in ("cpu",)
+            # recent JAX also accepts a platform *string* here
+            platform = dd if isinstance(dd, str) else dd.platform
+            return platform not in ("cpu",)
         return jax.devices()[0].platform not in ("cpu",)
     except RuntimeError:
         return False
@@ -108,35 +110,67 @@ def _init_tags(slots0: np.ndarray, key, n_tracers: int):
 
 
 def unwrap_tracer_sites(raw: np.ndarray, L: int, periodic: bool) -> np.ndarray:
-    """(M, B, n_t) raw sites (-1 invalid) → unwrapped positions (int32,
-    -1 where invalid).  Periodic wraps are resolved by minimal image per
-    frame — valid while per-frame |displacement| < L/2 (rates·obs_dt ≪ L
-    for every reference workload)."""
+    """(M, B, n_t) raw sites (-1 invalid; raw sites live in [0, L)) →
+    unwrapped positions (int32, ``TRACER_INVALID`` where invalid — unwrapped
+    positions are signed, so -1 cannot double as the sentinel).  Periodic
+    wraps are resolved by minimal image per frame — valid while per-frame
+    |displacement| < L/2 (rates·obs_dt ≪ L for every reference workload)."""
+    from hydrolim_tpu.particles.lattice_gas import TRACER_INVALID
+
     raw = np.asarray(raw)
-    if raw.shape[-1] == 0 or raw.shape[0] < 2:
+    if raw.shape[-1] == 0:
         return raw.astype(np.int32)
     valid = raw >= 0
-    if periodic:
+    if periodic and raw.shape[0] >= 2:
         dr = raw[1:] - raw[:-1]
         dr = (dr + L // 2) % L - L // 2
         unwrapped = np.concatenate(
             [raw[:1], raw[:1] + np.cumsum(dr, axis=0)], axis=0)
     else:
         unwrapped = raw
-    return np.where(valid, unwrapped, -1).astype(np.int32)
+    return np.where(valid, unwrapped, TRACER_INVALID).astype(np.int32)
+
+
+def _pick_r_batch(config: ParticleConfig, B: int) -> int:
+    """Replicas per kernel grid program (VERDICT r2 #6).
+
+    A single-replica program runs (Kp, Lp) int32 tiles at Kp of 8 sublanes;
+    stacking R replicas fills them and shares the conv matrix across one
+    (2R, Lp) matmul.  Budget: the conv matrix (4·Lp² when local-m) plus
+    R × the step's working set — the (R, 3Kp, Lp) compaction intermediates
+    dominate at ~40 live (Kp, Lp) int32 tiles per replica — inside ~14 MB
+    of VMEM."""
+    from hydrolim_tpu.ops.pallas_exclusion import _pad_lanes, _pad_rows
+
+    Kp, Lp = _pad_rows(config.K), _pad_lanes(config.L)
+    budget = 14 * 2 ** 20
+    fixed = 4 * Lp * Lp if config.local_kernel_sigma > 0 else 0
+    per_rep = 40 * Kp * Lp * 4
+    for cand in (8, 4, 2):
+        if cand <= B and fixed + cand * per_rep + 2 * 2 ** 20 <= budget:
+            return cand
+    return 1
 
 
 def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
                         key: jnp.ndarray, *, T: float, obs_dt: float,
                         dt: float, engine: str = "auto", rho0_plus=None,
                         rho0_minus=None, record_fft: bool = True,
-                        n_tracers: int = 0
+                        n_tracers: int = 0, mesh=None
                         ) -> Tuple[LatticeGasFrames, np.ndarray]:
     """Fused-kernel exclusion sweep over the batch of ``params_b``.
 
     Same return contract as ``run_lattice_gas_k``: batched
-    ``LatticeGasFrames`` (leaves (B, M, …), tracer_pos unwrapped with -1
-    sentinels) plus the final (B, K, L) slot spin fields."""
+    ``LatticeGasFrames`` (leaves (B, M, …), tracer_pos unwrapped with
+    ``TRACER_INVALID`` sentinels) plus the final (B, K, L) slot spin
+    fields.
+
+    ``mesh=`` (a 1-D sweep mesh, parallel.mesh.sweep_mesh) runs the fused
+    kernel under ``jax.shard_map`` with the replica batch split across the
+    mesh axis — B must be a multiple of the mesh size (the sweep drivers
+    pad; pure DP, zero cross-shard communication, per-replica results
+    identical to the unsharded kernel).  On the XLA fallback the mesh is
+    honored by the caller sharding ``params_b`` (GSPMD propagation)."""
     from hydrolim_tpu.particles.lattice_gas_k import lgk_init, run_lattice_gas_k
 
     assert is_pallas_exclusion_path(config), (
@@ -144,7 +178,13 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
         "(K<=8 exclusion, no anchors/crowding, default flip rate)")
 
     if engine == "auto":
-        engine = "pallas" if default_device_is_tpu() else "xla"
+        if mesh is not None:
+            # the kernel must run where the mesh lives (Mosaic has no CPU
+            # interpreter): a CPU/virtual mesh routes to the XLA engine
+            engine = ("pallas" if all(d.platform == "tpu"
+                                      for d in mesh.devices.flat) else "xla")
+        else:
+            engine = "pallas" if default_device_is_tpu() else "xla"
 
     if engine == "xla":
         frames, slots = run_lattice_gas_k(
@@ -202,6 +242,23 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
 
     sl0 = pack_slots(slots0)
     conv_j = jnp.asarray(conv, jnp.float32)
+    # replica-row batch per kernel program, chosen from the PER-SHARD batch
+    # so a mesh of 1 stays bit-identical to the unwrapped kernel (R changes
+    # the grid layout and the per-program seed stride)
+    n_sw = 1 if mesh is None else int(mesh.shape[mesh.axis_names[0]])
+    assert B % n_sw == 0, (
+        f"fused-kernel batch {B} must be a multiple of the sweep mesh "
+        f"size {n_sw} (the sweep drivers pad; see parallel.mesh)")
+    R = _pick_r_batch(config, B // n_sw)
+    Bp = -(-B // (R * n_sw)) * (R * n_sw)
+    if Bp != B:
+        # pad replicas so R divides every shard's local batch; pad rows
+        # replicate the last replica and are dropped on return
+        padb = lambda x: jnp.concatenate(
+            [jnp.asarray(x)] +
+            [jnp.asarray(x)[-1:]] * (Bp - B), axis=0)
+        sl0, scal, seeds0, tags, valid = map(
+            padb, (sl0, scal, seeds0, tags, valid))
 
     # ONE compiled program for the whole run: the frame loop is a lax.scan
     # over the fused kernel ONLY (per-frame slot states as scan ys), with
@@ -219,13 +276,12 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     #   ~GBs for long-T runs — so the post-pass is a lax.map over
     #   _REC_CHUNK-frame blocks: intermediates bounded per block, the
     #   (M, B, Kp, Lp) slot-frame ys remain the only O(M) buffer.
-    @jax.jit
-    def run_scanned(sl0, scal, seeds0, tags, valid):
+    def run_scanned(sl0, scal, seeds0, tags, valid, conv_j):
         def frame_body(sl, f):
             sl = exclusion_multi_step(
                 scal, seeds0 + f, sl, conv_j, L=L, K=K, k_steps=n_sub,
                 dt=dt_eff, periodic=config.periodic, bidirectional=bidi,
-                use_local_m=use_local_m)
+                use_local_m=use_local_m, r_batch=R)
             return sl, sl
 
         sl, sl_frames = jax.lax.scan(frame_body, sl0,
@@ -243,17 +299,38 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
         unblock = lambda x: x.reshape((M + pad,) + x.shape[2:])[:M]
         return sl, jax.tree.map(unblock, frames), unblock(raws)
 
+    if mesh is not None:
+        # replica-axis shard_map: each shard runs the UNCHANGED fused kernel
+        # program on its local batch rows — pure DP, no collectives, so the
+        # wrapped kernel is bit-identical to the unwrapped one per replica
+        from jax.sharding import PartitionSpec as P
+
+        ax = mesh.axis_names[0]
+        bspec, fspec, repl = P(ax), P(None, ax), P()
+        example_frames, _ = jax.eval_shape(
+            rec, jax.ShapeDtypeStruct(sl0.shape, sl0.dtype),
+            jax.ShapeDtypeStruct(tags.shape, tags.dtype),
+            jax.ShapeDtypeStruct(valid.shape, valid.dtype))
+        frames_spec = jax.tree.map(lambda _: fspec, example_frames)
+        runner = jax.jit(jax.shard_map(
+            run_scanned, mesh=mesh,
+            in_specs=(bspec, bspec, bspec, bspec, bspec, repl),
+            out_specs=(bspec, frames_spec, fspec)))
+    else:
+        runner = jax.jit(run_scanned)
+
     sl, stacked, raws = jax.device_get(
-        run_scanned(sl0, scal, seeds0, tags, valid))
+        runner(sl0, scal, seeds0, tags, valid, conv_j))
     tracer_pos = unwrap_tracer_sites(raws, L, config.periodic)
+    cut = lambda a: np.moveaxis(a, 0, 1)[:B]     # frame-major → (B, M, …)
     frames = LatticeGasFrames(
-        rho_p=np.moveaxis(stacked.rho_p, 0, 1),
-        rho_m=np.moveaxis(stacked.rho_m, 0, 1),
-        total=np.moveaxis(stacked.total, 0, 1),
-        m_local=np.moveaxis(stacked.m_local, 0, 1),
-        m_global=np.moveaxis(stacked.m_global, 0, 1),
-        var=np.moveaxis(stacked.var, 0, 1),
-        fft_amp=np.moveaxis(stacked.fft_amp, 0, 1),
-        tracer_pos=np.moveaxis(tracer_pos, 0, 1))
-    spins_final = np.sign(unpack_slots(sl, K, L)).astype(np.int32)
+        rho_p=cut(stacked.rho_p),
+        rho_m=cut(stacked.rho_m),
+        total=cut(stacked.total),
+        m_local=cut(stacked.m_local),
+        m_global=cut(stacked.m_global),
+        var=cut(stacked.var),
+        fft_amp=cut(stacked.fft_amp),
+        tracer_pos=cut(tracer_pos))
+    spins_final = np.sign(unpack_slots(sl[:B], K, L)).astype(np.int32)
     return frames, spins_final

@@ -76,7 +76,8 @@ def sweep_beta_structure_ensemble(beta, n_runs: int, ps_kwargs: Dict,
 
 
 def _lattice_gas_outs(beta_values, n_runs, ps_kwargs, init_kwargs,
-                      run_kwargs, seed, kernel: str = "xla"):
+                      run_kwargs, seed, kernel: str = "xla",
+                      n_devices: Optional[int] = None):
     """Run the (β × replicas) grid on the site-centric lattice-gas engine
     (K=1 occ field, or the K>1 slot engine) and return reference-schema out
     dicts per replica.  ``kernel='auto'`` routes supported configurations to
@@ -116,10 +117,18 @@ def _lattice_gas_outs(beta_values, n_runs, ps_kwargs, init_kwargs,
                      rate_diffusion=float(ps_kwargs["rate_diffusion"]),
                      rate_active=float(ps_kwargs["rate_active"]))
     T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
+    from hydrolim_tpu.parallel.mesh import pad_and_shard, resolve_sweep_mesh
+
+    mesh = resolve_sweep_mesh(None, n_devices)
+    B = params.beta.shape[0]
+    params, _Bp = pad_and_shard(mesh, params, B)
+    if kernel != "xla" and mesh is not None:
+        run_lattice_gas = functools.partial(run_lattice_gas, mesh=mesh)
     frames, _ = run_lattice_gas(config, params, jax.random.PRNGKey(seed),
                                 T=T, obs_dt=obs_dt, dt=dt,
                                 rho0_plus=rho0_p, rho0_minus=rho0_m)
-    frames = jax.device_get(frames)
+    frames = jax.tree.map(lambda a: np.asarray(a)[:B],
+                          jax.device_get(frames))
     times = np.arange(0.0, T, obs_dt)
 
     def out_for(i):
@@ -144,7 +153,8 @@ def sweep_betas_for_structures(beta_values, n_runs_per_beta: int,
                                start_fraction: float = 0.5,
                                k_max: Optional[int] = None, seed: int = 0,
                                keep_outs: bool = True,
-                               engine: str = "particle") -> Dict:
+                               engine: str = "particle",
+                               n_devices: Optional[int] = None) -> Dict:
     """β grid → {β: ensemble results} (:167-193).  The full
     (β × replicas) grid runs as one vmapped program.
 
@@ -163,11 +173,12 @@ def sweep_betas_for_structures(beta_values, n_runs_per_beta: int,
         config, out_for = _lattice_gas_outs(
             beta_values, n_runs_per_beta, ps_kwargs, init_kwargs,
             run_kwargs, seed,
-            kernel="auto" if engine == "pallas" else "xla")
+            kernel="auto" if engine == "pallas" else "xla",
+            n_devices=n_devices)
     else:
         config, res, _ = run_sweep_grid(beta_values, n_runs_per_beta,
                                         ps_kwargs, init_kwargs, run_kwargs,
-                                        seed=seed)
+                                        seed=seed, n_devices=n_devices)
     T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
     results = {}
     for b_idx, beta in enumerate(beta_values):

@@ -35,20 +35,28 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
                      lam: float, n_runs: int, seed: int = 0,
                      mode: str = "homogeneous", rho0: float = 1.0,
                      noise: float = 0.3, n_tracers: int = 1000,
-                     engine: str = "xla", fetch_snapshots: bool = True):
+                     engine: str = "xla", fetch_snapshots: bool = True,
+                     mesh=None, n_devices=None):
     """Vmapped (β × runs) PDE batch; returns the batched PDESolveResult and
     the flattened β array.
 
     ``engine='pallas'`` (or 'auto') runs the fused multi-step IMEX kernel
     (pde/fast_solve.py) when the configuration qualifies — same records
-    except ``fft_ri`` (NaN on the fused path; no sweep figure consumes it)
-    and a statistically-equivalent tracer RNG stream.
+    except ``fft_ri`` (snapshot-cadence spectra on the fused path; per-step
+    on the XLA path) and a statistically-equivalent tracer RNG stream.
 
     ``fetch_snapshots=False`` skips materializing/transferring the
     per-interval ρ snapshot blocks (empty (B, 0, L) arrays in the result) —
     the sweep drivers only consume the per-step records, and the snapshot
     blocks dominate the device→host transfer at reference scale
-    (1600 blocks × 33 replicas × 2 fields ≈ 0.4 GB over a remote tunnel)."""
+    (1600 blocks × 33 replicas × 2 fields ≈ 0.4 GB over a remote tunnel).
+
+    ``mesh=``/``n_devices=`` shard the flattened (β × runs) batch over the
+    mesh's 'sweep' axis (XLA engine; batch padded to the mesh multiple with
+    bit-identical real replicas — parallel.mesh.pad_batch).  The fused
+    Pallas engine runs single-chip and ignores the mesh."""
+    from hydrolim_tpu.parallel.mesh import pad_and_shard, resolve_sweep_mesh
+
     beta_values = np.atleast_1d(np.asarray(beta_values, dtype=np.float32))
     flat_beta = np.repeat(beta_values, n_runs)
     B = flat_beta.shape[0]
@@ -58,16 +66,17 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
         beta=jnp.asarray(flat_beta))
     ops = build_pde_ops(config, make_pde_params(gamma=gamma, lam=lam,
                                                 beta=0.0))
-    keys = jax.random.split(jax.random.PRNGKey(seed), B)
-    init_fn = functools.partial(pde_initialize, config, mode=mode, rho0=rho0,
-                                noise=noise, n_tracers=n_tracers)
-    rho_p, rho_m, tracers = jax.vmap(init_fn)(keys)
     if engine != "xla":
         from hydrolim_tpu.pde.fast_solve import is_fused_pde_path, pde_solve_fused
 
         cfg = config if config.n_tracers == n_tracers else \
             dataclasses.replace(config, n_tracers=n_tracers)
         if is_fused_pde_path(cfg, params_b.gamma):
+            keys = jax.random.split(jax.random.PRNGKey(seed), B)
+            init_fn = functools.partial(pde_initialize, config, mode=mode,
+                                        rho0=rho0, noise=noise,
+                                        n_tracers=n_tracers)
+            rho_p, rho_m, tracers = jax.vmap(init_fn)(keys)
             res = pde_solve_fused(cfg, params_b, ops, rho_p, rho_m, tracers,
                                   jax.random.fold_in(keys[0], 1),
                                   engine=engine,
@@ -75,10 +84,18 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
             return jax.device_get(res), flat_beta
         assert engine == "auto", (
             "engine='pallas' requires the fused-kernel configuration class")
+    mesh = resolve_sweep_mesh(mesh, n_devices)
+    params_b, Bp = pad_and_shard(mesh, params_b, B)
+    keys = jax.random.split(jax.random.PRNGKey(seed), Bp)
+    init_fn = functools.partial(pde_initialize, config, mode=mode, rho0=rho0,
+                                noise=noise, n_tracers=n_tracers)
+    rho_p, rho_m, tracers = jax.vmap(init_fn)(keys)
     solve_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
     solve = jax.vmap(
         lambda p, rp, rm, tr, k: pde_solve(config, p, ops, rp, rm, tr, k))
     res = solve(params_b, rho_p, rho_m, tracers, solve_keys)
+    if Bp != B:
+        res = jax.tree.map(lambda a: a[:B], res)
     if not fetch_snapshots:
         res = res._replace(snapshots=jnp.zeros((B, 0, config.L)),
                            m_snapshots=jnp.zeros((B, 0, config.L)),
@@ -109,7 +126,7 @@ def pde_beta_sweep(beta_values=None, n_runs: int = 3, T: float = 40.0,
                    kernel_sigma: float = 1e5 - 10, L: int = 1000,
                    dt: float = 5e-4, seed: int = 0, n_tracers: int = 1000,
                    outdir: str = ".", plot_result: bool = True,
-                   engine: str = "xla") -> Dict:
+                   engine: str = "xla", n_devices=None) -> Dict:
     """β sweep with theory overlay (IMEX_PDE_solver_run_sweep.py).
 
     v per run is |nanmean v_eff(t)| over [t_min, t_max] (:53-59); errorbars
@@ -124,7 +141,8 @@ def pde_beta_sweep(beta_values=None, n_runs: int = 3, T: float = 40.0,
     res, flat_beta = run_pde_ensemble(config, beta_values, gamma=gamma,
                                       lam=lam, n_runs=n_runs, seed=seed,
                                       n_tracers=n_tracers, engine=engine,
-                                      fetch_snapshots=False)
+                                      fetch_snapshots=False,
+                                      n_devices=n_devices)
     t = np.linspace(0, T, config.nsteps + 1)
     mask = (t >= t_min) & (t <= t_max)
     n_iters = config.nsteps + 1
@@ -196,7 +214,7 @@ def pde_kernel_sigma_sweep(kernel_sigma_values=None, n_runs: int = 5,
                            n_tracers: int = 1000, outdir: str = ".",
                            plot_result: bool = True,
                            record_every: int = 1, engine: str = "xla",
-                           **overrides) -> Dict:
+                           n_devices=None, **overrides) -> Dict:
     """Kernel-σ sweep: per-σ time series of |m|, |v_eff|, D_eff, Var(t)
     (mean ± std bands across runs).  Seeds follow the reference scheme
     seed = base + 1000·k_idx + r (:64) via fold_in."""
@@ -217,7 +235,8 @@ def pde_kernel_sigma_sweep(kernel_sigma_values=None, n_runs: int = 5,
                                   n_runs=n_runs,
                                   seed=base_seed + 1000 * k_idx,
                                   n_tracers=n_tracers, engine=engine,
-                                  fetch_snapshots=False)
+                                  fetch_snapshots=False,
+                                  n_devices=n_devices)
         n_iters = config.nsteps + 1
         m_results[sigma] = np.abs(np.asarray(res.records.m_mean)[:, :n_iters])
         v_results[sigma] = np.abs(np.asarray(res.records.v_eff)[:, :n_iters])

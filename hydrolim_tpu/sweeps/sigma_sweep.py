@@ -28,7 +28,8 @@ def sweep_over_sigmas(sigma_values: Sequence[float], beta_values,
                       run_kwargs: Optional[Dict] = None,
                       outdir: str = ".", seed: int = 0,
                       archive: str = "v_eff_all_sigmas.npz",
-                      resume: bool = True, engine: str = "particle") -> Dict:
+                      resume: bool = True, engine: str = "particle",
+                      n_devices: Optional[int] = None) -> Dict:
     """{σ: {beta, v_mean, v_se, D_mean, D_se, ps_kwargs}} (:1030-1075).
 
     ``resume=True`` reloads σ values whose per-σ npz checkpoint already
@@ -54,7 +55,7 @@ def sweep_over_sigmas(sigma_values: Sequence[float], beta_values,
                 beta_values, n_runs_per_beta=n_runs_per_beta, run=True,
                 ps_kwargs=pk, run_kwargs=run_kwargs, npz_path=str(npz_path),
                 outdir=str(out), seed=seed + 1000 * k_idx, do_fit=False,
-                plot_result=False, engine=engine)
+                plot_result=False, engine=engine, n_devices=n_devices)
         results[float(sigma)] = {
             "beta": beta_values,
             "v_mean": save_dict["means"],

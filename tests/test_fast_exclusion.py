@@ -72,10 +72,14 @@ def test_unwrap_minimal_image():
     raw = np.array([[[2]], [[0]], [[98]]])
     un = unwrap_tracer_sites(raw, L, periodic=True)
     np.testing.assert_array_equal(un[:, 0, 0], [2, 0, -2])
-    # invalid tags stay -1
+    # invalid tags map to the out-of-range sentinel (NOT -1: a valid
+    # net-leftward walker legitimately reaches negative unwrapped positions,
+    # see the [2, 0, -2] case above)
+    from hydrolim_tpu.particles.lattice_gas import TRACER_INVALID
+
     raw = np.array([[[5, -1]], [[6, -1]]])
     un = unwrap_tracer_sites(raw, L, periodic=True)
-    np.testing.assert_array_equal(un[:, 0, 1], [-1, -1])
+    np.testing.assert_array_equal(un[:, 0, 1], [TRACER_INVALID] * 2)
     # non-periodic: identity
     raw = np.array([[[5]], [[90]]])
     np.testing.assert_array_equal(

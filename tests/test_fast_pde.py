@@ -43,8 +43,8 @@ def test_solve_matrix_matches_spectral_solve():
     config = PDEConfig(L=L, T=1.0, dt=dt, bc="periodic",
                        snapshot_interval=50)
     Lp = 256
-    solve_mat, _, has_solve = build_kernel_mats(config, gamma, Lp)
-    assert has_solve
+    solve_mat, _, solve_mode, _, _ = build_kernel_mats(config, gamma, Lp)
+    assert solve_mode == "dense"
     rng = np.random.default_rng(0)
     x = rng.random((3, L)).astype(np.float32)
     xp = np.zeros((3, Lp), np.float32)
@@ -61,7 +61,7 @@ def test_solve_matrix_neumann():
     L, dt, gamma = 128, 1e-3, 0.2
     config = PDEConfig(L=L, T=1.0, dt=dt, bc="neumann",
                        snapshot_interval=50, diffusion_solver="dense")
-    solve_mat, _, _ = build_kernel_mats(config, gamma, 128)
+    solve_mat, _, _, _, _ = build_kernel_mats(config, gamma, 128)
     rng = np.random.default_rng(1)
     x = rng.random((L,)).astype(np.float32)
     got = x @ solve_mat
@@ -75,7 +75,7 @@ def test_smooth_matrix_matches_magnetization():
     # σ_grid = 16 → roll radius 92 > the narrow bound: stays a matmul
     config = PDEConfig(L=L, T=1.0, dt=5e-4, gaussian_kernel=True,
                        kernel_sigma=0.08, snapshot_interval=50)
-    _, smooth_mat, _ = build_kernel_mats(config, 0.0, 256)
+    _, smooth_mat, _, _, _ = build_kernel_mats(config, 0.0, 256)
     params = make_pde_params(gamma=0.0, lam=0.6, beta=1.0)
     ops = build_pde_ops(config, params)
     rng = np.random.default_rng(2)
@@ -107,7 +107,7 @@ def test_kernel_width_routing():
     assert _m_mode(mk(0.05)) == "smooth"       # σ_grid=50 → r>63: matmul
     assert _m_mode(mk(0.1, L=128)) == "smooth"
     # and the smoothing circulant at a mid-width sigma is not uniform
-    _, smooth_mat, _ = build_kernel_mats(mk(0.1, L=128), 0.0, 128)
+    _, smooth_mat, _, _, _ = build_kernel_mats(mk(0.1, L=128), 0.0, 128)
     assert smooth_mat.std() > 0
 
 
@@ -141,10 +141,47 @@ def test_narrow_weights_match_circulant():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
 
 
+def test_banded_solve_mode_routing_and_weights():
+    """Large-L fused scope (VERDICT r2 #7): past the dense (Lp, Lp) VMEM
+    gate, a periodic γ>0 config with γ·dt/dx² O(1) (large-L runs scale dt
+    with dx) routes to the in-kernel BANDED solve; the truncated rolled
+    weights must equal the banded XLA solve and the exact spectral solve."""
+    from hydrolim_tpu.pde.fast_solve import (
+        _solve_mode_of,
+        build_banded_solve_weights,
+    )
+
+    L, gamma, dt = 8192, 0.2, 2e-7          # c = γ·dt/dx² ≈ 2.7
+    config = PDEConfig(L=L, T=dt * 100, dt=dt, bc="periodic",
+                       snapshot_interval=10, gaussian_kernel=False,
+                       n_tracers=64, tracer_window_time=10 * dt,
+                       fft_kmax=8)
+    mode, r = _solve_mode_of(config, gamma)
+    assert mode == "banded" and 1 <= r <= 63
+    assert is_fused_pde_path(config, np.full(2, gamma))
+    # a config whose band cannot decay inside the roll bound falls back
+    wide = PDEConfig(L=4096, T=1.0, dt=5e-4, snapshot_interval=50)
+    assert _solve_mode_of(wide, gamma)[0] == "unsupported"
+    assert not is_fused_pde_path(wide, np.full(2, gamma))
+
+    w = build_banded_solve_weights(config, gamma, r)
+    rng = np.random.default_rng(3)
+    x = rng.random(L).astype(np.float32)
+    # kernel semantics: out[i] = sum_d w(d) · x[(i - d) mod L]
+    y_roll = sum(w[0, r + d] * np.roll(x, d) for d in range(-r, r + 1))
+    dx = config.dx
+    op_b = build_diffusion_op(L, dx, dt, gamma, "periodic", "banded")
+    y_banded = np.asarray(diffusion_solve(op_b, jnp.asarray(x), "banded"))
+    np.testing.assert_allclose(y_roll, y_banded, rtol=1e-5, atol=1e-7)
+    op_s = build_diffusion_op(L, dx, dt, gamma, "periodic", "fft")
+    y_fft = np.asarray(diffusion_solve(op_s, jnp.asarray(x), "fft"))
+    np.testing.assert_allclose(y_roll, y_fft, rtol=1e-4, atol=1e-5)
+
+
 def test_gamma_zero_skips_solve():
     config = PDEConfig(L=100, T=1.0, dt=1e-3, snapshot_interval=50)
-    _, _, has_solve = build_kernel_mats(config, 0.0, 128)
-    assert not has_solve
+    _, _, solve_mode, _, _ = build_kernel_mats(config, 0.0, 128)
+    assert solve_mode == "none"
 
 
 def test_fetch_snapshots_false_drops_blocks_keeps_records():

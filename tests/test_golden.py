@@ -1,0 +1,207 @@
+"""Golden-value physics regression suite (VERDICT r2 #2).
+
+Fixed-seed, small-but-real configs that pin the SAMPLED physics of every
+engine so silent drift across rounds fails loudly.  Two kinds of pins:
+
+- cross-engine: independent samplers (particle-centric τ-leap, site-centric
+  slot engine, PDE tracers) must agree with each other and with the
+  closed-form theory within a few standard errors at matched parameters —
+  the small-scale version of the plot_figs.py hydrodynamic-limit figure
+  (VALIDATION.md cross-engine table),
+- frozen goldens: observables with no closed form (p_block at the K=3
+  flagship, anchored exit totals) are pinned to values measured from THIS
+  framework at the stated seed, with tolerance set by the measured
+  ensemble SE (values recorded in _GOLDEN below; re-measure only with a
+  deliberate physics change, and record why).
+
+The C0/C1/C2 refit self-consistency pin lives in tests/test_fit_theory.py.
+"""
+import numpy as np
+import jax
+import pytest
+
+from hydrolim_tpu.core.config import ParticleConfig
+from hydrolim_tpu.sweeps.ensemble import (
+    broadcast_params,
+    ensemble_dt,
+    run_particle_ensemble,
+)
+from hydrolim_tpu.theory.meanfield import m_fixed_point
+
+
+# ---------------------------------------------------------------------------
+# frozen goldens: measured from this framework (seeds below), tolerance =
+# a few measured ensemble SEs.  See scripts in this file's git history /
+# VALIDATION.md round-3 section for the measurement runs.
+# ---------------------------------------------------------------------------
+_GOLDEN = {
+    # slot engine, K=3 shrunk flagship, seed 21, 6 runs (2026-08-17 r3):
+    # per-run p_block [0.630, 0.634, 0.580, 0.504, 0.629, 0.688]
+    "p_block_k3": {"mean": 0.6108, "se": 0.0255, "tol": 0.102},
+    # anchored slot engine, seed 33, 6 runs: exits [9, 6, 9, 10, 9, 5]
+    "anchored_exits": {"mean": 8.0, "se": 0.816, "tol": 3.3},
+}
+
+
+def _v_from_tracers(tr, times, t_start_frac=0.5):
+    """v per replica from unwrapped tracer/particle positions (M, n)."""
+    from hydrolim_tpu.particles.lattice_gas import tracer_valid_mask
+
+    M = len(times)
+    s = M // 2 if t_start_frac == 0.5 else int(M * t_start_frac)
+    ok = tracer_valid_mask(tr[s]) & tracer_valid_mask(tr[-1])
+    disp = np.where(ok, tr[-1].astype(float) - tr[s].astype(float), np.nan)
+    return np.nanmean(disp) / (times[-1] - times[s])
+
+
+BETAS = np.array([0.8, 1.5, 2.5])
+
+
+def _exclusion_cfg(**kw):
+    base = dict(L=128, xlim=1, N=48, init="fixed", scale_rates=False,
+                local_kernel_sigma=0.0, periodic=True, site_capacity=1,
+                active_model="bidirectional")
+    base.update(kw)
+    return ParticleConfig(**base)
+
+
+def _exclusion_engines_run(n_runs=4, seed=12, T=8.0, obs_dt=0.5):
+    """Same K=1 exclusion config on both engines; returns per-(β, run)
+    |m| window means and tracer velocities."""
+    from hydrolim_tpu.particles.lattice_gas import run_lattice_gas
+
+    config = _exclusion_cfg()
+    rd, ra = 0.5, 2.0
+    params = broadcast_params(config, beta=BETAS, rate_diffusion=rd,
+                              rate_active=ra, n_runs=n_runs)
+    dt = ensemble_dt(config, beta_max=float(BETAS.max()),
+                     rate_diffusion=rd, rate_active=ra)
+    times = np.arange(0.0, T, obs_dt)
+    M = len(times)
+
+    res = run_particle_ensemble(config, params, jax.random.PRNGKey(seed),
+                                T=T, obs_dt=obs_dt, dt=dt)
+    res = jax.device_get(res)
+    frames_lg, _ = run_lattice_gas(config, params,
+                                   jax.random.PRNGKey(seed + 1), T=T,
+                                   obs_dt=obs_dt, dt=dt, n_tracers=config.N)
+    frames_lg = jax.device_get(frames_lg)
+
+    B = len(BETAS) * n_runs
+    m_part = np.abs(np.asarray(res.frames.m_global))[:, M // 2:].mean(1)
+    m_slot = np.abs(np.asarray(frames_lg.m_global))[:, M // 2:].mean(1)
+    v_part = np.array([
+        abs(_v_from_tracers(np.asarray(res.frames.pos[i]), times))
+        for i in range(B)])
+    v_slot = np.array([
+        abs(_v_from_tracers(np.asarray(frames_lg.tracer_pos[i]), times))
+        for i in range(B)])
+    sh = (len(BETAS), n_runs)
+    return (m_part.reshape(sh), m_slot.reshape(sh), v_part.reshape(sh),
+            v_slot.reshape(sh))
+
+
+def test_golden_cross_engine_exclusion_m_and_v():
+    """Particle-centric τ-leap vs site-centric slot engine at K=1
+    exclusion, 3 β points: |m| and tracer speed agree within error bars —
+    two independent samplers of the same CTMC."""
+    n_runs = 4
+    m_p, m_s, v_p, v_s = _exclusion_engines_run(n_runs=n_runs)
+    se = lambda a: a.std(1, ddof=1) / np.sqrt(n_runs)
+    for name, a, b in (("m", m_p, m_s), ("v", v_p, v_s)):
+        tol = 3.0 * (se(a) + se(b)) + 0.02 * max(1.0, b.mean())
+        assert np.all(np.abs(a.mean(1) - b.mean(1)) < tol), (
+            name, a.mean(1), b.mean(1), tol)
+    # ordering physics: |m| rises through the transition on both engines
+    assert m_p.mean(1)[2] > m_p.mean(1)[0] + 0.2
+    assert m_s.mean(1)[2] > m_s.mean(1)[0] + 0.2
+
+
+def test_golden_three_engine_magnetization_vs_theory():
+    """|m| at β=2.5 on particle, slot AND PDE engines vs the tanh fixed
+    point — the three samplers tie back to one closed form.  (K=1 exclusion
+    does not shift the CW magnetization law: flips depend only on m.)"""
+    from hydrolim_tpu import IMEXPDE
+
+    beta = 2.5
+    m_th = m_fixed_point(beta)
+
+    m_p, m_s, _, _ = _exclusion_engines_run(n_runs=4)
+    assert abs(m_p[2].mean() - m_th) < 0.06, (m_p[2].mean(), m_th)
+    assert abs(m_s[2].mean() - m_th) < 0.06, (m_s[2].mean(), m_th)
+
+    pde = IMEXPDE(L=128, T=3.0, dt=1e-3, gamma=0.05, lam=0.6, beta=beta,
+                  bc="periodic", gaussian_kernel=True, kernel_sigma=1e5 - 10,
+                  seed=5, snapshot_interval=100)
+    pde.initialize("homogeneous", rho0=1.0, noise=0.3, n_tracers=64)
+    pde.rho_p = pde.rho_p * 1.5      # break ± symmetry immediately
+    pde.solve()
+    m_pde = abs(float(np.asarray(pde.get_output()["m_series"])[-1]))
+    assert abs(m_pde - m_th) < 0.02, (m_pde, m_th)
+
+
+def test_golden_p_block_k3_flagship():
+    """Blocking probability at a shrunk K=3 flagship config (reference
+    PARTICLE_solver_BIOLOGY_EXCLUSION.py class: plus_forward, non-periodic,
+    exp-gradient init, K=3) on the slot engine — frozen golden value."""
+    from hydrolim_tpu.observables.batched import batched_estimates
+    from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_k
+    from hydrolim_tpu.sweeps.beta_sweep import make_exp_gradient
+
+    L, N, n_runs, T, obs_dt = 128, 96, 6, 6.0, 0.25
+    config = ParticleConfig(L=L, xlim=1, N=N, init="poisson",
+                            scale_rates=False, local_kernel_sigma=0.0,
+                            periodic=False, site_capacity=3,
+                            active_model="plus_forward")
+    grad = make_exp_gradient(L=L, N=N, frac_plus=0.75, decay_length=0.35,
+                             anchor_positions=None)
+    rd, ra = 0.02, 2.0
+    params = broadcast_params(config, beta=[0.7], rate_diffusion=rd,
+                              rate_active=ra, n_runs=n_runs)
+    dt = ensemble_dt(config, beta_max=0.7, rate_diffusion=rd, rate_active=ra)
+    frames, _ = run_lattice_gas_k(config, params, jax.random.PRNGKey(21),
+                                  T=T, obs_dt=obs_dt, dt=dt,
+                                  rho0_plus=grad[2], rho0_minus=grad[3])
+    frames = jax.device_get(frames)
+    times = np.arange(0.0, T, obs_dt)
+    est = jax.device_get(batched_estimates(
+        frames.total, frames.m_global, frames.rho_p, times,
+        dx=config.dx, xlim=1.0, has_positions=False))
+    p = np.asarray(est.p_block, float)
+    mean, se = p.mean(), p.std(ddof=1) / np.sqrt(n_runs)
+    g = _GOLDEN["p_block_k3"]
+    assert abs(mean - g["mean"]) < max(4.0 * se, g["tol"]), (mean, se, g)
+
+
+def test_golden_anchored_exit_totals():
+    """Anchored binding/exit pipeline (slot engine): frozen golden total
+    exit count at a shrunk version of the run_anchored_exits.py config."""
+    from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_anchored
+    from hydrolim_tpu.sweeps.beta_sweep import make_exp_gradient
+
+    L, N, n_runs, T = 128, 64, 6, 6.0
+    anchors = (0.25, 0.60, 0.80)
+    config = ParticleConfig(L=L, xlim=1, N=N, init="poisson",
+                            scale_rates=False, local_kernel_sigma=0.02,
+                            periodic=False, site_capacity=3,
+                            active_model="plus_forward", minus_anchor=True,
+                            immobilize_when_anchored=True,
+                            anchor_positions=anchors, anchor_radius=0.01,
+                            exit_buffer=N)
+    grad = make_exp_gradient(L=L, N=N, frac_plus=0.75, decay_length=0.35,
+                             anchor_positions=anchors)
+    rd, ra = 0.02, 2.0
+    params = broadcast_params(config, beta=[0.7], rate_diffusion=rd,
+                              rate_active=ra, n_runs=n_runs, k_on=10.0,
+                              k_off=5.0, k_exit=5.0)
+    dt = ensemble_dt(config, beta_max=0.7, rate_diffusion=rd, rate_active=ra,
+                     k_on=10.0, k_off=5.0, k_exit=5.0)
+    frames, _, exit_log = run_lattice_gas_anchored(
+        config, params, jax.random.PRNGKey(33), T=T, obs_dt=0.5, dt=dt,
+        rho0_plus=grad[2], rho0_minus=grad[3])
+    counts = np.asarray(jax.device_get(exit_log[0]), float)
+    mean, se = counts.mean(), counts.std(ddof=1) / np.sqrt(n_runs)
+    g = _GOLDEN["anchored_exits"]
+    assert abs(mean - g["mean"]) < max(4.0 * se, g["tol"]), (mean, se, g)
+    # physics invariant: exits happened at all, and not everyone exited
+    assert 0 < mean < N

@@ -152,11 +152,13 @@ def test_pallas_hop_rates_unbiased():
     assert disp.min() >= 0
 
 
-def test_pallas_exclusion_kernel_matches_slot_engine():
+@pytest.mark.parametrize("r_batch", [1, 4])
+def test_pallas_exclusion_kernel_matches_slot_engine(r_batch):
     """Fused exclusion kernel vs the XLA slot engine at matched (K=3,
     local-m, periodic) parameters: ensemble |m|(t) within error bars and
     site-occupancy histograms within 0.05 (the same acceptance as the
-    CTMC agreement test)."""
+    CTMC agreement test).  r_batch=4 exercises the replica-row-batched
+    grid (VERDICT r2 #6) against the same acceptance."""
     if not _tpu_is_default():
         pytest.skip("needs a TPU device as default")
     import jax.numpy as jnp
@@ -200,7 +202,7 @@ def test_pallas_exclusion_kernel_matches_slot_engine():
         sl = exclusion_multi_step(jnp.asarray(scal), seeds0 + f, sl, conv,
                                   L=L, K=K, k_steps=n_sub, dt=dt,
                                   periodic=True, bidirectional=False,
-                                  use_local_m=True)
+                                  use_local_m=True, r_batch=r_batch)
         m_p.append(m_of(unpack_slots(sl, K, L)))
     m_p = np.abs(np.asarray(m_p).T)
     s_final = unpack_slots(sl, K, L)
@@ -282,8 +284,10 @@ def test_run_exclusion_sweep_pallas_matches_xla():
         frames, spins = run_exclusion_sweep(
             config, params, jax.random.PRNGKey(3), T=T, obs_dt=obs_dt,
             dt=dt, engine=eng, n_tracers=64)
+        from hydrolim_tpu.particles.lattice_gas import tracer_valid_mask
+
         tr = np.asarray(frames.tracer_pos, float)
-        valid = tr[:, :1] >= 0
+        valid = tracer_valid_mask(frames.tracer_pos)[:, :1]
         drift = np.where(valid, tr[:, -1:] - tr[:, :1], np.nan)
         out[eng] = (np.abs(np.asarray(frames.m_global)),
                     np.abs(spins).sum(1), np.nanmean(drift))
@@ -299,6 +303,33 @@ def test_run_exclusion_sweep_pallas_matches_xla():
     # active plus-forward drift: both positive, same scale
     assert v_p > 0 and v_x > 0
     assert abs(v_p - v_x) < 0.35 * max(v_p, v_x) + 1.0, (v_p, v_x)
+
+
+def test_run_exclusion_sweep_shardmap_mesh1_bit_identical():
+    """VERDICT r2 #5 acceptance: the shard_map replica-axis wrapper on a
+    mesh of 1 (the single real TPU) is bit-identical to the unwrapped fused
+    kernel — the wrapper adds no collectives and must not perturb the RNG
+    stream or any arithmetic."""
+    if not _tpu_is_default():
+        pytest.skip("needs a TPU device as default")
+    from jax.sharding import Mesh
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.sweeps.ensemble import broadcast_params
+    from hydrolim_tpu.sweeps.fast_exclusion import run_exclusion_sweep
+
+    config = ParticleConfig(L=128, N=64, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.01, periodic=True,
+                            site_capacity=2, active_model="plus_forward")
+    params = broadcast_params(config, beta=[0.8, 2.0], rate_diffusion=0.5,
+                              rate_active=3.0, n_runs=2)
+    kw = dict(T=1.0, obs_dt=0.25, dt=2e-3, engine="pallas", n_tracers=16)
+    fa, sa = run_exclusion_sweep(config, params, jax.random.PRNGKey(11),
+                                 **kw)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("sweep",))
+    fb, sb = run_exclusion_sweep(config, params, jax.random.PRNGKey(11),
+                                 mesh=mesh, **kw)
+    jax.tree.map(np.testing.assert_array_equal, fa, fb)
+    np.testing.assert_array_equal(sa, sb)
 
 
 @pytest.mark.parametrize("sigma", [0.05, 0.1])
@@ -347,6 +378,18 @@ def test_pallas_pde_kernel_matches_xla_fields(sigma):
     assert got.snapshots.shape == want.snapshots.shape
     np.testing.assert_allclose(np.asarray(got.snap_times),
                                np.asarray(want.snap_times), atol=1e-6)
+
+    # spectra (VERDICT r2 #4): the fused path records rfft at snapshot
+    # cadence (chunk starts + final state) — those rows must match the XLA
+    # per-step record; all other rows are NaN by contract
+    fa = np.asarray(got.records.fft_ri)
+    fb = np.asarray(want.records.fft_ri)
+    snap_steps = np.arange(0, config.nsteps + 1, config.snapshot_interval)
+    snap_steps = np.unique(np.append(snap_steps, config.nsteps))
+    np.testing.assert_allclose(fa[:, snap_steps], fb[:, snap_steps],
+                               rtol=5e-3, atol=5e-5)
+    other = np.setdiff1d(np.arange(config.nsteps + 1), snap_steps)
+    assert np.all(np.isnan(fa[:, other]))
 
     # tracer statistics (independent RNG streams): window-mean agreement
     n_iters = config.nsteps + 1
