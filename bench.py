@@ -317,6 +317,71 @@ def bench_pde_solve_full():
 # event thresholds, ~10 int update/wrap, ~8 PRNG+scale, ~5 reduction share.
 _PALLAS_OPS_PER_STEP = 43
 _V5E_VPU_PEAK = 3.8e12  # lane-ops/s: 8 sublanes x 128 lanes x 4 ALUs x 0.94 GHz
+_V5E_MXU_F32 = 4.9e13   # FLOPs/s: 197 TF bf16 / 4 for full-f32 (HIGHEST)
+
+
+def _exclusion_ops_per_lane(K: int) -> int:
+    """VPU lane-op estimate per (slot-row, lane) element per step of the
+    fused exclusion kernel body (ops/pallas_exclusion.py:_kernel): ~10
+    occupancy/sign/shift, ~14 rate assembly + event thresholds, ~8 PRNG +
+    mask/scale, ~6·K admission min-rounds over 2Kp rows, ~9·Kp compaction
+    running-count selects (the 3Kp→Kp front-pack dominates)."""
+    Kp = -(-K // 4) * 4
+    return 32 + 6 * K + 9 * Kp
+
+
+def bench_multichip_sweep_virtual(n_devices=8, timeout=900):
+    """Multi-device sweep path, recorded (VERDICT r2 #9): the flagship
+    β-sweep driver through the public ``n_devices=`` API on a virtual
+    n-device CPU mesh, vs the same run unsharded.  Runs in a subprocess
+    (the virtual devices need XLA_FLAGS before backend init).  Wall ratios
+    on one host share physical cores — this records that the sharded path
+    executes end-to-end with bit-equal observables, not an ICI speedup."""
+    import os
+    import subprocess
+
+    code = r"""
+import json, time
+import numpy as np
+from hydrolim_tpu.sweeps.beta_sweep import sweep_over_betas, make_exp_gradient
+g = make_exp_gradient(L=200, N=120, frac_plus=0.75, decay_length=0.35,
+                      anchor_positions=None)
+ps = dict(L=200, xlim=1, rate_diffusion=0.02, rate_active=5, N=120,
+          init="poisson", scale_rates=False, local_kernel_sigma=0.005,
+          periodic=False, site_capacity=1, k_on=0, k_off=0, k_exit=0)
+kw = dict(n_runs_per_beta=2, ps_kwargs=ps,
+          init_kwargs=dict(rho0_plus=g[0], rho0_minus=g[1]),
+          run_kwargs=dict(T=4.0, obs_dt=0.2), outdir="/tmp/bench_mc",
+          seed=3, do_fit=False, plot_result=False, engine="lattice_gas")
+betas = np.linspace(0, 3, 8)
+t0 = time.time()
+a = sweep_over_betas(betas, npz_path="/tmp/bench_mc/a.npz", **kw)
+w1 = time.time() - t0
+t0 = time.time()
+b = sweep_over_betas(betas, npz_path="/tmp/bench_mc/b.npz",
+                     n_devices=%d, **kw)
+wn = time.time() - t0
+ma, mb = np.asarray(a["means"]), np.asarray(b["means"])
+# trajectories are bit-identical under sweep-DP; the local-m smoothing /
+# DFT record matmuls may reassociate at different shard-local shapes, so
+# float observables agree to ~1 ulp rather than bitwise (global-m configs
+# are exactly bitwise — tests/test_parallel.py)
+rel = float(np.max(np.abs(ma - mb) / (np.abs(ma) + 1e-12)))
+print(json.dumps({"wall_1": w1, "wall_n": wn,
+                  "equal": bool(np.array_equal(ma, mb)),
+                  "max_rel_diff": rel,
+                  "close": bool(np.allclose(ma, mb, rtol=1e-4))}))
+""" % n_devices
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        f" --xla_force_host_platform_device_count="
+                        f"{n_devices}").strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=timeout,
+                         cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main():
@@ -339,10 +404,13 @@ def main():
         print(f"# K=3 flagship bench failed: {e}", file=sys.stderr)
     try:
         k3p_1, k3p_b = bench_k3_pallas()
+        # roofline: lane-elements/s = replica-steps/s x Kp x Lp (slot tiles)
+        ops = _exclusion_ops_per_lane(3)
+        vpu_frac = (k3p_b / 750) * 4 * 1024 * ops / _V5E_VPU_PEAK
         print(f"# K=3 flagship (fused Pallas exclusion kernel): "
               f"{k3p_1:.3e} single replica, {k3p_b:.3e} at B=16 "
-              f"(production path for K<=8/no-anchors configs via "
-              f"engine='pallas'; XLA slot engine covers the rest)",
+              f"(R-batched grid; ~{100 * vpu_frac:.0f}% of v5e VPU "
+              f"roofline at {ops} lane-ops/slot-element est.)",
               file=sys.stderr)
     except Exception as e:
         print(f"# K=3 pallas bench unavailable: {e}", file=sys.stderr)
@@ -379,10 +447,19 @@ def main():
         pde_sps = None
     try:
         fsw_sps, fsw_wall = bench_pde_sweep_fused()
+        # roofline: the dense implicit solve is the FLOPs hog — one
+        # (2, Lp)@(Lp, Lp) f32-HIGHEST matmul per replica-step (global-m
+        # route: no smoothing matmul); everything else is ~60 VPU
+        # lane-ops/site
+        Lp = 1024
+        mxu_frac = fsw_sps * 2 * 2 * Lp * Lp / _V5E_MXU_F32
+        vpu_frac = fsw_sps * 60 * Lp / _V5E_VPU_PEAK
         print(f"# pde fused sweep (11 beta x 3 runs, 20k steps, 1000 "
               f"tracers, Pallas kernel): {fsw_sps:.3e} aggregate "
               f"replica-steps/sec, {fsw_wall:.1f} s warm wall "
-              f"(XLA batch path: ~7.6 s at the same scale)", file=sys.stderr)
+              f"(~{100 * mxu_frac:.0f}% of f32 MXU roofline on the solve "
+              f"matmul + ~{100 * vpu_frac:.0f}% VPU on the step body; "
+              f"XLA batch path: ~7.6 s at the same scale)", file=sys.stderr)
     except Exception as e:
         print(f"# pde fused-sweep bench unavailable: {e}", file=sys.stderr)
     try:
@@ -392,6 +469,18 @@ def main():
               f"wall for 40k steps", file=sys.stderr)
     except Exception as e:
         print(f"# pde full-solve bench failed: {e}", file=sys.stderr)
+    try:
+        mc = bench_multichip_sweep_virtual()
+        print(f"# multi-device sweep (8-way virtual CPU mesh, public "
+              f"n_devices= API): {mc['wall_n']:.1f} s sharded vs "
+              f"{mc['wall_1']:.1f} s unsharded on one host; observables "
+              f"bit-equal: {mc['equal']}, within 1e-4: {mc['close']} "
+              f"(max rel diff {mc['max_rel_diff']:.1e} — record-matmul "
+              f"reduction order; trajectories are bit-identical, and "
+              f"global-m configs are exactly bitwise; real ICI scaling "
+              f"needs a pod)", file=sys.stderr)
+    except Exception as e:
+        print(f"# multi-device sweep bench unavailable: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "particle-steps/sec/chip (N=1e5, 64-point beta sweep)",

@@ -24,7 +24,8 @@ from hydrolim_tpu.viz.structure_plots import run_all_plots
 
 
 def main(small: bool = False, outdir: str = "local_structure_out",
-         run: bool = True):
+         run: bool = True, engine: str = "particle",
+         n_devices: int = None):
     npz = f"{outdir}/beta_sweep_local_structure.npz"
     if small:
         betas = np.linspace(0, 3, 4)
@@ -36,7 +37,9 @@ def main(small: bool = False, outdir: str = "local_structure_out",
         ps, rk, n_runs = None, None, 3
     if run:
         results = sweep_betas_for_structures(betas, n_runs, ps_kwargs=ps,
-                                             run_kwargs=rk, keep_outs=True)
+                                             run_kwargs=rk, keep_outs=True,
+                                             engine=engine,
+                                             n_devices=n_devices)
         import pathlib
         pathlib.Path(outdir).mkdir(parents=True, exist_ok=True)
         save_structure_results(results, npz)
@@ -56,5 +59,9 @@ if __name__ == "__main__":
     p.add_argument("--small", action="store_true")
     p.add_argument("--outdir", default="local_structure_out")
     p.add_argument("--replot", action="store_true")
+    p.add_argument("--engine", default="particle",
+                   choices=["particle", "lattice_gas", "pallas"])
+    p.add_argument("--n-devices", type=int, default=None)
     a = p.parse_args()
-    main(a.small, a.outdir, run=not a.replot)
+    main(a.small, a.outdir, run=not a.replot, engine=a.engine,
+         n_devices=a.n_devices)

@@ -25,7 +25,8 @@ from hydrolim_tpu.sweeps.sigma_sweep import (
 
 
 def main(small: bool = False, outdir: str = "sigma_sweep_out",
-         run: bool = True):
+         run: bool = True, engine: str = "particle",
+         n_devices: int = None):
     if small:
         sigmas = [0.005, 0.05, 0]
         betas = np.linspace(0, 3, 4)
@@ -38,7 +39,8 @@ def main(small: bool = False, outdir: str = "sigma_sweep_out",
         ps, rk, n_runs = None, None, 5
     results = sweep_over_sigmas(sigmas, betas, n_runs_per_beta=n_runs,
                                 run=run, ps_kwargs=ps, run_kwargs=rk,
-                                outdir=outdir)
+                                outdir=outdir, engine=engine,
+                                n_devices=n_devices)
     plot_v_eff_all_sigmas(results, outdir)
     plot_D_eff_all_sigmas(results, outdir)
     plot_v_eff_vs_sigma_all_beta(results, outdir)
@@ -53,5 +55,9 @@ if __name__ == "__main__":
     p.add_argument("--small", action="store_true")
     p.add_argument("--outdir", default="sigma_sweep_out")
     p.add_argument("--replot", action="store_true")
+    p.add_argument("--engine", default="particle",
+                   choices=["particle", "lattice_gas", "pallas"])
+    p.add_argument("--n-devices", type=int, default=None)
     a = p.parse_args()
-    main(a.small, a.outdir, run=not a.replot)
+    main(a.small, a.outdir, run=not a.replot, engine=a.engine,
+         n_devices=a.n_devices)

@@ -111,7 +111,15 @@ def pad_batch(tree, Bp: int):
     (row i of a (B, …) draw depends only on its linear element indices), so
     replicas 0..B-1 of the padded run are bit-identical to the unpadded
     run — this is what makes 1-device and n-device sweep results equal
-    (tests/test_parallel.py)."""
+    (tests/test_parallel.py).
+
+    Scope: sampled trajectories are bit-identical in all configurations
+    (integer state + threshold comparisons).  Recorded FLOAT observables
+    are exactly bitwise for shape-independent stepping math (global m);
+    configs whose recording path contains (·, L)·(L, L) matmuls (local-σ
+    smoothing, DFT spectra) may reassociate at different shard-local batch
+    shapes and agree to ~1 ulp instead (measured 2.4e-7 max rel at the
+    flagship shape — bench.bench_multichip_sweep_virtual)."""
     import jax.numpy as jnp
 
     def pad(x):

@@ -403,6 +403,50 @@ def test_pallas_pde_kernel_matches_xla_fields(sigma):
         assert np.all(np.abs(ma - mb) < sd), (name, ma, mb, sd)
 
 
+def test_pallas_pde_banded_large_L_matches_xla():
+    """Large-L fused scope (VERDICT r2 #7): at L=8192 the dense (Lp, Lp)
+    solve matrix cannot fit VMEM; the banded in-kernel solve (rolled
+    truncated inverse kernel) must match the XLA banded solve's field
+    dynamics to f32 tolerance."""
+    if not _tpu_is_default():
+        pytest.skip("needs a TPU device as default")
+    import dataclasses
+
+    import jax.numpy as jnp
+    from hydrolim_tpu.core.config import PDEConfig, PDEParams, make_pde_params
+    from hydrolim_tpu.pde.fast_solve import _solve_mode_of, pde_solve_fused
+    from hydrolim_tpu.pde.init import pde_initialize
+    from hydrolim_tpu.pde.stepper import build_pde_ops
+
+    L, gamma, dt = 8192, 0.2, 2e-7
+    config = PDEConfig(L=L, T=dt * 200, dt=dt, bc="periodic",
+                       gaussian_kernel=False, snapshot_interval=50,
+                       n_tracers=64, tracer_window_time=20 * dt, fft_kmax=8,
+                       diffusion_solver="banded")
+    assert _solve_mode_of(config, gamma)[0] == "banded"
+    B = 2
+    params_b = PDEParams(gamma=jnp.full(B, gamma), lam=jnp.full(B, 0.6),
+                         beta=jnp.asarray([1.0, 2.5]))
+    ops = build_pde_ops(config, make_pde_params(gamma=gamma, lam=0.6,
+                                                beta=0.0))
+    keys = jax.random.split(jax.random.PRNGKey(2), B)
+    init = jax.vmap(lambda k: pde_initialize(config, k, mode="homogeneous",
+                                             noise=0.3, n_tracers=64))
+    rp, rm, tr = init(keys)
+    key = jax.random.PRNGKey(9)
+    got = pde_solve_fused(config, params_b, ops, rp, rm, tr, key,
+                          engine="pallas")
+    want = pde_solve_fused(config, params_b, ops, rp, rm, tr, key,
+                           engine="xla")
+    np.testing.assert_allclose(np.asarray(got.rho_p),
+                               np.asarray(want.rho_p), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.records.m_mean),
+                               np.asarray(want.records.m_mean), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.records.var),
+                               np.asarray(want.records.var),
+                               rtol=5e-3, atol=1e-6)
+
+
 def test_pallas_pde_kernel_edge_shapes():
     """Ragged shapes that stress the padding paths: odd L (pad lanes in
     every roll/solve), tracer count not a lane multiple, a tiny ring
