@@ -88,6 +88,37 @@ def rfft_ri(x: jnp.ndarray, L: Optional[int] = None) -> jnp.ndarray:
     return jnp.stack([re, im], axis=-1)
 
 
+@functools.lru_cache(maxsize=16)
+def _rfft_mats_partial(L: int, kmax: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Truncated forward matrices — the first ``kmax`` bins only."""
+    j = np.arange(L)[:, None]
+    k = np.arange(kmax)[None, :]
+    ang = 2.0 * np.pi * j * k / L
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def rfft_ri_partial(x: jnp.ndarray, kmax: int,
+                    L: Optional[int] = None) -> jnp.ndarray:
+    """First ``kmax`` rfft bins of the trailing axis as (..., kmax, 2)
+    re/im — identical to ``rfft_ri(x)[..., :kmax, :]`` but against an
+    (L, kmax) DFT slab instead of the full (L, L//2+1) matrix.  Use for
+    record streams where kmax ≪ L: at L = 8192 the full matrix is a
+    ~268 MB program constant (it oversized the remote-compile payload);
+    the slab is L·kmax·8 bytes."""
+    if L is None:
+        L = x.shape[-1]
+    kmax = min(kmax, L // 2 + 1)
+    if fft_mode() == "native":
+        X = jnp.fft.rfft(x, n=L)[..., :kmax]
+        return jnp.stack([jnp.real(X), jnp.imag(X)],
+                         axis=-1).astype(jnp.float32)
+    C, S = _rfft_mats_partial(L, kmax)
+    xr = x.astype(jnp.float32)
+    re = _mm(xr, jnp.asarray(C))
+    im = -_mm(xr, jnp.asarray(S))
+    return jnp.stack([re, im], axis=-1)
+
+
 def irfft_ri(Xri: jnp.ndarray, n: int) -> jnp.ndarray:
     """(..., K, 2) real/imag → real signal of length n (trailing axis)."""
     if fft_mode() == "native":

@@ -139,13 +139,27 @@ def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, swts_ref, rhop_ref,
             # exponentially (ops/diffusion.py 'banded'), so the solve is a
             # 2·solve_r+1-tap wrap-corrected roll convolution — no (Lp, Lp)
             # matrix in VMEM; admits L far past the dense gate whenever
-            # γ·dt/dx² is small enough that solve_r ≤ the roll bound
+            # γ·dt/dx² is small enough that solve_r ≤ the roll bound.
+            # The tap loop is a fori_loop with DYNAMIC roll shifts, not a
+            # Python unroll: Mosaic allocates stack for every op of a
+            # straight-line body without liveness reuse, and the unrolled
+            # form's ~6 live (·, Lp) temporaries per tap overflowed scoped
+            # VMEM at L=8192 (measured 31.5 MB at r=32, R=1)
+            def roll_l_dyn(x, s):
+                # out[i] = x[(i - s) mod L] for dynamic s in [0, L)
+                plain = pltpu.roll(x, s, axis=1)
+                fix = pltpu.roll(x, jax.lax.rem(s + Lp - L, Lp), axis=1)
+                return jnp.where(lane1 < s, fix, plain)
+
             def conv(x):
-                y = swts_ref[0, solve_r] * x
-                for d in range(1, solve_r + 1):
+                def tap(d, y):
                     w = swts_ref[0, solve_r + d]      # symmetric kernel
-                    y = y + w * (roll_l(x, d) + roll_l(x, -d))
-                return y * valid1
+                    y = y + w * roll_l_dyn(x, d)
+                    return y + w * roll_l_dyn(x, L - d)
+
+                y0 = swts_ref[0, solve_r] * x
+                return jax.lax.fori_loop(1, solve_r + 1, tap, y0) * valid1
+
             return conv(rho_p), conv(rho_m)
         return rho_p, rho_m
 

@@ -114,10 +114,17 @@ def _vmem_estimate(config: PDEConfig, gamma: float, r: int,
     Lp = _pad(config.L)
     Ntp = _pad(max(config.n_tracers, 1))
     Wp = _pad(config.tracer_window, 8)
-    mode, _ = _solve_mode_of(config, gamma)
+    mode, solve_r = _solve_mode_of(config, gamma)
     fixed = 4 * Lp * Lp * (int(mode == "dense")
                            + int(_m_mode(config) == "smooth"))
     per_rep = 4 * (Wp * Ntp + k_chunk * 128 + 4 * Ntp + 2 * Lp)
+    if mode == "banded":
+        # the fori_loop tap body keeps a handful of (·, Lp) roll
+        # temporaries live (dynamic-shift rolls; NOT the unrolled form,
+        # which stacked ~6 temps per tap and overflowed scoped VMEM).
+        # Measured scoped stack at (r=32, Lp=8192): ~2.0 MB/replica →
+        # ~48 lane-rows of headroom per replica
+        per_rep += 4 * Lp * 48
     return fixed + r * per_rep + 2 * 2 ** 20
 
 
@@ -253,7 +260,7 @@ def _run_scanned(config: PDEConfig, scal, seeds0, rho_p, rho_m, pos, spin,
         # cadence (the reference records per step, IMEX_PDE_solver_class.py
         # :248-250; the per-step record stays on the XLA path)
         total_c = (rho_p + rho_m)[:B, :L]
-        fft_c = (dft.rfft_ri(total_c) / L)[:, :config.kmax]     # (B, k, 2)
+        fft_c = dft.rfft_ri_partial(total_c, config.kmax) / L   # (B, k, 2)
         if keep:
             snaps = (total_c, (rho_p - rho_m)[:B, :L])
         else:
@@ -433,7 +440,7 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
                                              jnp.int32(nsteps))
             return (jnp.mean(m_field), jnp.var(total), v_eff, D_eff,
                     total, rp - rm,
-                    (dft.rfft_ri(total) / L)[:config.kmax])
+                    dft.rfft_ri_partial(total, config.kmax) / L)
         keys = jax.random.split(key, B)
         return jax.vmap(one)(params_b, rho_p, rho_m, tr, keys)
 

@@ -247,7 +247,11 @@ def pde_solve(config: PDEConfig, params: PDEParams, ops: PDEOps,
     def one_iter(carry: PDECarry, n):
         total = carry.rho_p + carry.rho_m
         m_field = magnetization(config, ops, carry.rho_p, carry.rho_m)
-        fft_ri = (dft.rfft_ri(total) / L)[:kmax]
+        # truncated (L, kmax) DFT slab, not the full (L, L/2+1) matrix:
+        # identical values for the first kmax bins, and at large L the
+        # full matrix is a program constant measured in hundreds of MB
+        # (oversizes remote-compile payloads)
+        fft_ri = dft.rfft_ri_partial(total, kmax) / L
         key, sub = jax.random.split(carry.key)
         tracers, v_eff, D_eff = _tracer_update(
             config, params, m_field, carry.tracers, sub, n)

@@ -59,3 +59,20 @@ def test_batched():
     ours = np.asarray(dft.rfft(jnp.asarray(x)))
     np.testing.assert_allclose(ours, np.fft.rfft(x, axis=-1), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_rfft_ri_partial_matches_full():
+    """Truncated-slab rfft equals the full transform's first kmax bins
+    (the record-stream form: at L=8192 the full DFT matrix is a ~268 MB
+    program constant that oversized remote-compile payloads)."""
+    import numpy as np
+    from hydrolim_tpu.ops import dft
+
+    rng = np.random.default_rng(0)
+    x = rng.random((3, 96)).astype(np.float32)
+    kmax = 7
+    got = np.asarray(dft.rfft_ri_partial(x, kmax))
+    want = np.asarray(dft.rfft_ri(x))[:, :kmax]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # kmax clamped to the hermitian length
+    assert dft.rfft_ri_partial(x, 1000).shape == (3, 49, 2)

@@ -147,6 +147,28 @@ def test_run_pde_ensemble_n_devices_bit_equal():
     np.testing.assert_array_equal(np.asarray(a.rho_p), np.asarray(b.rho_p))
 
 
+def test_double_sweep_fused_n_devices_close():
+    """(N × β × runs) fused grid through the public n_devices= API: the
+    blocking estimates of the sharded run match the 1-device run (bitwise
+    here — the σ=0 global-m config has no record matmuls to reassociate)."""
+    from hydrolim_tpu.sweeps.double_sweep import double_sweep_fused
+
+    kw = dict(n_runs_per_beta=2,
+              ps_kwargs=dict(L=64, local_kernel_sigma=0.0,
+                             site_capacity=2, periodic=True,
+                             rate_diffusion=0.5, rate_active=2.0,
+                             minus_anchor=False),
+              run_kwargs=dict(T=1.0, obs_dt=0.25), plot_result=False,
+              chunk_size=8, seed=4)
+    betas = np.linspace(0.5, 2.5, 3)
+    Ns = np.array([24.0, 48.0])
+    a = double_sweep_fused(betas, Ns, outdir="/tmp/ds_a", **kw)
+    b = double_sweep_fused(betas, Ns, outdir="/tmp/ds_b", n_devices=8, **kw)
+    for pa, pb in zip(a["per_N"], b["per_N"]):
+        np.testing.assert_array_equal(np.asarray(pa["block_means"]),
+                                      np.asarray(pb["block_means"]))
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
