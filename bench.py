@@ -294,6 +294,46 @@ def bench_pde_sweep_fused(T=10.0, n_runs=3, reps=2):
     return B * config.nsteps / best, best
 
 
+def bench_pde_banded_large_L(L=8192, nsteps=2000, B=4, reps=2):
+    """Large-L fused scope (VERDICT r2 #7 bench row): the banded in-kernel
+    solve at L=8192 (γ·dt/dx² O(1), dt scaled with dx) vs the XLA banded
+    batch solve.  Returns (fused aggregate replica-steps/s, xla ditto)."""
+    from hydrolim_tpu.core.config import PDEConfig, PDEParams, make_pde_params
+    from hydrolim_tpu.pde.fast_solve import _solve_mode_of, pde_solve_fused
+    from hydrolim_tpu.pde.init import pde_initialize
+    from hydrolim_tpu.pde.stepper import build_pde_ops
+
+    gamma, dt = 0.2, 2e-7
+    config = PDEConfig(L=L, T=dt * nsteps, dt=dt, bc="periodic",
+                       gaussian_kernel=False, snapshot_interval=nsteps // 4,
+                       n_tracers=64, tracer_window_time=20 * dt, fft_kmax=8,
+                       diffusion_solver="banded")
+    assert _solve_mode_of(config, gamma)[0] == "banded"
+    params_b = PDEParams(gamma=jnp.full(B, gamma), lam=jnp.full(B, 0.6),
+                         beta=jnp.linspace(0.5, 2.5, B))
+    ops = build_pde_ops(config, make_pde_params(gamma=gamma, lam=0.6,
+                                                beta=0.0))
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    init = jax.vmap(lambda k: pde_initialize(config, k, mode="homogeneous",
+                                             noise=0.3, n_tracers=64))
+    rp, rm, tr = init(keys)
+    key = jax.random.PRNGKey(3)
+
+    def timed(engine):
+        run = lambda: pde_solve_fused(config, params_b, ops, rp, rm, tr,
+                                      key, engine=engine,
+                                      keep_snapshots=False)
+        jax.block_until_ready(run().rho_p)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run().rho_p)
+            times.append(time.perf_counter() - t0)
+        return B * config.nsteps / min(times)
+
+    return timed("pallas"), timed("xla")
+
+
 def bench_pde_solve_full():
     """Full PDE solve at the reference single-run scale (L=1000, T=20,
     dt=5e-4, 1000 tracers, kernel σ=0.005 — IMEX_PDE_solver_run.py:7-34),
@@ -469,6 +509,14 @@ def main():
               f"wall for 40k steps", file=sys.stderr)
     except Exception as e:
         print(f"# pde full-solve bench failed: {e}", file=sys.stderr)
+    try:
+        bl_p, bl_x = bench_pde_banded_large_L()
+        print(f"# pde banded large-L (L=8192, in-kernel rolled solve): "
+              f"{bl_p:.3e} aggregate replica-steps/sec fused vs "
+              f"{bl_x:.3e} XLA banded batch", file=sys.stderr)
+    except Exception as e:
+        print(f"# pde banded large-L bench unavailable: {e}",
+              file=sys.stderr)
     try:
         mc = bench_multichip_sweep_virtual()
         print(f"# multi-device sweep (8-way virtual CPU mesh, public "
