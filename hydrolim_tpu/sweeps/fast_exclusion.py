@@ -134,9 +134,13 @@ def unwrap_tracer_sites(raw: np.ndarray, L: int, periodic: bool) -> np.ndarray:
 def _pick_r_batch(config: ParticleConfig, B: int) -> int:
     """Replicas per kernel grid program (VERDICT r2 #6).
 
-    A single-replica program runs (Kp, Lp) int32 tiles at Kp of 8 sublanes;
-    stacking R replicas fills them and shares the conv matrix across one
-    (2R, Lp) matmul.  Budget: the conv matrix (4·Lp² when local-m) plus
+    Measured effect (K=3 flagship, B=16): 4.9e8 → 6.1e8 particle-steps/s —
+    R-batching amortizes grid/launch overhead and shares the conv matrix
+    across one (2R, Lp) matmul, but does NOT fill the idle sublanes:
+    Mosaic tiles the last two dims of each block, so each replica's
+    (Kp, Lp) stack stays padded to 8 sublane rows regardless of R (the
+    ROADMAP sublane write-off; the XLA slot engine's (B·K, L) layout wins
+    batched workloads).  Budget: the conv matrix (4·Lp² when local-m) plus
     R × the step's working set — the (R, 3Kp, Lp) compaction intermediates
     dominate at ~40 live (Kp, Lp) int32 tiles per replica — inside ~14 MB
     of VMEM."""

@@ -54,6 +54,21 @@ def _v_from_tracers(tr, times, t_start_frac=0.5):
     return np.nanmean(disp) / (times[-1] - times[s])
 
 
+def _D_from_tracers(tr, times):
+    """D per replica: displacement-variance slope over the second half
+    (compute_D_eff_active semantics, all particles tracked)."""
+    from hydrolim_tpu.particles.lattice_gas import tracer_valid_mask
+
+    M = len(times)
+    s = M // 2
+    ok = tracer_valid_mask(tr[s])
+    span = times[s:] - times[s]
+    disp = tr[s:].astype(float) - tr[s].astype(float)
+    disp = np.where(ok, disp, np.nan)
+    var = np.nanvar(disp, axis=1)
+    return np.polyfit(span, var, 1)[0] / 2.0
+
+
 BETAS = np.array([0.8, 1.5, 2.5])
 
 
@@ -65,9 +80,16 @@ def _exclusion_cfg(**kw):
     return ParticleConfig(**base)
 
 
+_RUN_CACHE = {}
+
+
 def _exclusion_engines_run(n_runs=4, seed=12, T=8.0, obs_dt=0.5):
     """Same K=1 exclusion config on both engines; returns per-(β, run)
-    |m| window means and tracer velocities."""
+    |m| window means, tracer velocities and D_eff.  Cached per arg tuple —
+    two golden tests share one simulation."""
+    key_t = (n_runs, seed, T, obs_dt)
+    if key_t in _RUN_CACHE:
+        return _RUN_CACHE[key_t]
     from hydrolim_tpu.particles.lattice_gas import run_lattice_gas
 
     config = _exclusion_cfg()
@@ -96,22 +118,35 @@ def _exclusion_engines_run(n_runs=4, seed=12, T=8.0, obs_dt=0.5):
     v_slot = np.array([
         abs(_v_from_tracers(np.asarray(frames_lg.tracer_pos[i]), times))
         for i in range(B)])
+    D_part = np.array([
+        _D_from_tracers(np.asarray(res.frames.pos[i]), times)
+        for i in range(B)])
+    D_slot = np.array([
+        _D_from_tracers(np.asarray(frames_lg.tracer_pos[i]), times)
+        for i in range(B)])
     sh = (len(BETAS), n_runs)
-    return (m_part.reshape(sh), m_slot.reshape(sh), v_part.reshape(sh),
-            v_slot.reshape(sh))
+    out = (m_part.reshape(sh), m_slot.reshape(sh), v_part.reshape(sh),
+           v_slot.reshape(sh), D_part.reshape(sh), D_slot.reshape(sh))
+    _RUN_CACHE[key_t] = out
+    return out
 
 
-def test_golden_cross_engine_exclusion_m_and_v():
+def test_golden_cross_engine_exclusion_m_v_D():
     """Particle-centric τ-leap vs site-centric slot engine at K=1
-    exclusion, 3 β points: |m| and tracer speed agree within error bars —
-    two independent samplers of the same CTMC."""
+    exclusion, 3 β points: |m|, tracer speed AND D_eff agree within error
+    bars — two independent samplers of the same CTMC, both tracking ALL N
+    particles (VERDICT r2 #3 acceptance: slot-engine D_eff error bars
+    match the particle engine at equal replica count)."""
     n_runs = 4
-    m_p, m_s, v_p, v_s = _exclusion_engines_run(n_runs=n_runs)
+    m_p, m_s, v_p, v_s, D_p, D_s = _exclusion_engines_run(n_runs=n_runs)
     se = lambda a: a.std(1, ddof=1) / np.sqrt(n_runs)
-    for name, a, b in (("m", m_p, m_s), ("v", v_p, v_s)):
-        tol = 3.0 * (se(a) + se(b)) + 0.02 * max(1.0, b.mean())
+    for name, a, b in (("m", m_p, m_s), ("v", v_p, v_s), ("D", D_p, D_s)):
+        tol = 3.0 * (se(a) + se(b)) + 0.02 * max(1.0, abs(b.mean()))
         assert np.all(np.abs(a.mean(1) - b.mean(1)) < tol), (
             name, a.mean(1), b.mean(1), tol)
+    # full-N tracking: slot-engine SEs are the same scale as the particle
+    # engine's (not inflated by tracer subsampling)
+    assert np.all(se(D_s) < 3.0 * se(D_p) + 1e-3), (se(D_s), se(D_p))
     # ordering physics: |m| rises through the transition on both engines
     assert m_p.mean(1)[2] > m_p.mean(1)[0] + 0.2
     assert m_s.mean(1)[2] > m_s.mean(1)[0] + 0.2
@@ -126,7 +161,7 @@ def test_golden_three_engine_magnetization_vs_theory():
     beta = 2.5
     m_th = m_fixed_point(beta)
 
-    m_p, m_s, _, _ = _exclusion_engines_run(n_runs=4)
+    m_p, m_s, _, _, _, _ = _exclusion_engines_run(n_runs=4)
     assert abs(m_p[2].mean() - m_th) < 0.06, (m_p[2].mean(), m_th)
     assert abs(m_s[2].mean() - m_th) < 0.06, (m_s[2].mean(), m_th)
 
