@@ -100,8 +100,11 @@ def _kernel(scal_ref, seed_ref, slots_ref, conv_ref, slots_out, *,
     with the (Kp, Lp) tiles stacked on the leading axis — per-replica
     reductions run over axis 1 (the sublane axis of each tile), rolls over
     axis 2, and the smoothing matmul packs all R replicas into ONE
-    (2R, Lp) @ (Lp, Lp) MXU call.  A single-replica program runs K..2K of 8
-    sublanes; row-batching fills them (the same trick as ops/pallas_pde)."""
+    (2R, Lp) @ (Lp, Lp) MXU call.  Measured effect: amortizes grid/launch
+    overhead and the conv matmul (4.9e8 → 6.1e8 steps/s at the K=3
+    flagship B=16) but does NOT fill the idle sublanes — Mosaic tiles the
+    last two dims, so each replica's Kp rows stay padded to 8 sublanes
+    regardless of R (docs/ROADMAP.md sublane write-off)."""
     g = pl.program_id(0)
     # scal_ref: (R, 1, LANE) VMEM scalar slab — lane c holds scalar c;
     # last-dim slices give natively-(R, 1, 1)-shaped per-replica scalars
