@@ -394,9 +394,13 @@ kw = dict(n_runs_per_beta=2, ps_kwargs=ps,
           run_kwargs=dict(T=4.0, obs_dt=0.2), outdir="/tmp/bench_mc",
           seed=3, do_fit=False, plot_result=False, engine="lattice_gas")
 betas = np.linspace(0, 3, 8)
+# time the SECOND call of each variant — the first pays jit compiles and
+# would make the comparison cold-vs-warm
+sweep_over_betas(betas, npz_path="/tmp/bench_mc/a.npz", **kw)
 t0 = time.time()
 a = sweep_over_betas(betas, npz_path="/tmp/bench_mc/a.npz", **kw)
 w1 = time.time() - t0
+sweep_over_betas(betas, npz_path="/tmp/bench_mc/b.npz", n_devices=%d, **kw)
 t0 = time.time()
 b = sweep_over_betas(betas, npz_path="/tmp/bench_mc/b.npz",
                      n_devices=%d, **kw)
@@ -411,7 +415,7 @@ print(json.dumps({"wall_1": w1, "wall_n": wn,
                   "equal": bool(np.array_equal(ma, mb)),
                   "max_rel_diff": rel,
                   "close": bool(np.allclose(ma, mb, rtol=1e-4))}))
-""" % n_devices
+""" % (n_devices, n_devices)
     env = dict(os.environ)
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                         f" --xla_force_host_platform_device_count="
