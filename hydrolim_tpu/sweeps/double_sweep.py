@@ -7,6 +7,13 @@ are then meta-fitted over x = ρ̄ with f(x) = C0 − C1·x and g(x) = C2/x^{3/2
 (:877-961) — this is the pipeline that produced the frozen C0/C1/C2
 constants (BASELINE.md).  The double-sweep branch scales the tanh fixed
 point by 0.62 (:228, SURVEY.md §2.4) — exposed as ``m_scale``.
+
+The defaults here are ``DOUBLE_SWEEP_PS_KWARGS`` — the reference double
+sweep's OWN physics block (:666-694), which differs from the β-sweep's
+(rate_diffusion 0.005 vs 0.02, rate_active 10 vs 5, kernel σ 0.02 vs
+0.005, plus-gradient decay 0.2 vs 0.35).  Rounds 1-3 initially ran this
+driver on the β-sweep config; the fitted constants then land ~2× off the
+frozen C2 (see VALIDATION.md round-3 closing).
 """
 from __future__ import annotations
 
@@ -18,6 +25,17 @@ from scipy.optimize import curve_fit
 
 from hydrolim_tpu.sweeps.beta_sweep import DEFAULT_PS_KWARGS, sweep_over_betas
 from hydrolim_tpu.theory.meanfield import compute_m_of_beta_non
+
+# The reference's double sweep runs a DIFFERENT physics configuration than
+# its β-sweep (PARTICLE_solver_BIOLOGY_EXCLUSION_double_sweep.py:666-694):
+# slower diffusion, faster active hopping, a 4× wider interaction kernel,
+# and a steeper initial plus-gradient (decay_length 0.2, :698-714 — the
+# minus profile is flat so its decay_length never enters).  The frozen
+# C0/C1/C2 constants (BASELINE.md) were produced at THIS configuration.
+DOUBLE_SWEEP_PS_KWARGS: Dict = dict(
+    DEFAULT_PS_KWARGS, rate_diffusion=0.005, rate_active=10,
+    local_kernel_sigma=0.02)
+DOUBLE_SWEEP_DECAY_LENGTH = 0.2
 
 
 def rho_model(beta, f, g, rho_bar, K, m_beta):
@@ -83,7 +101,7 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
     list_N_part = np.asarray(list_N_part, dtype=float)
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
-    base = dict(DEFAULT_PS_KWARGS, **(ps_kwargs or {}))
+    base = dict(DOUBLE_SWEEP_PS_KWARGS, **(ps_kwargs or {}))
     rk = dict(T=10, obs_dt=0.1, record_fft=False, record_var=True)
     rk.update(run_kwargs or {})
 
@@ -100,7 +118,8 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
     i = 0
     for N_part in list_N_part:
         g = make_exp_gradient(L=L, N=int(N_part), frac_plus=0.75,
-                              decay_length=0.35, anchor_positions=None)
+                              decay_length=DOUBLE_SWEEP_DECAY_LENGTH,
+                              anchor_positions=None)
         for b in beta_values:
             for _ in range(nr):
                 prof_p[i] = g[2]
@@ -222,16 +241,23 @@ def double_sweep(beta_values, list_N_part: Sequence[float],
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
 
-    base = dict(DEFAULT_PS_KWARGS, **(ps_kwargs or {}))
+    base = dict(DOUBLE_SWEEP_PS_KWARGS, **(ps_kwargs or {}))
     rk = dict(T=10, obs_dt=0.1, record_fft=True, record_var=True)
     rk.update(run_kwargs or {})
+
+    from hydrolim_tpu.sweeps.beta_sweep import make_exp_gradient
 
     f_fit, f_err, g_fit, g_err, per_N = [], [], [], [], []
     for n_idx, N_part in enumerate(list_N_part):
         pk = dict(base, N=int(N_part))
+        grad = make_exp_gradient(L=int(pk["L"]), N=int(N_part),
+                                 frac_plus=0.75,
+                                 decay_length=DOUBLE_SWEEP_DECAY_LENGTH,
+                                 anchor_positions=None)
         save = sweep_over_betas(
             beta_values, n_runs_per_beta=n_runs_per_beta, run=True,
             ps_kwargs=pk, run_kwargs=rk,
+            init_kwargs=dict(rho0_plus=grad[0], rho0_minus=grad[1]),
             npz_path=str(out / f"beta_sweep_N{int(N_part)}.npz"),
             outdir=str(out), seed=seed + 10_000 * n_idx, do_fit=False,
             plot_result=False)

@@ -22,14 +22,21 @@ from hydrolim_tpu.sweeps.beta_sweep import (
 from hydrolim_tpu.sweeps.ensemble import frames_to_out
 
 # reference __main__ configuration (:675-726)
+# Reference local-structure configuration
+# (PARTICLE_solver_BIOLOGY_local_structure.py:671-726): faster diffusion
+# than the β-sweep (0.05), non-periodic, 'fixed' init at N=900, obs_dt=1.
+# (The reference passes exp-gradient rho0± callables alongside
+# init='fixed', but its _init_fixed ignores them — uniform sites, uniform
+# spins, PARTICLE_solver_CLASS.py:141-158 — so they are dead kwargs; our
+# init_fixed implements the same law.)
 DEFAULT_STRUCTURE_PS_KWARGS: Dict = dict(
-    L=1000, xlim=1, rate_diffusion=0.02, rate_active=5, flip_rate_fn=None,
-    init="poisson", N=900, scale_rates=False, local_kernel_sigma=0.005,
-    minus_anchor=True, periodic=True, immobilize_when_anchored=True,
+    L=1000, xlim=1, rate_diffusion=0.05, rate_active=5, flip_rate_fn=None,
+    init="fixed", N=900, scale_rates=False, local_kernel_sigma=0.005,
+    minus_anchor=True, periodic=False, immobilize_when_anchored=True,
     anchor_radius=0.003, anchor_positions=None, site_capacity=1,
     crowding_suppresses_rates=False, k_on=0, k_off=0, k_exit=0,
 )
-DEFAULT_STRUCTURE_RUN_KWARGS: Dict = dict(T=40, obs_dt=0.1, record_fft=True,
+DEFAULT_STRUCTURE_RUN_KWARGS: Dict = dict(T=40, obs_dt=1.0, record_fft=True,
                                           record_var=True)
 
 
@@ -164,8 +171,10 @@ def sweep_betas_for_structures(beta_values, n_runs_per_beta: int,
     ps_kwargs = dict(DEFAULT_STRUCTURE_PS_KWARGS, **(ps_kwargs or {}))
     run_kwargs = dict(DEFAULT_STRUCTURE_RUN_KWARGS, **(run_kwargs or {}))
     if init_kwargs is None and ps_kwargs.get("init") == "poisson":
+        # reference profile shape (:683-691; only reaches the sampler when
+        # a caller overrides init='poisson' — 'fixed' ignores profiles)
         g = make_exp_gradient(L=int(ps_kwargs["L"]), N=int(ps_kwargs["N"]),
-                              frac_plus=0.5, decay_length=0.35,
+                              frac_plus=0.75, decay_length=0.2,
                               anchor_positions=None)
         init_kwargs = dict(rho0_plus=g[0], rho0_minus=g[1])
     beta_values = np.asarray(beta_values, dtype=float)

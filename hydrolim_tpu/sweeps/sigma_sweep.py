@@ -21,6 +21,11 @@ from hydrolim_tpu.sweeps.beta_sweep import DEFAULT_PS_KWARGS, sweep_over_betas
 from hydrolim_tpu.theory.blocking import v_eff_fit, v_pred_TASEP, v_pred_without_phi
 from hydrolim_tpu.theory.meanfield import compute_m_of_beta, compute_m_of_beta_non
 
+# The reference σ-sweep runs 10× slower diffusion than the β-sweep
+# (PARTICLE_solver_BIOLOGY_EXCLUSION_sweep_beta_2.py:836-856:
+# rate_diffusion = 0.002 vs 0.02; everything else matches).
+SIGMA_SWEEP_PS_KWARGS: Dict = dict(DEFAULT_PS_KWARGS, rate_diffusion=0.002)
+
 
 def sweep_over_sigmas(sigma_values: Sequence[float], beta_values,
                       n_runs_per_beta: int = 5, run: bool = True,
@@ -43,7 +48,7 @@ def sweep_over_sigmas(sigma_values: Sequence[float], beta_values,
 
     results = {}
     for k_idx, sigma in enumerate(sigma_values):
-        pk = dict(DEFAULT_PS_KWARGS, **(ps_kwargs or {}))
+        pk = dict(SIGMA_SWEEP_PS_KWARGS, **(ps_kwargs or {}))
         pk["local_kernel_sigma"] = float(sigma)
         npz_path = out / f"v_eff_vs_beta_sigma_{sigma:.4g}.npz"
         if resume and npz_path.exists():
