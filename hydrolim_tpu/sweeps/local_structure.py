@@ -21,7 +21,6 @@ from hydrolim_tpu.sweeps.beta_sweep import (
 )
 from hydrolim_tpu.sweeps.ensemble import frames_to_out
 
-# reference __main__ configuration (:675-726)
 # Reference local-structure configuration
 # (PARTICLE_solver_BIOLOGY_local_structure.py:671-726): faster diffusion
 # than the β-sweep (0.05), non-periodic, 'fixed' init at N=900, obs_dt=1.
