@@ -529,3 +529,25 @@ def test_pallas_pde_anchored_neumann_matches_xla(legacy):
     np.testing.assert_allclose(np.asarray(got.records.var),
                                np.asarray(want.records.var),
                                rtol=5e-3, atol=1e-6)
+
+
+def test_double_sweep_constants_match_frozen_reference(tmp_path):
+    """Full-scale (N, β) double sweep at the reference's own configuration
+    reproduces the frozen exclusion constants
+    (PARTICLE_solver_BIOLOGY_EXCLUSION_double_sweep.py:549-551; fit
+    pipeline :851-961).  TPU-gated for speed (836 replicas × 10 time
+    units); measured agreement at seed 0 is 0.05% / 2.9% / 0.3%
+    (VALIDATION.md round-3 config audit) — tolerances leave room for
+    seed-to-seed wobble at 4 runs per grid point."""
+    if not _tpu_is_default():
+        pytest.skip("full-scale double sweep needs the TPU slot engine")
+    from hydrolim_tpu.sweeps.double_sweep import double_sweep_fused
+    from hydrolim_tpu.theory import blocking as bl
+
+    res = double_sweep_fused(
+        np.linspace(0, 3, 11), np.linspace(50, 950, 19),
+        n_runs_per_beta=4, outdir=str(tmp_path), seed=0,
+        plot_result=False, engine="lattice_gas")
+    assert abs(res["C0"] - bl.C0) / bl.C0 < 0.02
+    assert abs(res["C1"] - bl.C1) / bl.C1 < 0.08
+    assert abs(res["C2"] - bl.C2) / bl.C2 < 0.12
