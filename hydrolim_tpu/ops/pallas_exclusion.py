@@ -92,7 +92,7 @@ def build_conv_matrix(config: ParticleConfig) -> np.ndarray:
     return M
 
 
-def _kernel(scal_ref, seed_ref, slots_ref, conv_ref, slots_out, *,
+def _kernel(scal_ref, seed_ref, gid_ref, slots_ref, conv_ref, slots_out, *,
             L: int, Lp: int, K: int, Kp: int, R: int, k_steps: int,
             dt: float, periodic: bool, bidirectional: bool,
             use_local_m: bool):
@@ -112,7 +112,10 @@ def _kernel(scal_ref, seed_ref, slots_ref, conv_ref, slots_out, *,
     beta = scal_ref[:, :, 0:1]                   # (R, 1, 1)
     p_dif = scal_ref[:, :, 1:2] * dt
     p_act = scal_ref[:, :, 2:3] * dt
-    pltpu.prng_seed(seed_ref[g], g)
+    # second seed word is the GLOBAL program id (== g unless the caller is
+    # a shard_map shard, which passes its global offset) so that per-shard
+    # streams match the unsharded run replica-for-replica
+    pltpu.prng_seed(seed_ref[g], gid_ref[g])
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (R, 1, Lp), 2)
     laneK = jax.lax.broadcasted_iota(jnp.int32, (R, Kp, Lp), 2)
@@ -255,6 +258,7 @@ def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
                          L: int, K: int, k_steps: int, dt: float,
                          periodic: bool, bidirectional: bool,
                          use_local_m: bool, r_batch: int = 1,
+                         prog_ids: jnp.ndarray = None,
                          interpret: bool = False):
     """Advance K_STEPS exclusion steps fully on-chip.
 
@@ -273,6 +277,10 @@ def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
         single-replica program occupies K..2K of 8 sublanes; row-batching
         stacks R (Kp, Lp) tiles per program and shares the conv matrix
         across one (2R, Lp) matmul (the pallas_pde (G, R, …) trick).
+      prog_ids: (G,) int32 GLOBAL program ids used as the second PRNG seed
+        word (default arange(G)).  A shard_map caller passes its shard's
+        global offset + arange so every replica's bit stream matches the
+        unsharded run.
     """
     B, Kp, Lp = slots.shape
     R = r_batch
@@ -292,30 +300,34 @@ def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
         periodic=periodic, bidirectional=bidirectional,
         use_local_m=use_local_m)
 
-    def squeeze(scal, seed, sl, conv, out):
-        kernel(scal.at[0], seed, sl.at[0], conv, out.at[0])
+    def squeeze(scal, seed, gid, sl, conv, out):
+        kernel(scal.at[0], seed, gid, sl.at[0], conv, out.at[0])
 
     slot_spec = pl.BlockSpec((1, R, Kp, Lp), lambda g: (g, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     scal_g = jnp.pad(jnp.asarray(scalars, jnp.float32),
                      ((0, 0), (0, LANE - 3))).reshape(G, R, 1, LANE)
     seeds_g = jnp.asarray(seeds, jnp.int32)[::R]
+    gids_g = (jnp.arange(G, dtype=jnp.int32) if prog_ids is None
+              else jnp.asarray(prog_ids, jnp.int32))
+    smem_vec = pl.BlockSpec((G,), lambda g: (0,), memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         squeeze,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, R, 1, LANE), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G,), lambda g: (0,), memory_space=pltpu.SMEM),
+            smem_vec,
+            smem_vec,
             slot_spec,
             pl.BlockSpec(conv_mat.shape, lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=slot_spec,
         out_shape=jax.ShapeDtypeStruct((G, R, Kp, Lp), jnp.int32),
-        input_output_aliases={2: 0},
+        input_output_aliases={3: 0},
         interpret=interpret,
-    )(scal_g, seeds_g, slots.reshape(G, R, Kp, Lp),
+    )(scal_g, seeds_g, gids_g, slots.reshape(G, R, Kp, Lp),
       jnp.asarray(conv_mat, jnp.float32))
     return out.reshape(B, Kp, Lp)
 

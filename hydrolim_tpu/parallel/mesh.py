@@ -102,9 +102,12 @@ def sweep_axis_size(mesh: Optional[Mesh]) -> int:
     return int(mesh.shape.get(mesh.axis_names[0], 1))
 
 
-def pad_batch(tree, Bp: int):
+def pad_batch(tree, Bp: int, B: Optional[int] = None):
     """Pad every leading-batch-axis leaf to ``Bp`` rows by repeating the
-    last entry; the caller drops the pad replicas after the run.
+    last entry; the caller drops the pad replicas after the run.  With
+    ``B`` given, ONLY leaves whose leading dim equals ``B`` are treated as
+    batch leaves — a non-batch leaf that happens to have a short leading
+    axis (per-field constants, anchor lists) passes through untouched.
 
     Bit-equality contract: ``jax.random.split(key, B)`` and the
     partitionable-threefry bit streams are PREFIX-STABLE in the batch size
@@ -125,6 +128,8 @@ def pad_batch(tree, Bp: int):
     def pad(x):
         x = jnp.asarray(x)
         if x.ndim == 0 or x.shape[0] >= Bp:
+            return x
+        if B is not None and x.shape[0] != B:
             return x
         return jnp.concatenate(
             [x, jnp.repeat(x[-1:], Bp - x.shape[0], axis=0)], axis=0)
@@ -157,7 +162,7 @@ def pad_and_shard(mesh: Optional[Mesh], tree, B: int):
         return tree, B
     n_sw = sweep_axis_size(mesh)
     Bp = -(-B // n_sw) * n_sw
-    tree = pad_batch(tree, Bp)
+    tree = pad_batch(tree, Bp, B=B)
     return shard_batch(mesh, tree, Bp), Bp
 
 

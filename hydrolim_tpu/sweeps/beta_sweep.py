@@ -274,8 +274,11 @@ def run_sweep_grid(beta_values, n_runs: int, ps_kwargs: Dict,
     bounds the device-resident frame memory.
 
     ``mesh=``/``n_devices=`` shard each chunk's batch over the mesh's
-    'sweep' axis (chunk size rounded up to the mesh multiple; replicas
-    bit-identical to the 1-device run — parallel.mesh.pad_batch)."""
+    'sweep' axis.  The chunk STRIDE (and hence each chunk's
+    fold_in(seed, c0) key) never depends on the mesh — each chunk's batch
+    is padded up to the mesh multiple instead, so replicas are
+    bit-identical to the 1-device run for any chunk_size/mesh combination
+    (prefix-stable key splits — parallel.mesh.pad_batch)."""
     from hydrolim_tpu.parallel.mesh import (
         resolve_sweep_mesh,
         shard_batch,
@@ -297,22 +300,28 @@ def run_sweep_grid(beta_values, n_runs: int, ps_kwargs: Dict,
 
     mesh = resolve_sweep_mesh(mesh, n_devices)
     n_sw = sweep_axis_size(mesh)
-    C = -(-min(chunk_size, B) // n_sw) * n_sw
+    # chunk STRIDE stays at the unsharded value so the per-chunk
+    # fold_in(seed, c0) keys are identical for every mesh size; each chunk's
+    # batch is padded up to the mesh multiple instead (prefix-stable key
+    # splits keep the real replicas bit-identical — parallel/mesh.py)
+    Cs = min(chunk_size, B)
+    Bp = -(-Cs // n_sw) * n_sw
     chunks = []
-    for c0 in range(0, B, C):
-        pad = max(0, c0 + C - B)
-        bc = np.concatenate([beta_flat[c0:c0 + C],
+    for c0 in range(0, B, Cs):
+        n_real = min(Cs, B - c0)
+        pad = Bp - n_real
+        bc = np.concatenate([beta_flat[c0:c0 + n_real],
                              np.repeat(beta_flat[c0:c0 + 1], pad)])
         params = broadcast_params(config, beta=bc, **rates)
         if mesh is not None:
-            params = shard_batch(mesh, params, C)
+            params = shard_batch(mesh, params, Bp)
         res = run_particle_ensemble(
             config, params,
             jax.random.fold_in(jax.random.PRNGKey(seed), c0),
             T=T, obs_dt=obs_dt, dt=dt, rho0_plus=rho0_p, rho0_minus=rho0_m)
         res = jax.device_get(res)
         if pad:  # every frames/final_state leaf carries the batch on axis 0
-            res = jax.tree.map(lambda a: a[:C - pad], res)
+            res = jax.tree.map(lambda a: a[:n_real], res)
         chunks.append(res)
     if len(chunks) == 1:
         return config, chunks[0], dt

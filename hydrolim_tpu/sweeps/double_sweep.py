@@ -145,12 +145,17 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
 
     mesh = resolve_sweep_mesh(None, n_devices)
     n_sw = sweep_axis_size(mesh)
-    C = -(-min(chunk_size, B) // n_sw) * n_sw
+    # chunk stride is mesh-independent (same fold_in(seed, c0) keys for
+    # every mesh size); each chunk pads up to the mesh multiple instead —
+    # see run_sweep_grid
+    Cs = min(chunk_size, B)
+    Bp = -(-Cs // n_sw) * n_sw
     p_block_flat = np.zeros((B,), float)
     times = np.arange(0.0, T, obs_dt)
-    for c0 in range(0, B, C):
-        sl = slice(c0, c0 + C)
-        pad = C - (min(c0 + C, B) - c0)
+    for c0 in range(0, B, Cs):
+        n_real = min(Cs, B - c0)
+        sl = slice(c0, c0 + n_real)
+        pad = Bp - n_real
         take = lambda a: np.concatenate(
             [a[sl], np.repeat(a[c0:c0 + 1], pad, axis=0)], axis=0) \
             if pad else a[sl]
@@ -159,7 +164,7 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
             rate_diffusion=float(base["rate_diffusion"]),
             rate_active=float(base["rate_active"]))
         if mesh is not None:
-            params_c = shard_batch(mesh, params_c, C)
+            params_c = shard_batch(mesh, params_c, Bp)
         ckey = jax.random.fold_in(jax.random.PRNGKey(seed), c0)
         if engine == "pallas":
             from hydrolim_tpu.sweeps.fast_exclusion import run_exclusion_sweep
@@ -187,7 +192,7 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
         est = jax.device_get(batched_estimates(
             total, m_g, rho_p, times,
             dx=config.dx, xlim=float(config.xlim), has_positions=False))
-        p_block_flat[sl] = np.asarray(est.p_block)[:C - pad]
+        p_block_flat[sl] = np.asarray(est.p_block)[:n_real]
 
     K = int(base["site_capacity"])
     f_fit, f_err, g_fit, g_err, per_N = [], [], [], [], []

@@ -246,14 +246,17 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
 
     sl0 = pack_slots(slots0)
     conv_j = jnp.asarray(conv, jnp.float32)
-    # replica-row batch per kernel program, chosen from the PER-SHARD batch
-    # so a mesh of 1 stays bit-identical to the unwrapped kernel (R changes
-    # the grid layout and the per-program seed stride)
+    # replica-row batch per kernel program, chosen from the GLOBAL batch so
+    # the grid layout (and hence every program's PRNG stream) is identical
+    # for every mesh size; each shard then runs G_local = Bp/(n_sw*R)
+    # programs whose GLOBAL ids are threaded into the kernel's second seed
+    # word (prog_ids below), making the sharded run bit-identical to the
+    # unsharded one replica-for-replica
     n_sw = 1 if mesh is None else int(mesh.shape[mesh.axis_names[0]])
     assert B % n_sw == 0, (
         f"fused-kernel batch {B} must be a multiple of the sweep mesh "
         f"size {n_sw} (the sweep drivers pad; see parallel.mesh)")
-    R = _pick_r_batch(config, B // n_sw)
+    R = _pick_r_batch(config, B)
     Bp = -(-B // (R * n_sw)) * (R * n_sw)
     if Bp != B:
         # pad replicas so R divides every shard's local batch; pad rows
@@ -280,12 +283,23 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     #   ~GBs for long-T runs — so the post-pass is a lax.map over
     #   _REC_CHUNK-frame blocks: intermediates bounded per block, the
     #   (M, B, Kp, Lp) slot-frame ys remain the only O(M) buffer.
+    mesh_ax = None if mesh is None else mesh.axis_names[0]
+
     def run_scanned(sl0, scal, seeds0, tags, valid, conv_j):
+        # GLOBAL program ids for this shard's programs: replicas group into
+        # consecutive R-rows from global row 0, so shard i's local program
+        # g is global program i*G_local + g — passed as the kernel's second
+        # PRNG seed word so per-replica streams match the unsharded run
+        G_local = sl0.shape[0] // R
+        pid0 = (jax.lax.axis_index(mesh_ax) * G_local
+                if mesh_ax is not None else 0)
+        prog_ids = pid0 + jnp.arange(G_local, dtype=jnp.int32)
+
         def frame_body(sl, f):
             sl = exclusion_multi_step(
                 scal, seeds0 + f, sl, conv_j, L=L, K=K, k_steps=n_sub,
                 dt=dt_eff, periodic=config.periodic, bidirectional=bidi,
-                use_local_m=use_local_m, r_batch=R)
+                use_local_m=use_local_m, r_batch=R, prog_ids=prog_ids)
             return sl, sl
 
         sl, sl_frames = jax.lax.scan(frame_body, sl0,

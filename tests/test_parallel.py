@@ -194,3 +194,38 @@ def test_graft_dryrun_multichip_driver_env():
                          capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "DRYRUN_OK" in out.stdout
+
+
+def test_misaligned_chunk_mesh_bit_equal(tmp_path):
+    """Chunk boundaries (and the per-chunk fold_in keys) must not depend on
+    the mesh size: with chunk_size not a multiple of n_devices and
+    B > chunk_size, the sharded run pads within each chunk instead of
+    rounding the stride up, so results stay bit-identical to 1-device."""
+    from hydrolim_tpu.sweeps.beta_sweep import run_sweep_grid
+    from hydrolim_tpu.sweeps.double_sweep import double_sweep_fused
+
+    betas = np.linspace(0.0, 3.0, 3)
+    ps_kwargs, run_kwargs = _sweep_kwargs()
+    _, base, _ = run_sweep_grid(betas, 2, ps_kwargs, None, run_kwargs,
+                                seed=7, chunk_size=5)
+    _, shard, _ = run_sweep_grid(betas, 2, ps_kwargs, None, run_kwargs,
+                                 seed=7, chunk_size=5, n_devices=8)
+    np.testing.assert_array_equal(np.asarray(base.frames.m_global),
+                                  np.asarray(shard.frames.m_global))
+    np.testing.assert_array_equal(np.asarray(base.frames.total),
+                                  np.asarray(shard.frames.total))
+
+    kw = dict(n_runs_per_beta=2,
+              ps_kwargs=dict(L=64, local_kernel_sigma=0.0,
+                             site_capacity=2, periodic=True,
+                             rate_diffusion=0.5, rate_active=2.0,
+                             minus_anchor=False),
+              run_kwargs=dict(T=1.0, obs_dt=0.25), plot_result=False,
+              chunk_size=5, seed=4)
+    Ns = np.array([24.0, 48.0])
+    a = double_sweep_fused(betas, Ns, outdir=str(tmp_path / "a"), **kw)
+    b = double_sweep_fused(betas, Ns, outdir=str(tmp_path / "b"),
+                           n_devices=8, **kw)
+    for pa, pb in zip(a["per_N"], b["per_N"]):
+        np.testing.assert_array_equal(np.asarray(pa["block_means"]),
+                                      np.asarray(pb["block_means"]))
