@@ -384,7 +384,13 @@ def bench_multichip_sweep_virtual(n_devices=8, timeout=900):
 
     code = r"""
 import json, time
+import jax
 import numpy as np
+# belt-and-braces CPU pin: the axon TPU plugin ignores JAX_PLATFORMS=cpu
+# in some invocations (CLAUDE.md); without this the unsharded baseline
+# could run on the TPU while the sharded run uses the virtual CPU mesh —
+# different backends, meaningless comparison
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
 from hydrolim_tpu.sweeps.beta_sweep import sweep_over_betas, make_exp_gradient
 g = make_exp_gradient(L=200, N=120, frac_plus=0.75, decay_length=0.35,
                       anchor_positions=None)

@@ -119,6 +119,20 @@ def rfft_ri_partial(x: jnp.ndarray, kmax: int,
     return jnp.stack([re, im], axis=-1)
 
 
+def rfft_ri_with_slab(x: jnp.ndarray, C: jnp.ndarray,
+                      S: jnp.ndarray) -> jnp.ndarray:
+    """``rfft_ri_partial`` against CALLER-SUPPLIED (L, kmax) cos/sin slabs
+    (``_rfft_mats_partial``).  Pass the slabs as TRACED jit arguments when
+    the transform runs inside a long-lived compiled program: a closure
+    bakes them in as program constants, and at default kmax = L//2+1 the
+    pair is ~8·L²/2 bytes — ~268 MB at L = 8192, which oversizes the
+    remote-compile payload (the failure mode ``rfft_ri_partial``'s slab
+    truncation was introduced for).  Matmul path only (the slabs ARE the
+    matmul operands)."""
+    xr = x.astype(jnp.float32)
+    return jnp.stack([_mm(xr, C), -_mm(xr, S)], axis=-1)
+
+
 def irfft_ri(Xri: jnp.ndarray, n: int) -> jnp.ndarray:
     """(..., K, 2) real/imag → real signal of length n (trailing axis)."""
     if fft_mode() == "native":

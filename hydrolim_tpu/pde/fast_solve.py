@@ -237,7 +237,8 @@ def build_kernel_mats(config: PDEConfig, gamma: float,
                      "narrow_r", "solve_mode", "solve_r", "has_noise",
                      "keep"))
 def _run_scanned(config: PDEConfig, scal, seeds0, rho_p, rho_m, pos, spin,
-                 hist, solve_mat, smooth_mat, wts, solve_wts, *, B: int,
+                 hist, solve_mat, smooth_mat, wts, solve_wts, fftC, fftS,
+                 *, B: int,
                  R: int, k_chunk: int, n_chunks: int, m_mode: str,
                  narrow_r: int, solve_mode: str, solve_r: int,
                  has_noise: bool, keep: bool):
@@ -256,11 +257,13 @@ def _run_scanned(config: PDEConfig, scal, seeds0, rho_p, rho_m, pos, spin,
     def chunk_body(carry, c):
         rho_p, rho_m, pos, spin, hist = carry
         # chunk-start spectra (state n = c·k_chunk): one (B, L) @ (L, 2k)
-        # matmul-DFT per chunk — the fused path records rfft at snapshot
+        # matmul-DFT per chunk — the fused path records rfft at chunk-start
         # cadence (the reference records per step, IMEX_PDE_solver_class.py
-        # :248-250; the per-step record stays on the XLA path)
+        # :248-250; the per-step record stays on the XLA path).  The DFT
+        # slabs are TRACED args: as closure constants they are ~268 MB at
+        # (L=8192, default kmax) and oversize the remote-compile payload.
         total_c = (rho_p + rho_m)[:B, :L]
-        fft_c = dft.rfft_ri_partial(total_c, config.kmax) / L   # (B, k, 2)
+        fft_c = dft.rfft_ri_with_slab(total_c, fftC, fftS) / L  # (B, k, 2)
         if keep:
             snaps = (total_c, (rho_p - rho_m)[:B, :L])
         else:
@@ -412,11 +415,14 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     solve_j = jnp.asarray(solve_mat)
     smooth_j = jnp.asarray(smooth_mat)
     scal_j = jnp.asarray(scal)[rep_idx]
+    fftC_np, fftS_np = dft._rfft_mats_partial(L, config.kmax)
+    fftC, fftS = jnp.asarray(fftC_np), jnp.asarray(fftS_np)
 
     (rho_p, rho_m, pos, spin, hist, recs, fft_chunks, snaps,
      m_snaps) = _run_scanned(
         config, scal_j, seeds0, rho_p, rho_m, pos, spin, hist, solve_j,
-        smooth_j, jnp.asarray(wts), jnp.asarray(solve_wts), B=B, R=R,
+        smooth_j, jnp.asarray(wts), jnp.asarray(solve_wts), fftC, fftS,
+        B=B, R=R,
         k_chunk=k_chunk, n_chunks=n_chunks, m_mode=m_mode,
         narrow_r=narrow_r, solve_mode=solve_mode, solve_r=solve_r,
         has_noise=has_noise, keep=keep_snapshots)
@@ -432,7 +438,7 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
         hist=hist[:B, :W, :n_t])
 
     @jax.jit
-    def final_record(rho_p, rho_m, tr, key):
+    def final_record(rho_p, rho_m, tr, key, fftC, fftS):
         def one(p, rp, rm, t, k):
             m_field = magnetization(config, ops, rp, rm)
             total = rp + rm
@@ -440,12 +446,12 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
                                              jnp.int32(nsteps))
             return (jnp.mean(m_field), jnp.var(total), v_eff, D_eff,
                     total, rp - rm,
-                    dft.rfft_ri_partial(total, config.kmax) / L)
+                    dft.rfft_ri_with_slab(total, fftC, fftS) / L)
         keys = jax.random.split(key, B)
         return jax.vmap(one)(params_b, rho_p, rho_m, tr, keys)
 
     m_f, var_f, v_f, D_f, snap_f, snap_m_f, fft_f = final_record(
-        rho_p_f, rho_m_f, tr_f, k_final)
+        rho_p_f, rho_m_f, tr_f, k_final, fftC, fftS)
 
     n_iters = nsteps + 1
     m_mean = jnp.concatenate([recs[:, :, 0], m_f[:, None]], axis=1)
@@ -467,10 +473,13 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
         m_snaps = jnp.zeros((B, 0, L), jnp.float32)
         snap_times = jnp.zeros((B, 0), jnp.float32)
 
-    # spectra at snapshot cadence: chunk-start rows (n = c·k_chunk) + the
-    # final state; intermediate steps stay NaN (the per-step record lives
-    # on the XLA path — IMEX_PDE_solver_class.py:248-250 cadence note in
-    # the module docstring)
+    # spectra at CHUNK-START cadence: rows n = c·k_chunk + the final
+    # state; all other rows stay NaN (the per-step record lives on the
+    # XLA path — IMEX_PDE_solver_class.py:248-250).  k_chunk == interval
+    # when keep_snapshots is True, so the populated rows are exactly the
+    # snapshot steps; with keep_snapshots=False the chunk may have grown
+    # (×2 steps from interval, ≤1024), so populated rows are a coarser
+    # SUBSET of the snapshot steps — consumers select rows via isfinite.
     fft_ri = jnp.full((B, n_iters, config.kmax, 2), jnp.nan, jnp.float32)
     chunk_steps = jnp.arange(n_chunks) * k_chunk
     fft_ri = fft_ri.at[:, chunk_steps].set(fft_chunks)

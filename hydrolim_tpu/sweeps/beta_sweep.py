@@ -214,7 +214,7 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
             frames, _ = run_exclusion_sweep(
                 config, params, key, T=T, obs_dt=obs_dt, dt=dt,
                 engine=kernel, rho0_plus=rho0_p, rho0_minus=rho0_m,
-                n_tracers=n_tracers, mesh=mesh)
+                n_tracers=n_tracers, mesh=mesh, b_real=B)
             frames = unpad(frames)
             out_for = _lattice_gas_out_accessor(frames, times)
             return config, out_for, dt, frames

@@ -172,7 +172,8 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
             frames, _ = run_exclusion_sweep(
                 config, params_c, ckey, T=T, obs_dt=obs_dt, dt=dt,
                 engine="auto", rho0_plus=take(prof_p),
-                rho0_minus=take(prof_m), record_fft=False, mesh=mesh)
+                rho0_minus=take(prof_m), record_fft=False, mesh=mesh,
+                b_real=Cs)
             total, rho_p, m_g = frames.total, frames.rho_p, frames.m_global
         elif engine == "lattice_gas":
             from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_k

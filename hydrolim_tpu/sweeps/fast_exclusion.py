@@ -160,7 +160,8 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
                         key: jnp.ndarray, *, T: float, obs_dt: float,
                         dt: float, engine: str = "auto", rho0_plus=None,
                         rho0_minus=None, record_fft: bool = True,
-                        n_tracers: int = 0, mesh=None
+                        n_tracers: int = 0, mesh=None,
+                        b_real: Optional[int] = None
                         ) -> Tuple[LatticeGasFrames, np.ndarray]:
     """Fused-kernel exclusion sweep over the batch of ``params_b``.
 
@@ -174,7 +175,13 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     mesh axis — B must be a multiple of the mesh size (the sweep drivers
     pad; pure DP, zero cross-shard communication, per-replica results
     identical to the unsharded kernel).  On the XLA fallback the mesh is
-    honored by the caller sharding ``params_b`` (GSPMD propagation)."""
+    honored by the caller sharding ``params_b`` (GSPMD propagation).
+
+    ``b_real=`` is the TRUE replica count when the caller already padded
+    ``params_b`` to a mesh multiple: the replica-row batch R must derive
+    from a mesh-INVARIANT size, or a padded call would pick a different R
+    than the unsharded call and every PRNG draw shape would change
+    (breaking the bit-identity contract).  Defaults to the params batch."""
     from hydrolim_tpu.particles.lattice_gas_k import lgk_init, run_lattice_gas_k
 
     assert is_pallas_exclusion_path(config), (
@@ -256,16 +263,15 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     assert B % n_sw == 0, (
         f"fused-kernel batch {B} must be a multiple of the sweep mesh "
         f"size {n_sw} (the sweep drivers pad; see parallel.mesh)")
-    R = _pick_r_batch(config, B)
+    R = _pick_r_batch(config, B if b_real is None else b_real)
     Bp = -(-B // (R * n_sw)) * (R * n_sw)
     if Bp != B:
         # pad replicas so R divides every shard's local batch; pad rows
         # replicate the last replica and are dropped on return
-        padb = lambda x: jnp.concatenate(
-            [jnp.asarray(x)] +
-            [jnp.asarray(x)[-1:]] * (Bp - B), axis=0)
-        sl0, scal, seeds0, tags, valid = map(
-            padb, (sl0, scal, seeds0, tags, valid))
+        from hydrolim_tpu.parallel.mesh import pad_batch
+
+        sl0, scal, seeds0, tags, valid = pad_batch(
+            (sl0, scal, seeds0, tags, valid), Bp, B=B)
 
     # ONE compiled program for the whole run: the frame loop is a lax.scan
     # over the fused kernel ONLY (per-frame slot states as scan ys), with

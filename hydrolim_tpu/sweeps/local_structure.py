@@ -129,7 +129,10 @@ def _lattice_gas_outs(beta_values, n_runs, ps_kwargs, init_kwargs,
     B = params.beta.shape[0]
     params, _Bp = pad_and_shard(mesh, params, B)
     if kernel != "xla" and mesh is not None:
-        run_lattice_gas = functools.partial(run_lattice_gas, mesh=mesh)
+        # b_real: R must derive from the true replica count, not the
+        # mesh-padded batch (fast_exclusion bit-identity contract)
+        run_lattice_gas = functools.partial(run_lattice_gas, mesh=mesh,
+                                            b_real=B)
     frames, _ = run_lattice_gas(config, params, jax.random.PRNGKey(seed),
                                 T=T, obs_dt=obs_dt, dt=dt,
                                 rho0_plus=rho0_p, rho0_minus=rho0_m)
