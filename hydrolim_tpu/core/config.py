@@ -46,6 +46,13 @@ class ParticleConfig:
     scale_rates: bool = True
     local_kernel_sigma: float = 0.005        # <=0 -> global magnetization
     periodic: bool = False
+    # Accepted for reference API parity only — a NO-OP, exactly as in the
+    # reference: its False branch grants sigma=-1 particles rate_active
+    # (PARTICLE_solver_CLASS.py:269-272), but the later act_possible gate
+    # ``r_act_vec[~((sigma==1) & forward_free)] = 0`` (:316-318) always
+    # zeroes them again, and every reference driver passes True.  The
+    # engines implement the one reachable behavior ('plus_forward' actives
+    # sigma=+1 only; sigma-directed binding lives in anchor gates).
     minus_anchor: bool = True
     immobilize_when_anchored: bool = True
     anchor_positions: Optional[Tuple[float, ...]] = None

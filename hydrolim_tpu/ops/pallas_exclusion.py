@@ -159,7 +159,11 @@ def _kernel(scal_ref, seed_ref, gid_ref, slots_ref, conv_ref, slots_out, *,
 
         if use_local_m:
             pack = jnp.concatenate([counts_s, tot], axis=1)     # (R, 2, Lp)
+            # HIGHEST: the default lowers the smoothing operands to bf16
+            # (~2e-3 relative m error — perturbs every CW flip rate and
+            # breaks parity with the XLA engines' f32 convolutions)
             conv = jnp.dot(pack.reshape(2 * R, Lp), conv_ref[:],
+                           precision=jax.lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32
                            ).reshape(R, 2, Lp)
             m = jnp.where(conv[:, 1:2] > 0.0, conv[:, 0:1] / jnp.where(

@@ -243,9 +243,12 @@ def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, swts_ref, rhop_ref,
         else:
             pos_u = pos_u + lam * spin * dt
 
+        # read the slot being overwritten FIRST: it holds u_{n+1-window}
+        # (written `window` iterations ago), so dr spans exactly `window`
+        # steps — matching the window*dt divisor (pde/stepper._tracer_update)
         slot = jnp.mod(n, window)
+        old = hist_out[:, pl.ds(slot, 1), :]
         hist_out[:, pl.ds(slot, 1), :] = pos_u[:, None, :]
-        old = hist_out[:, pl.ds(jnp.mod(n + 1, window), 1), :]
         dr = (pos_u - jnp.reshape(old, (R, Ntp))) * validT
         mean_dr = jnp.sum(dr, axis=1, keepdims=True) * inv_nt   # (R, 1)
         var_dr = jnp.sum((dr - mean_dr) ** 2 * validT, axis=1,

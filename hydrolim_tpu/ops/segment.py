@@ -15,12 +15,23 @@ def masked_bincount(pos: jnp.ndarray, weights: jnp.ndarray, L: int) -> jnp.ndarr
     out_shape = pos.shape[:-1] + (L,)
     zeros = jnp.zeros(out_shape, dtype=weights.dtype)
     if pos.ndim == 1:
-        return zeros.at[pos].add(weights, mode="drop")
-    # batched: flatten leading dims and offset indices into a single axis
+        # explicit mask, not bare mode="drop": concrete negative indices
+        # would wrap NumPy-style (-1 -> L-1) instead of dropping
+        valid = (pos >= 0) & (pos < L)
+        return zeros.at[jnp.where(valid, pos, 0)].add(
+            jnp.where(valid, weights, 0), mode="drop")
+    # batched: flatten leading dims and offset indices into a single axis.
+    # Out-of-range indices must DROP here too (matching the unbatched
+    # branch): after the flatten, a raw pos >= L would land in the NEXT
+    # batch row's bins (pos + b*L is in-range for the flat buffer), silently
+    # corrupting the neighbor replica — zero the weight and route to bin 0.
     import math
     B = math.prod(pos.shape[:-1])
     flat_pos = pos.reshape(B, -1)
     flat_w = weights.reshape(B, -1)
+    in_range = (flat_pos >= 0) & (flat_pos < L)
+    flat_pos = jnp.where(in_range, flat_pos, 0)
+    flat_w = jnp.where(in_range, flat_w, 0)
     offsets = (jnp.arange(B, dtype=flat_pos.dtype) * L)[:, None]
     flat = jnp.zeros((B * L,), dtype=weights.dtype)
     flat = flat.at[(flat_pos + offsets).reshape(-1)].add(

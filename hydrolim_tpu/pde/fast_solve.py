@@ -486,6 +486,12 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     fft_ri = fft_ri.at[:, nsteps].set(fft_f)
     records = PDERecord(
         m_mean=m_mean, var=var, fft_ri=fft_ri, v_eff=v_eff, D_eff=D_eff)
+    if config.record_every > 1:
+        # same per-step thinning as pde_solve (records axis 1 here); note
+        # populated fft rows are chunk-start cadence, so thinned rows may
+        # all be NaN unless record_every divides the chunk stride
+        records = jax.tree.map(lambda a: a[:, ::config.record_every],
+                               records)
     return PDESolveResult(rho_p=rho_p_f, rho_m=rho_m_f, records=records,
                           snapshots=snaps, m_snapshots=m_snaps,
                           snap_times=snap_times)

@@ -193,12 +193,14 @@ def _tracer_update(config: PDEConfig, params: PDEParams, m_field,
     ``m_field`` is the per-iteration magnetization shared with the recorder
     and the IMEX step (one smoothing per iteration instead of three).
 
-    Windowing note (intentional deviation, ADVICE r1): the displacement
-    ``unwrapped − hist[(n+1) % window]`` spans exactly ``window`` steps,
-    matching the ``window·dt`` divisor.  The reference's
-    ``tracer_history[-window]`` (:280) spans ``window−1`` steps over the same
-    divisor — a ~1/window (≈1–2%) systematic bias this implementation
-    corrects rather than reproduces."""
+    Windowing note (intentional deviation, ADVICE r1): the slot about to be
+    overwritten, ``hist[n % window]``, holds ``u_{n+1−window}`` (written
+    ``window`` iterations ago), so reading it *before* the write gives a
+    displacement spanning exactly ``window`` steps — matching the
+    ``window·dt`` divisor.  The reference's ``tracer_history[-window]``
+    (:280) spans ``window−1`` steps over the same divisor — a ~1/window
+    (≈1–2%) systematic bias this implementation corrects rather than
+    reproduces."""
     dt, dx, L = config.dt, config.dx, config.L
     window = config.tracer_window
     k_flip, k_noise = jax.random.split(key)
@@ -215,8 +217,8 @@ def _tracer_update(config: PDEConfig, params: PDEParams, m_field,
     unwrapped = tr.unwrapped + v_loc * dt + noise
     pos = unwrapped % config.xlim
 
+    old = tr.hist[n % window]           # u_{n+1-window}: window steps ago
     hist = tr.hist.at[n % window].set(unwrapped)
-    old = hist[(n + 1) % window]
     dr = unwrapped - old
     mean_dr = jnp.mean(dr)
     var_dr = jnp.mean((dr - mean_dr) ** 2)
@@ -280,6 +282,11 @@ def pde_solve(config: PDEConfig, params: PDEParams, ops: PDEOps,
     recs = jax.tree.map(
         lambda a: a.reshape((n_blocks * interval,) + a.shape[2:])[:n_iters],
         recs)
+    if config.record_every > 1:
+        # thin the per-step series to config.n_records rows (every
+        # record_every-th iteration, starting at n = 0) — dynamics are
+        # unchanged, only the returned record cadence
+        recs = jax.tree.map(lambda a: a[::config.record_every], recs)
     return PDESolveResult(
         rho_p=carry.rho_p, rho_m=carry.rho_m, records=recs,
         snapshots=snaps, m_snapshots=m_snaps, snap_times=snap_times)

@@ -162,7 +162,7 @@ class IMEXPDE:
         assert self._result is not None, "call solve() first"
         r = self._result
         rec = r.records
-        n_iters = self.config.nsteps + 1
+        n_iters = self.config.n_records   # == nsteps+1 at record_every=1
         # snapshot times recorded at block starts that are true iterations
         n_snap = int(np.sum(np.asarray(r.snap_times) <= self.config.T + 1e-9))
         fft_c = np.asarray(rec.fft_ri[..., 0] + 1j * rec.fft_ri[..., 1],

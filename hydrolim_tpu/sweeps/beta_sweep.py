@@ -185,6 +185,7 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
                               **rates)
     dt = ensemble_dt(config, beta_max=float(np.max(beta_values)), **rates)
     T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
+    record_fft = bool(run_kwargs.get("record_fft", True))
     times = np.arange(0.0, T, obs_dt)
     key = jax.random.PRNGKey(seed)
     mesh = resolve_sweep_mesh(mesh, n_devices)
@@ -198,7 +199,7 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
 
         frames, _, exit_log = run_lattice_gas_anchored(
             config, params, key, T=T, obs_dt=obs_dt, dt=dt,
-            rho0_plus=rho0_p, rho0_minus=rho0_m)
+            rho0_plus=rho0_p, rho0_minus=rho0_m, record_fft=record_fft)
         frames, exit_log = unpad(jax.device_get((frames, exit_log)))
         out_for = _lattice_gas_out_accessor(frames, times,
                                             exit_log=exit_log)
@@ -214,7 +215,8 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
             frames, _ = run_exclusion_sweep(
                 config, params, key, T=T, obs_dt=obs_dt, dt=dt,
                 engine=kernel, rho0_plus=rho0_p, rho0_minus=rho0_m,
-                n_tracers=n_tracers, mesh=mesh, b_real=B)
+                n_tracers=n_tracers, mesh=mesh, b_real=B,
+                record_fft=record_fft)
             frames = unpad(frames)
             out_for = _lattice_gas_out_accessor(frames, times)
             return config, out_for, dt, frames
@@ -223,7 +225,7 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
     frames, _ = run_lattice_gas(config, params, key,
                                 T=T, obs_dt=obs_dt, dt=dt,
                                 rho0_plus=rho0_p, rho0_minus=rho0_m,
-                                n_tracers=n_tracers)
+                                n_tracers=n_tracers, record_fft=record_fft)
     frames = unpad(jax.device_get(frames))
     out_for = _lattice_gas_out_accessor(frames, times)
     return config, out_for, dt, frames
@@ -248,7 +250,8 @@ def _lattice_gas_out_accessor(frames, times, exit_log=None):
             "m_local_list": np.asarray(frames.m_local[i]),
             "m_global": np.asarray(frames.m_global[i]),
             "var_list": np.asarray(frames.var[i]),
-            "fft_amp_list": np.asarray(frames.fft_amp[i]),
+            "fft_amp_list": (np.asarray(frames.fft_amp[i])
+                             if frames.fft_amp.shape[-1] else None),
             # tracer positions play the role of pos_frames for D_eff
             # (TRACER_INVALID marks invalid/phantom tags under sparse inits)
             "pos_frames": tr,
@@ -318,7 +321,9 @@ def run_sweep_grid(beta_values, n_runs: int, ps_kwargs: Dict,
         res = run_particle_ensemble(
             config, params,
             jax.random.fold_in(jax.random.PRNGKey(seed), c0),
-            T=T, obs_dt=obs_dt, dt=dt, rho0_plus=rho0_p, rho0_minus=rho0_m)
+            T=T, obs_dt=obs_dt, dt=dt, rho0_plus=rho0_p, rho0_minus=rho0_m,
+            record_pos=bool(run_kwargs.get("record_pos", True)),
+            record_fft=bool(run_kwargs.get("record_fft", True)))
         res = jax.device_get(res)
         if pad:  # every frames/final_state leaf carries the batch on axis 0
             res = jax.tree.map(lambda a: a[:n_real], res)

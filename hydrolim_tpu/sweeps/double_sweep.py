@@ -69,6 +69,33 @@ def g_model(x, C2):
     return C2 / x ** 1.5
 
 
+def _plot_fg(out: Path, x_vals, f_vals, f_errs, g_vals, g_errs,
+             C0: float, C1: float, C2: float) -> None:
+    """f_fit.png / g_fit.png — the reference's meta-fit figures (:877-961);
+    shared by both double-sweep drivers."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x_dense = np.linspace(np.min(x_vals), np.max(x_vals), 300)
+    for vals, errs, model, args, label, fname in (
+            (f_vals, f_errs, f_model, (C0, C1), r"$C_0 - C_1 x$",
+             "f_fit.png"),
+            (g_vals, g_errs, g_model, (C2,), r"$C_2 / x^{3/2}$",
+             "g_fit.png")):
+        plt.figure(figsize=(6, 4))
+        plt.errorbar(x_vals, vals, yerr=errs, fmt="o", capsize=3,
+                     label="fit data")
+        plt.plot(x_dense, model(x_dense, *args), "--", label=label)
+        plt.xlabel("x")
+        plt.ylabel(fname[0])
+        plt.legend()
+        plt.grid(True)
+        plt.tight_layout()
+        plt.savefig(out / fname, dpi=200)
+        plt.close()
+
+
 def double_sweep_fused(beta_values, list_N_part: Sequence[float],
                        n_runs_per_beta: int = 4,
                        ps_kwargs: Optional[Dict] = None,
@@ -228,6 +255,9 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
                             absolute_sigma=True)
     (C2,), _ = curve_fit(g_model, x_vals, g_vals, sigma=g_errs,
                          absolute_sigma=True)
+    if plot_result:
+        _plot_fg(out, x_vals, f_vals, f_errs, g_vals, g_errs,
+                 float(C0), float(C1), float(C2))
     return {"N_values": list_N_part, "f_fit": f_vals,
             "f_err": np.asarray(f_err), "g_fit": g_vals,
             "g_err": np.asarray(g_err), "C0": float(C0), "C1": float(C1),
@@ -291,27 +321,8 @@ def double_sweep(beta_values, list_N_part: Sequence[float],
                          absolute_sigma=True)
 
     if plot_result:
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        x_dense = np.linspace(x_vals.min(), x_vals.max(), 300)
-        for vals, errs, model, args, label, fname in (
-                (f_vals, f_errs, f_model, (C0, C1), r"$C_0 - C_1 x$",
-                 "f_fit.png"),
-                (g_vals, g_errs, g_model, (C2,), r"$C_2 / x^{3/2}$",
-                 "g_fit.png")):
-            plt.figure(figsize=(6, 4))
-            plt.errorbar(x_vals, vals, yerr=errs, fmt="o", capsize=3,
-                         label="fit data")
-            plt.plot(x_dense, model(x_dense, *args), "--", label=label)
-            plt.xlabel("x")
-            plt.ylabel(fname[0])
-            plt.legend()
-            plt.grid(True)
-            plt.tight_layout()
-            plt.savefig(out / fname, dpi=200)
-            plt.close()
+        _plot_fg(out, x_vals, f_vals, f_errs, g_vals, g_errs,
+                 float(C0), float(C1), float(C2))
 
     return {"N_values": list_N_part, "f_fit": f_vals, "f_err": np.asarray(f_err),
             "g_fit": g_vals, "g_err": np.asarray(g_err),

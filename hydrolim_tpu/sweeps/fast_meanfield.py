@@ -61,7 +61,11 @@ def run_meanfield_sweep(config: ParticleConfig, params_b: ParticleParams,
     assert _is_meanfield_fast_path(config), (
         "run_meanfield_sweep requires the mean-field configuration")
     B = params_b.beta.shape[0]
-    n = config.n_buf
+    # the TRUE particle count, not the padded buffer: the fused kernel pads
+    # to full 128-lanes itself (sigma=0 inert lanes, m normalized by
+    # n_active), so simulating/normalizing by n_buf would run N rounded up
+    # to 8 — a ~1% systematic vs the XLA path for N % 8 != 0
+    n = config.N
     L = config.L
     times = np.arange(0.0, T, obs_dt)
     M = len(times)
@@ -75,6 +79,12 @@ def run_meanfield_sweep(config: ParticleConfig, params_b: ParticleParams,
         # TPU even when jax_default_device pins CPU, and a Pallas call
         # lowered for the CPU default device fails
         engine = "pallas" if default_device_is_tpu() else "xla"
+        if config.init != "fixed":
+            engine = "xla"      # kernel path implements the 'fixed' init only
+    if engine == "pallas" and config.init != "fixed":
+        raise ValueError(
+            "engine='pallas' implements the 'fixed' (uniform-site) init "
+            f"only; got init={config.init!r} — use engine='xla' or 'auto'")
 
     # initial state
     k_pos, k_sig, k_seed = jax.random.split(key, 3)

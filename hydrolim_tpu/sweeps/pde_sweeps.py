@@ -240,11 +240,11 @@ def pde_kernel_sigma_sweep(kernel_sigma_values=None, n_runs: int = 5,
                                   n_tracers=n_tracers, engine=engine,
                                   fetch_snapshots=False,
                                   n_devices=n_devices)
-        n_iters = config.nsteps + 1
-        m_results[sigma] = np.abs(np.asarray(res.records.m_mean)[:, :n_iters])
-        v_results[sigma] = np.abs(np.asarray(res.records.v_eff)[:, :n_iters])
-        D_results[sigma] = np.asarray(res.records.D_eff)[:, :n_iters]
-        var_results[sigma] = np.asarray(res.records.var)[:, :n_iters]
+        n_rec = config.n_records        # nsteps+1 thinned by record_every
+        m_results[sigma] = np.abs(np.asarray(res.records.m_mean)[:, :n_rec])
+        v_results[sigma] = np.abs(np.asarray(res.records.v_eff)[:, :n_rec])
+        D_results[sigma] = np.asarray(res.records.D_eff)[:, :n_rec]
+        var_results[sigma] = np.asarray(res.records.var)[:, :n_rec]
 
     if plot_result:
         _plot_magn_bands(kernel_sigma_values, m_results, v_results,

@@ -20,20 +20,21 @@ def _plt():
 def plot_all(pde, out: Dict) -> None:
     """3×2 summary panel (:309-346)."""
     plt = _plt()
-    t = np.linspace(0, pde.T, pde.nsteps + 1)
+    t = np.linspace(0, pde.T, len(out["m_series"]))
     fig, axs = plt.subplots(3, 2, figsize=(12, 10))
 
     axs[0, 0].plot(t, out["m_series"])
     axs[0, 0].set_title("Global magnetization")
 
-    k_vals = range(1, 7)
-    colors = plt.cm.Blues(np.linspace(0.4, 0.9, len(list(k_vals))))
-    for k, c in zip(range(1, 7), colors):
+    # clamp to the recorded kmax (fft_kmax may be < 7), like plot_individual
+    k_vals = range(1, min(7, out["fft_amp"].shape[1]))
+    colors = plt.cm.Blues(np.linspace(0.4, 0.9, max(len(list(k_vals)), 1)))
+    for k, c in zip(k_vals, colors):
         axs[0, 1].plot(t, out["fft_amp"][:, k], color=c, label=f"k={k}")
     axs[0, 1].legend()
     axs[0, 1].set_title("Fourier amplitudes")
 
-    for k, c in zip(range(1, 7), colors):
+    for k, c in zip(k_vals, colors):
         axs[1, 0].plot(t, np.unwrap(np.angle(out["fft_phase"][:, k])),
                        color=c, label=f"k={k}")
     axs[1, 0].set_title("Unwrapped phase")
@@ -57,7 +58,7 @@ def plot_all(pde, out: Dict) -> None:
 def plot_individual(pde, out: Dict, k_max: int = 6) -> None:
     """Individual figures incl. v_eff/D_eff vs theory lines (:348-462)."""
     plt = _plt()
-    t = np.linspace(0, pde.T, pde.nsteps + 1)
+    t = np.linspace(0, pde.T, len(out["m_series"]))
     pde.outdir.mkdir(parents=True, exist_ok=True)
     od = Path(pde.outdir)
 

@@ -119,3 +119,18 @@ def test_smooth_op_narrow_conv_large_L():
     k_wide = periodic_gaussian_kernel(L, dx, 10.0)
     op_wide = build_smooth_op(k_wide)
     assert op_wide.conv_kernel.shape[0] == 0
+
+
+def test_masked_bincount_batched_drops_out_of_range():
+    """Batched branch must DROP out-of-range indices like the unbatched
+    mode='drop' path: the flattened index pos + b*L would otherwise land in
+    the NEXT batch row's bin 0 (regression, round-3 review)."""
+    L = 4
+    pos = jnp.asarray([[0, L, -1], [1, 1, L + 7]], jnp.int32)  # L, -1 invalid
+    w = jnp.ones_like(pos, jnp.float32)
+    out = np.asarray(masked_bincount(pos, w, L))
+    np.testing.assert_array_equal(out[0], [1, 0, 0, 0])
+    np.testing.assert_array_equal(out[1], [0, 2, 0, 0])
+    # unbatched agrees
+    one = np.asarray(masked_bincount(pos[0], w[0], L))
+    np.testing.assert_array_equal(one, out[0])

@@ -220,3 +220,68 @@ def test_large_L_pde_step_banded():
     p1, m1 = pde_step(config, params, ops, p, m)
     assert np.all(np.isfinite(np.asarray(p1)))
     assert abs(float(jnp.sum(p1 + m1)) - M0) < 1e-5 * M0
+
+
+def test_tracer_window_span_unbiased():
+    """A constant-velocity tracer must report v_eff == its true velocity:
+    the windowed displacement spans exactly `window` steps.  Regression for
+    the round-3 review finding: reading hist[(n+1) % window] AFTER writing
+    slot n % window spanned only window-1 steps, biasing every v_eff/D_eff
+    record by (window-1)/window."""
+    import jax
+    from hydrolim_tpu.pde.stepper import _tracer_update, TracerState
+
+    window, dt = 10, 1e-3
+    config = PDEConfig(L=64, xlim=1.0, T=1.0, dt=dt,
+                       tracer_window_time=window * dt)
+    assert config.tracer_window == window
+    # gamma=0 -> no noise; spin +1 in an m=+1 field at beta=50 -> flip rate
+    # clipped to 1e-8, so velocity is constant lam = 1.0
+    params = make_pde_params(gamma=0.0, lam=1.0, beta=50.0)
+    n_tr = 8
+    tr = TracerState(pos=jnp.zeros((n_tr,), jnp.float32),
+                     unwrapped=jnp.zeros((n_tr,), jnp.float32),
+                     spin=jnp.ones((n_tr,), jnp.float32),
+                     hist=jnp.zeros((window, n_tr), jnp.float32))
+    m_field = jnp.ones((64,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    recs = []
+    for n in range(3 * window):
+        key, sub = jax.random.split(key)
+        tr, v_eff, D_eff = _tracer_update(config, params, m_field, tr, sub,
+                                          jnp.asarray(n))
+        recs.append((float(v_eff), float(D_eff)))
+    assert np.isnan(recs[window - 1][0])        # window not yet filled
+    for v, D in recs[window:]:
+        assert abs(v - 1.0) < 1e-5              # was 0.9 before the fix
+        assert abs(D) < 1e-8
+
+
+def test_record_every_thins_per_step_series():
+    """config.record_every thins the returned records to n_records rows
+    (every record_every-th iteration) without touching the dynamics — the
+    thinned series equals the full run's rows [::record_every]."""
+    import jax
+    from hydrolim_tpu.pde.init import pde_initialize
+    from hydrolim_tpu.pde.stepper import build_pde_ops, pde_solve
+
+    kw = dict(L=64, xlim=1.0, T=0.02, dt=1e-3, bc="periodic",
+              snapshot_interval=10, n_tracers=8)
+    c1 = PDEConfig(**kw)
+    c5 = PDEConfig(**kw, record_every=5)
+    assert c5.n_records == c5.nsteps // 5 + 1
+    params = make_pde_params(gamma=0.05, lam=0.6, beta=1.5)
+    ops = build_pde_ops(c1, params)
+    key = jax.random.PRNGKey(7)
+    rho_p, rho_m, tr = pde_initialize(c1, key, mode="homogeneous",
+                                      rho0=1.0, noise=0.1, n_tracers=8)
+    k2 = jax.random.PRNGKey(9)
+    full = pde_solve(c1, params, ops, rho_p, rho_m, tr, k2)
+    thin = pde_solve(c5, params, ops, rho_p, rho_m, tr, k2)
+    assert thin.records.m_mean.shape[0] == c5.n_records
+    for name in ("m_mean", "var", "v_eff", "D_eff"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(thin.records, name)),
+            np.asarray(getattr(full.records, name))[::5])
+    np.testing.assert_array_equal(np.asarray(thin.rho_p),
+                                  np.asarray(full.rho_p))

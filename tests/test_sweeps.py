@@ -127,3 +127,64 @@ def test_double_sweep_lattice_gas_engine(tmp_path):
         run_kwargs=dict(T=1.5, obs_dt=0.25), outdir=str(tmp_path),
         plot_result=False, chunk_size=8, seed=1, engine="lattice_gas")
     assert np.isfinite([r["C0"], r["C1"], r["C2"]]).all()
+
+
+def test_record_fft_flag_reaches_the_runners():
+    """run_kwargs record_fft=False must actually suppress the spectra
+    frames on both grid drivers (regression, round-3 review: the flag was
+    declared in DEFAULT_RUN_KWARGS but never forwarded)."""
+    from hydrolim_tpu.sweeps.beta_sweep import (
+        run_sweep_grid,
+        run_sweep_grid_lattice_gas,
+    )
+
+    rk = dict(TINY_RUN, T=0.4, record_fft=False)
+    _, res, _ = run_sweep_grid(np.asarray([0.5]), 2, TINY_PS,
+                               _init_kwargs(), rk, seed=0)
+    assert res.frames.fft_amp.shape[-1] == 0
+    _, out_for, _, frames = run_sweep_grid_lattice_gas(
+        np.asarray([0.5]), 2, TINY_PS, _init_kwargs(), rk, seed=0)
+    assert frames.fft_amp.shape[-1] == 0
+    assert out_for(0)["fft_amp_list"] is None
+    # record_pos=False drops the per-frame position block on the particle
+    # engine (the (B, M, n_buf) frames dominate memory at big grids)
+    rk2 = dict(TINY_RUN, T=0.4, record_pos=False)
+    _, res2, _ = run_sweep_grid(np.asarray([0.5]), 2, TINY_PS,
+                                _init_kwargs(), rk2, seed=0)
+    assert res2.frames.pos.shape[-1] == 0
+
+
+def test_double_sweep_fused_plot_result_writes_fg_figures(tmp_path):
+    """plot_result=True on the fused driver writes the same f_fit/g_fit
+    meta-fit figures as the loop driver (regression, round-3 review: the
+    kwarg was accepted and ignored)."""
+    from hydrolim_tpu.sweeps.double_sweep import double_sweep_fused
+
+    double_sweep_fused(
+        np.linspace(0, 2, 3), np.array([30., 60.]), n_runs_per_beta=2,
+        ps_kwargs=dict(L=100), run_kwargs=dict(T=1.0, obs_dt=0.25),
+        outdir=str(tmp_path), seed=3, plot_result=True)
+    assert (tmp_path / "f_fit.png").exists()
+    assert (tmp_path / "g_fit.png").exists()
+
+
+def test_fast_meanfield_pallas_rejects_non_fixed_init():
+    """The fused mean-field runner simulates config.N particles with the
+    'fixed' init only; init='poisson' must raise on engine='pallas' and
+    route to XLA on engine='auto' (regression, round-3 review: the Pallas
+    path silently ran n_buf uniform particles)."""
+    import jax
+    import pytest as _pytest
+
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.sweeps.ensemble import broadcast_params
+    from hydrolim_tpu.sweeps.fast_meanfield import run_meanfield_sweep
+
+    config = ParticleConfig(L=32, N=20, init="poisson", scale_rates=False,
+                            local_kernel_sigma=0.0, periodic=True,
+                            site_capacity=None)
+    params = broadcast_params(config, beta=[0.5], rate_diffusion=0.5,
+                              rate_active=1.0, n_runs=1)
+    with _pytest.raises(ValueError, match="fixed"):
+        run_meanfield_sweep(config, params, jax.random.PRNGKey(0), T=0.4,
+                            obs_dt=0.2, dt=0.1, engine="pallas")
