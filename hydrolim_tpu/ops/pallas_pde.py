@@ -52,12 +52,13 @@ def _pad(n: int, mult: int = LANE) -> int:
 
 def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, swts_ref, rhop_ref,
             rhom_ref, pos_ref, spin_ref, hist_ref, solve_ref, smooth_ref,
-            rhop_out, rhom_out, pos_out, spin_out, hist_out, recs_ref, *,
+            fft_ref, rhop_out, rhom_out, pos_out, spin_out, hist_out,
+            recs_ref, *,
             L: int, Lp: int, n_t: int, Ntp: int, window: int, k_steps: int,
             R: int, dt: float, dx: float, xlim: float, periodic: bool,
             m_mode: str, narrow_r: int, solve_mode: str, solve_r: int,
             bidirectional: bool, legacy_double_diffusion: bool,
-            has_noise: bool):
+            has_noise: bool, kmax_rec: int):
     g = pl.program_id(0)
     beta = scalv_ref[:, 0:1]          # (R, 1) per-replica scalars
     lam = scalv_ref[:, 1:2]
@@ -264,6 +265,17 @@ def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, swts_ref, rhop_ref,
                                             jnp.where(rec_lane == 3,
                                                       D_eff[:, :, None],
                                                       0.0))))
+        if kmax_rec > 0:
+            # per-step spectra: one (R, Lp) @ (Lp, 128) matmul against the
+            # record slab (cos columns at lanes 4..4+k-1, -sin at
+            # 4+k..4+2k-1, zeros elsewhere — so the add below leaves the
+            # scalar lanes untouched).  HIGHEST: bf16 spectra would carry an
+            # 8-bit mantissa vs the XLA path's f32 DFT.
+            fft_row = jax.lax.dot_general(
+                den, fft_ref[:], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32) * inv_L     # (R, 128)
+            row = row + fft_row[:, None, :]
         recs_ref[:, pl.ds(s, 1), :] = row
 
         # -- IMEX step (:187-233) -------------------------------------------
@@ -305,19 +317,20 @@ def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, swts_ref, rhop_ref,
     static_argnames=("L", "n_t", "window", "k_steps", "r_batch", "dt", "dx",
                      "xlim", "periodic", "m_mode", "narrow_r", "solve_mode",
                      "solve_r", "bidirectional", "legacy_double_diffusion",
-                     "has_noise"))
+                     "has_noise", "kmax_rec"))
 def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
                    rho_p: jnp.ndarray, rho_m: jnp.ndarray, pos: jnp.ndarray,
                    spin: jnp.ndarray, hist: jnp.ndarray,
                    solve_mat: jnp.ndarray, smooth_mat: jnp.ndarray,
                    wts: jnp.ndarray | None = None,
-                   solve_wts: jnp.ndarray | None = None, *,
+                   solve_wts: jnp.ndarray | None = None,
+                   fft_slab: jnp.ndarray | None = None, *,
                    L: int, n_t: int, window: int, k_steps: int,
                    r_batch: int = 1, dt: float, dx: float, xlim: float,
                    periodic: bool, m_mode: str, narrow_r: int = 0,
                    solve_mode: str, solve_r: int = 0, bidirectional: bool,
                    legacy_double_diffusion: bool = False,
-                   has_noise: bool = True):
+                   has_noise: bool = True, kmax_rec: int = 0):
     """Advance K_STEPS IMEX steps (fields + tracers) fully on-chip.
 
     Args:
@@ -345,13 +358,19 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
         lane ``solve_r`` (ops/diffusion.py 'banded'); None otherwise.
         Banded mode is the large-L scale path: the solve applies as
         2·solve_r+1 rolls, so no (Lp, Lp) matrix gates the VMEM budget.
+      fft_slab: (Lp, 128) float32 — for ``kmax_rec > 0``, the per-step
+        spectra record slab (pde/fast_solve.build_fft_record_slab): cos
+        columns at lanes 4..4+k-1, −sin at 4+k..4+2k-1, zeros elsewhere;
+        each step appends rfft re/im (÷L) of the total density to the
+        record row.  Requires kmax_rec ≤ (128−4)//2 = 62.
       r_batch: replicas per grid program (B must divide evenly); the
         operator matrices are shared within a program, and row-batching
         fills the VPU sublanes / MXU rows a single replica leaves idle.
 
     Returns (rho_p, rho_m, pos, spin, hist, recs) with recs
-    (B, k_steps, 128) float32 rows [m_mean, Var, v_eff, D_eff, 0…]
-    (NaN v/D before the first full window, like the XLA path)."""
+    (B, k_steps, 128) float32 rows [m_mean, Var, v_eff, D_eff, spectra…]
+    (NaN v/D before the first full window, like the XLA path; lanes
+    4..4+2·kmax_rec carry the per-step rfft re/im when enabled)."""
     B, Lp = rho_p.shape
     Ntp = pos.shape[-1]
     R = r_batch
@@ -363,16 +382,20 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
     grid = (G,)
     assert solve_mode in ("none", "dense", "banded"), solve_mode
     assert solve_mode != "banded" or (1 <= solve_r < LANE // 2 and periodic)
+    assert 0 <= kmax_rec <= (_REC_W - 4) // 2, kmax_rec
     kernel = functools.partial(
         _kernel, L=L, Lp=Lp, n_t=n_t, Ntp=Ntp, window=window,
         k_steps=k_steps, R=R, dt=dt, dx=dx, xlim=xlim, periodic=periodic,
         m_mode=m_mode, narrow_r=narrow_r, solve_mode=solve_mode,
         solve_r=solve_r, bidirectional=bidirectional,
-        legacy_double_diffusion=legacy_double_diffusion, has_noise=has_noise)
+        legacy_double_diffusion=legacy_double_diffusion, has_noise=has_noise,
+        kmax_rec=kmax_rec)
     if wts is None:
         wts = jnp.zeros((1, LANE), jnp.float32)
     if solve_wts is None:
         solve_wts = jnp.zeros((1, LANE), jnp.float32)
+    if fft_slab is None:
+        fft_slab = jnp.zeros((8, LANE), jnp.float32)
 
     # per-replica scalars as a VMEM (G, R, LANE) array: lanes 0..3 hold
     # [beta, lam, noise_amp]; the kernel column-slices (R, 1) blocks.
@@ -389,11 +412,12 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
         return x.reshape((G, R) + x.shape[1:])
 
     def squeeze(scalv, seed, step0, wts, swts, rp, rm, pos, spin, hist,
-                solve, smooth, rp_o, rm_o, pos_o, spin_o, hist_o, recs):
+                solve, smooth, fft, rp_o, rm_o, pos_o, spin_o, hist_o,
+                recs):
         kernel(scalv.at[0], seed, step0, wts, swts, rp.at[0], rm.at[0],
-               pos.at[0], spin.at[0], hist.at[0], solve, smooth, rp_o.at[0],
-               rm_o.at[0], pos_o.at[0], spin_o.at[0], hist_o.at[0],
-               recs.at[0])
+               pos.at[0], spin.at[0], hist.at[0], solve, smooth, fft,
+               rp_o.at[0], rm_o.at[0], pos_o.at[0], spin_o.at[0],
+               hist_o.at[0], recs.at[0])
 
     bspec = lambda shape: pl.BlockSpec(
         (1, R) + shape, lambda g: (g, 0) + (0,) * len(shape),
@@ -418,6 +442,7 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
             bspec((Wp, Ntp)),
             mspec(solve_mat),
             mspec(smooth_mat),
+            mspec(fft_slab),
         ],
         out_specs=[
             bspec((Lp,)),
@@ -441,7 +466,8 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
       gshape(rho_p), gshape(rho_m),
       gshape(pos), gshape(spin), gshape(hist),
       jnp.asarray(solve_mat, jnp.float32),
-      jnp.asarray(smooth_mat, jnp.float32))
+      jnp.asarray(smooth_mat, jnp.float32),
+      jnp.asarray(fft_slab, jnp.float32))
     rp_o, rm_o, pos_o, spin_o, hist_o, recs = out
     ung = lambda x: x.reshape((B,) + x.shape[2:])
     return (ung(rp_o), ung(rm_o), ung(pos_o), ung(spin_o), ung(hist_o),

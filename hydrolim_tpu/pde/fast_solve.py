@@ -7,12 +7,13 @@ frame loop MUST stay on device: a host-side chunk loop costs a synchronous
 tunnel round-trip per chunk on the remote axon backend).  Returns a
 ``PDESolveResult``-compatible batch: per-step m/Var/v_eff/D_eff records and
 snapshot blocks match ``pde/stepper.pde_solve`` semantics (record at state
-n, tracer update at n, step masked at n = nsteps); the rfft record
-(``records.fft_ri``) is populated at SNAPSHOT cadence (chunk starts + the
-final state — one (B, L) @ (L, 2k) matmul-DFT per chunk; intermediate steps
-are NaN).  The reference records spectra every step
-(IMEX_PDE_solver_class.py:248-250); the per-step record stays on the XLA
-solve.
+n, tracer update at n, step masked at n = nsteps).  The rfft record
+(``records.fft_ri``) is populated at full PER-STEP cadence whenever
+``fft_kmax ≤ 62`` (the kernel streams re/im into the spare record-row
+lanes — all the sweep drivers qualify at kmax = 8, matching the
+reference's per-step spectra, IMEX_PDE_solver_class.py:248-250); wider
+kmax (e.g. the facade's default full rfft) records at chunk-start cadence
+(one (B, L) @ (L, 2k) matmul-DFT per chunk; intermediate rows NaN).
 
 The tracer RNG stream differs from the XLA path (on-core Mosaic PRNG,
 Box–Muller noise) — statistically equivalent, not bitwise.
@@ -117,6 +118,8 @@ def _vmem_estimate(config: PDEConfig, gamma: float, r: int,
     mode, solve_r = _solve_mode_of(config, gamma)
     fixed = 4 * Lp * Lp * (int(mode == "dense")
                            + int(_m_mode(config) == "smooth"))
+    if _kmax_rec(config) > 0:
+        fixed += 4 * Lp * 128          # per-step spectra record slab
     per_rep = 4 * (Wp * Ntp + k_chunk * 128 + 4 * Ntp + 2 * Lp)
     if mode == "banded":
         # the fori_loop tap body keeps a handful of (·, Lp) roll
@@ -204,6 +207,34 @@ def _pad_mat(M: np.ndarray, Lp: int) -> np.ndarray:
     return out
 
 
+def _kmax_rec(config: PDEConfig) -> int:
+    """Per-step in-kernel spectra bins, or 0 when the record row can't hold
+    them.  The (128-wide) record row has lanes 4.. free, so kmax ≤ 62 rides
+    the per-step stream (the sweep drivers use fft_kmax = 8); wider
+    requests (e.g. the facade's default full rfft) stay at chunk-start
+    cadence."""
+    from hydrolim_tpu.ops.pallas_pde import _REC_W
+
+    k = config.kmax
+    return k if k <= (_REC_W - 4) // 2 else 0
+
+
+def build_fft_record_slab(config: PDEConfig, Lp: int) -> np.ndarray:
+    """(Lp, 128) float32 — per-step spectra operator for the fused kernel:
+    ``total @ slab`` puts rfft re bins at lanes 4..4+k-1 and im bins at
+    4+k..4+2k-1 (im = −x@sin, matching ops/dft.rfft_ri_partial), zeros in
+    the scalar lanes 0..3 so the kernel can add it onto the record row."""
+    from hydrolim_tpu.ops.pallas_pde import LANE
+
+    k = _kmax_rec(config)
+    assert k > 0
+    C, S = dft._rfft_mats_partial(config.L, k)
+    out = np.zeros((Lp, LANE), np.float32)
+    out[:config.L, 4:4 + k] = C
+    out[:config.L, 4 + k:4 + 2 * k] = -S
+    return out
+
+
 def build_kernel_mats(config: PDEConfig, gamma: float,
                       Lp: int):
     """(solve_mat, smooth_mat, solve_mode, solve_r, solve_wts) with the
@@ -235,13 +266,13 @@ def build_kernel_mats(config: PDEConfig, gamma: float,
     jax.jit,
     static_argnames=("config", "B", "R", "k_chunk", "n_chunks", "m_mode",
                      "narrow_r", "solve_mode", "solve_r", "has_noise",
-                     "keep"))
+                     "keep", "kmax_rec"))
 def _run_scanned(config: PDEConfig, scal, seeds0, rho_p, rho_m, pos, spin,
                  hist, solve_mat, smooth_mat, wts, solve_wts, fftC, fftS,
-                 *, B: int,
+                 fft_slab, *, B: int,
                  R: int, k_chunk: int, n_chunks: int, m_mode: str,
                  narrow_r: int, solve_mode: str, solve_r: int,
-                 has_noise: bool, keep: bool):
+                 has_noise: bool, keep: bool, kmax_rec: int):
     """Module-level jitted scan over fused-kernel chunks.
 
     Everything value-like (scalars, seeds, fields, operator matrices) is a
@@ -256,14 +287,19 @@ def _run_scanned(config: PDEConfig, scal, seeds0, rho_p, rho_m, pos, spin,
 
     def chunk_body(carry, c):
         rho_p, rho_m, pos, spin, hist = carry
-        # chunk-start spectra (state n = c·k_chunk): one (B, L) @ (L, 2k)
-        # matmul-DFT per chunk — the fused path records rfft at chunk-start
-        # cadence (the reference records per step, IMEX_PDE_solver_class.py
-        # :248-250; the per-step record stays on the XLA path).  The DFT
-        # slabs are TRACED args: as closure constants they are ~268 MB at
-        # (L=8192, default kmax) and oversize the remote-compile payload.
+        # Spectra: with kmax_rec > 0 (kmax ≤ 62) the kernel streams rfft
+        # re/im into every per-step record row, so no separate chunk
+        # transform is needed; otherwise record chunk-start spectra
+        # (state n = c·k_chunk) via one (B, L) @ (L, 2k) matmul-DFT per
+        # chunk (the reference records per step, IMEX_PDE_solver_class.py
+        # :248-250).  The DFT slabs are TRACED args: as closure constants
+        # they are ~268 MB at (L=8192, default kmax) and oversize the
+        # remote-compile payload.
         total_c = (rho_p + rho_m)[:B, :L]
-        fft_c = dft.rfft_ri_with_slab(total_c, fftC, fftS) / L  # (B, k, 2)
+        if kmax_rec > 0:
+            fft_part = ()
+        else:
+            fft_part = (dft.rfft_ri_with_slab(total_c, fftC, fftS) / L,)
         if keep:
             snaps = (total_c, (rho_p - rho_m)[:B, :L])
         else:
@@ -271,7 +307,7 @@ def _run_scanned(config: PDEConfig, scal, seeds0, rho_p, rho_m, pos, spin,
         rho_p, rho_m, pos, spin, hist, recs = pde_multi_step(
             scal, seeds0 + c, jnp.full((Bp,), c * k_chunk, jnp.int32),
             rho_p, rho_m, pos, spin, hist, solve_mat, smooth_mat, wts,
-            solve_wts, L=L,
+            solve_wts, fft_slab, L=L,
             n_t=config.n_tracers, window=config.tracer_window,
             k_steps=k_chunk, r_batch=R, dt=dt, dx=config.dx,
             xlim=config.xlim, periodic=(config.bc == "periodic"),
@@ -279,20 +315,25 @@ def _run_scanned(config: PDEConfig, scal, seeds0, rho_p, rho_m, pos, spin,
             solve_r=solve_r,
             bidirectional=(config.active_model == "bidirectional"),
             legacy_double_diffusion=config.legacy_double_diffusion,
-            has_noise=has_noise)
-        return (rho_p, rho_m, pos, spin, hist), (recs[:B], fft_c) + snaps
+            has_noise=has_noise, kmax_rec=kmax_rec)
+        return (rho_p, rho_m, pos, spin, hist), (recs[:B],) + fft_part + snaps
 
     carry, ys = jax.lax.scan(
         chunk_body, (rho_p, rho_m, pos, spin, hist),
         jnp.arange(n_chunks, dtype=jnp.int32))
     rho_p, rho_m, pos, spin, hist = carry
-    recs = ys[0]
-    # (n_chunks, B, k_chunk, REC_W) -> (B, nsteps, 4) — only the
-    # [m_mean, var, v_eff, D_eff] lanes are meaningful
-    recs = jnp.moveaxis(recs[..., :4], 0, 1).reshape(B, nsteps, 4)
-    fft_chunks = jnp.moveaxis(ys[1], 0, 1)       # (B, n_chunks, kmax, 2)
+    rec_w = 4 + 2 * kmax_rec
+    # (n_chunks, B, k_chunk, REC_W) -> (B, nsteps, rec_w): lanes
+    # [m_mean, var, v_eff, D_eff] + per-step spectra when kmax_rec > 0
+    recs = jnp.moveaxis(ys[0][..., :rec_w], 0, 1).reshape(B, nsteps, rec_w)
+    i = 1
+    if kmax_rec > 0:
+        fft_chunks = jnp.zeros((B, n_chunks, 0, 2), jnp.float32)
+    else:
+        fft_chunks = jnp.moveaxis(ys[i], 0, 1)   # (B, n_chunks, kmax, 2)
+        i += 1
     if keep:
-        snaps, m_snaps = ys[2], ys[3]
+        snaps, m_snaps = ys[i], ys[i + 1]
     else:
         snaps = jnp.zeros((0, B, L), jnp.float32)
         m_snaps = jnp.zeros((0, B, L), jnp.float32)
@@ -417,15 +458,18 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     scal_j = jnp.asarray(scal)[rep_idx]
     fftC_np, fftS_np = dft._rfft_mats_partial(L, config.kmax)
     fftC, fftS = jnp.asarray(fftC_np), jnp.asarray(fftS_np)
+    kmax_rec = _kmax_rec(config)
+    fft_slab = (jnp.asarray(build_fft_record_slab(config, Lp))
+                if kmax_rec > 0 else jnp.zeros((8, 128), jnp.float32))
 
     (rho_p, rho_m, pos, spin, hist, recs, fft_chunks, snaps,
      m_snaps) = _run_scanned(
         config, scal_j, seeds0, rho_p, rho_m, pos, spin, hist, solve_j,
         smooth_j, jnp.asarray(wts), jnp.asarray(solve_wts), fftC, fftS,
-        B=B, R=R,
+        fft_slab, B=B, R=R,
         k_chunk=k_chunk, n_chunks=n_chunks, m_mode=m_mode,
         narrow_r=narrow_r, solve_mode=solve_mode, solve_r=solve_r,
-        has_noise=has_noise, keep=keep_snapshots)
+        has_noise=has_noise, keep=keep_snapshots, kmax_rec=kmax_rec)
 
     # final iteration (n = nsteps): record + tracer update, no step —
     # mirrors pde_solve's masked last iteration on the XLA path
@@ -473,17 +517,27 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
         m_snaps = jnp.zeros((B, 0, L), jnp.float32)
         snap_times = jnp.zeros((B, 0), jnp.float32)
 
-    # spectra at CHUNK-START cadence: rows n = c·k_chunk + the final
-    # state; all other rows stay NaN (the per-step record lives on the
-    # XLA path — IMEX_PDE_solver_class.py:248-250).  k_chunk == interval
-    # when keep_snapshots is True, so the populated rows are exactly the
-    # snapshot steps; with keep_snapshots=False the chunk may have grown
-    # (×2 steps from interval, ≤1024), so populated rows are a coarser
-    # SUBSET of the snapshot steps — consumers select rows via isfinite.
-    fft_ri = jnp.full((B, n_iters, config.kmax, 2), jnp.nan, jnp.float32)
-    chunk_steps = jnp.arange(n_chunks) * k_chunk
-    fft_ri = fft_ri.at[:, chunk_steps].set(fft_chunks)
-    fft_ri = fft_ri.at[:, nsteps].set(fft_f)
+    if kmax_rec > 0:
+        # PER-STEP spectra (kmax ≤ 62): the kernel streams rfft re/im into
+        # every record row — full reference cadence
+        # (IMEX_PDE_solver_class.py:248-250) on the fused path.
+        per = jnp.stack([recs[:, :, 4:4 + kmax_rec],
+                         recs[:, :, 4 + kmax_rec:4 + 2 * kmax_rec]],
+                        axis=-1)                     # (B, nsteps, k, 2)
+        fft_ri = jnp.concatenate([per, fft_f[:, None]], axis=1)
+    else:
+        # wide kmax: spectra at CHUNK-START cadence — rows n = c·k_chunk +
+        # the final state; all other rows stay NaN.  k_chunk == interval
+        # when keep_snapshots is True, so the populated rows are exactly
+        # the snapshot steps; with keep_snapshots=False the chunk may have
+        # grown (×2 steps from interval, ≤1024), so populated rows are a
+        # coarser SUBSET of the snapshot steps — consumers select rows via
+        # isfinite.
+        fft_ri = jnp.full((B, n_iters, config.kmax, 2), jnp.nan,
+                          jnp.float32)
+        chunk_steps = jnp.arange(n_chunks) * k_chunk
+        fft_ri = fft_ri.at[:, chunk_steps].set(fft_chunks)
+        fft_ri = fft_ri.at[:, nsteps].set(fft_f)
     records = PDERecord(
         m_mean=m_mean, var=var, fft_ri=fft_ri, v_eff=v_eff, D_eff=D_eff)
     if config.record_every > 1:

@@ -126,11 +126,12 @@ class IMEXPDE:
         ``engine='pallas'`` (or ``'auto'``) runs the fused multi-step
         Pallas kernel (pde/fast_solve.py) when the configuration qualifies
         — identical fields and m/Var/v_eff/D_eff records; the rfft series
-        is recorded at SNAPSHOT cadence (chunk starts + final state;
-        intermediate steps NaN), and the tracer RNG stream is
-        statistically equivalent, not bitwise.  ``'xla'`` (default) keeps
-        the complete per-step spectral record.  ``'auto'`` falls back to
-        XLA off-TPU or for non-qualifying configs."""
+        is per-step when ``fft_kmax ≤ 62`` and at SNAPSHOT cadence
+        otherwise (chunk starts + final state; intermediate steps NaN),
+        and the tracer RNG stream is statistically equivalent, not
+        bitwise.  ``'xla'`` (default) keeps the complete per-step spectral
+        record at any kmax.  ``'auto'`` falls back to XLA off-TPU or for
+        non-qualifying configs."""
         self.key, sub = jax.random.split(self.key)
         if engine != "xla":
             from hydrolim_tpu.pde.fast_solve import (

@@ -42,11 +42,10 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
 
     ``engine='pallas'`` (or 'auto') runs the fused multi-step IMEX kernel
     (pde/fast_solve.py) when the configuration qualifies — same records
-    except ``fft_ri`` (populated rows are a subset of the snapshot steps
-    on the fused path: every ``snapshot_interval`` steps when snapshots
-    are kept, coarser — grown chunks, ≤1024 steps — when
-    ``fetch_snapshots=False``; select rows via ``isfinite``.  Per-step on
-    the XLA path) and a statistically-equivalent tracer RNG stream.
+    (``fft_ri`` at full per-step cadence when ``fft_kmax ≤ 62``, the case
+    for every sweep driver here; wider kmax falls back to chunk-start rows
+    with NaN between — select via ``isfinite``) and a
+    statistically-equivalent tracer RNG stream.
 
     ``fetch_snapshots=False`` skips materializing/transferring the
     per-interval ρ snapshot blocks (empty (B, 0, L) arrays in the result) —

@@ -256,3 +256,33 @@ def test_xla_fallback_matches_vmapped_solve():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(got.records.m_mean),
                                np.asarray(want.records.m_mean), rtol=1e-6)
+
+
+def test_fft_record_slab_matches_partial_dft():
+    """total @ build_fft_record_slab puts rfft re at lanes 4..4+k-1 and im
+    at 4+k..4+2k-1, exactly dft.rfft_ri_partial, with the scalar record
+    lanes (0..3) untouched (zero columns)."""
+    import jax.numpy as jnp
+
+    from hydrolim_tpu.core.config import PDEConfig
+    from hydrolim_tpu.ops import dft
+    from hydrolim_tpu.pde.fast_solve import _kmax_rec, build_fft_record_slab
+
+    L, Lp, k = 100, 128, 8
+    config = PDEConfig(L=L, T=1e-3, dt=1e-3, fft_kmax=k)
+    assert _kmax_rec(config) == k
+    slab = build_fft_record_slab(config, Lp)
+    assert slab.shape == (Lp, 128)
+    assert np.all(slab[:, :4] == 0) and np.all(slab[:, 4 + 2 * k:] == 0)
+    assert np.all(slab[L:] == 0)
+    rng = np.random.default_rng(5)
+    x = np.zeros(Lp, np.float32)
+    x[:L] = rng.random(L)
+    row = x @ slab
+    want = np.asarray(dft.rfft_ri_partial(jnp.asarray(x[:L]), k))
+    np.testing.assert_allclose(row[4:4 + k], want[:, 0], rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(row[4 + k:4 + 2 * k], want[:, 1], rtol=1e-5,
+                               atol=1e-5)
+    # wide kmax (full rfft at reference L: 501 bins) stays on chunk cadence
+    assert _kmax_rec(PDEConfig(L=1000, T=1e-3, dt=1e-3)) == 0

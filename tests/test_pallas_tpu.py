@@ -551,3 +551,40 @@ def test_double_sweep_constants_match_frozen_reference(tmp_path):
     assert abs(res["C0"] - bl.C0) / bl.C0 < 0.02
     assert abs(res["C1"] - bl.C1) / bl.C1 < 0.08
     assert abs(res["C2"] - bl.C2) / bl.C2 < 0.12
+
+
+def test_pallas_pde_per_step_spectra_match_xla():
+    """With fft_kmax <= 62 the fused kernel streams rfft re/im into every
+    record row — records.fft_ri must be finite at EVERY step and match the
+    XLA per-step record (the sweep drivers' kmax=8 configuration)."""
+    if not _tpu_is_default():
+        pytest.skip("needs a TPU device as default")
+    import jax.numpy as jnp
+    from hydrolim_tpu.core.config import PDEConfig, PDEParams, make_pde_params
+    from hydrolim_tpu.pde.fast_solve import _kmax_rec, pde_solve_fused
+    from hydrolim_tpu.pde.init import pde_initialize
+    from hydrolim_tpu.pde.stepper import build_pde_ops
+
+    config = PDEConfig(L=128, T=0.3, dt=1e-3, bc="periodic",
+                       gaussian_kernel=True, kernel_sigma=0.05,
+                       snapshot_interval=100, n_tracers=64,
+                       tracer_window_time=0.05, fft_kmax=8)
+    assert _kmax_rec(config) == 8
+    B = 2
+    params_b = PDEParams(gamma=jnp.full(B, 0.2), lam=jnp.full(B, 0.6),
+                         beta=jnp.asarray([0.5, 2.0]))
+    ops = build_pde_ops(config, make_pde_params(gamma=0.2, lam=0.6, beta=0.0))
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    init = jax.vmap(lambda k: pde_initialize(config, k, mode="homogeneous",
+                                             noise=0.3, n_tracers=64))
+    rp, rm, tr = init(keys)
+    key = jax.random.PRNGKey(11)
+    got = pde_solve_fused(config, params_b, ops, rp, rm, tr, key,
+                          engine="pallas")
+    want = pde_solve_fused(config, params_b, ops, rp, rm, tr, key,
+                           engine="xla")
+    fa = np.asarray(got.records.fft_ri)
+    fb = np.asarray(want.records.fft_ri)
+    assert fa.shape == (B, config.nsteps + 1, 8, 2)
+    assert np.all(np.isfinite(fa))
+    np.testing.assert_allclose(fa, fb, rtol=5e-3, atol=5e-5)
