@@ -8,7 +8,6 @@ North star: ≥ 1e9; ``vs_baseline`` reports value / 1e9.
 Secondary metrics (stderr): IMEX PDE steps/sec (L=1000, reference single-run
 shape) and β-sweep replicas/sec.
 """
-import functools
 import json
 import sys
 import time
@@ -496,7 +495,6 @@ def main():
               f"replica-steps/sec", file=sys.stderr)
     except Exception as e:  # secondary metric must not kill the headline
         print(f"# pde bench failed: {e}", file=sys.stderr)
-        pde_sps = None
     try:
         fsw_sps, fsw_wall = bench_pde_sweep_fused()
         # roofline: the dense implicit solve is the FLOPs hog — one

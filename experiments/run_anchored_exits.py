@@ -50,13 +50,14 @@ def main(outdir: str = "anchored_exits_out", small: bool = False,
         site_capacity=K, crowding_suppresses_rates=False,
         k_on=10, k_off=5, k_exit=5,
     )
+    # one gradient factory call covers both profiles: decay_length only
+    # shapes the + profile, the − profile is flat + anchor peaks
+    # (sweeps/beta_sweep.py:58-63), so a second call with a different decay
+    # would return an identical minus profile
     grad_p = make_exp_gradient(L=L, N=N, frac_plus=0.75, decay_length=0.35,
                                anchor_positions=ANCHORS,
                                anchor_peak_width=0.01, anchor_peak_mass=0.03)
-    grad_m = make_exp_gradient(L=L, N=N, frac_plus=0.75, decay_length=0.2,
-                               anchor_positions=ANCHORS,
-                               anchor_peak_width=0.01, anchor_peak_mass=0.03)
-    init_kwargs = dict(rho0_plus=grad_p[0], rho0_minus=grad_m[1])
+    init_kwargs = dict(rho0_plus=grad_p[0], rho0_minus=grad_p[1])
     run_kwargs = dict(T=T, obs_dt=obs_dt)
 
     save = sweep_over_betas(

@@ -105,10 +105,10 @@ def main(small: bool = False, outdir: str = "cross_engine_out"):
     # lattice shot-noise correction for the particle D (λ·dx/2, → 0 as L→∞)
     D_lattice = LAM / L / 2.0
 
-    for p_series, p_err, s_series, s_err, th, corr, ylabel, fname in (
-            (v_p, ve_p, pde["v_mean"], pde["D_err"] * 0 + pde["v_err"], v_th,
-             0.0, r"$v_{\mathrm{eff}}$", "cross_v_eff_vs_beta.png"),
-            (D_p - D_lattice, De_p, pde["D_mean"], pde["D_err"], D_th, 0.0,
+    for p_series, p_err, s_series, s_err, th, ylabel, fname in (
+            (v_p, ve_p, pde["v_mean"], pde["v_err"], v_th,
+             r"$v_{\mathrm{eff}}$", "cross_v_eff_vs_beta.png"),
+            (D_p - D_lattice, De_p, pde["D_mean"], pde["D_err"], D_th,
              r"$D_{\mathrm{eff}}$", "cross_D_eff_vs_beta.png")):
         plt.figure(figsize=(6, 4))
         plt.errorbar(beta_values, p_series, yerr=p_err, fmt="o", capsize=4,

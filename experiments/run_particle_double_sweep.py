@@ -15,7 +15,7 @@ import argparse
 
 import numpy as np
 
-from hydrolim_tpu.sweeps.double_sweep import double_sweep, double_sweep_fused
+from hydrolim_tpu.sweeps.double_sweep import double_sweep_fused
 
 
 def main(small: bool = False, outdir: str = "double_sweep_out",

@@ -48,6 +48,25 @@ def _frame_obs(pos_flat, sigma_flat, L: int, n: int, dx: float):
     return rho_p, rho_m, m, var
 
 
+def resolve_meanfield_engine(engine: str, config: ParticleConfig) -> str:
+    """'auto' picks the fused kernel only when the default device is a TPU
+    (default-device check, not jax.devices(): the axon plugin lists the TPU
+    even when jax_default_device pins CPU, and a Pallas call lowered for
+    the CPU default device fails) AND the init is 'fixed' — the kernel
+    path implements the uniform-site init only.  Explicit 'pallas' with
+    another init raises instead of silently changing the init law."""
+    if engine == "auto":
+        from hydrolim_tpu.sweeps.fast_exclusion import default_device_is_tpu
+
+        engine = ("pallas" if default_device_is_tpu()
+                  and config.init == "fixed" else "xla")
+    if engine == "pallas" and config.init != "fixed":
+        raise ValueError(
+            "engine='pallas' implements the 'fixed' (uniform-site) init "
+            f"only; got init={config.init!r} — use engine='xla' or 'auto'")
+    return engine
+
+
 def run_meanfield_sweep(config: ParticleConfig, params_b: ParticleParams,
                         key: jnp.ndarray, *, T: float, obs_dt: float,
                         dt: float, engine: str = "auto",
@@ -72,19 +91,7 @@ def run_meanfield_sweep(config: ParticleConfig, params_b: ParticleParams,
     n_sub = substeps_for(obs_dt, dt)
     dt_eff = obs_dt / n_sub
 
-    if engine == "auto":
-        from hydrolim_tpu.sweeps.fast_exclusion import default_device_is_tpu
-
-        # default-device check, not jax.devices(): the axon plugin lists the
-        # TPU even when jax_default_device pins CPU, and a Pallas call
-        # lowered for the CPU default device fails
-        engine = "pallas" if default_device_is_tpu() else "xla"
-        if config.init != "fixed":
-            engine = "xla"      # kernel path implements the 'fixed' init only
-    if engine == "pallas" and config.init != "fixed":
-        raise ValueError(
-            "engine='pallas' implements the 'fixed' (uniform-site) init "
-            f"only; got init={config.init!r} — use engine='xla' or 'auto'")
+    engine = resolve_meanfield_engine(engine, config)
 
     # initial state
     k_pos, k_sig, k_seed = jax.random.split(key, 3)

@@ -14,8 +14,13 @@ import os
 TPU_LANE = os.environ.get("HYDROLIM_TPU_TESTS", "") == "1"
 
 if not TPU_LANE:
-    os.environ.setdefault(
-        "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    # APPEND to any existing XLA_FLAGS (setdefault would silently drop the
+    # 8-virtual-device flag when e.g. --xla_dump_to is set, and every
+    # sharding test would then skip while the suite still reports green)
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax  # noqa: E402

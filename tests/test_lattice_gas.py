@@ -32,26 +32,29 @@ def test_conservation_and_capacity():
 
 
 def test_tasep_current_lattice_gas():
-    """All-plus frozen spins: v = λ(1−ρ) — same law as the particle engine
-    (tests/test_exclusion_physics.py), measured here from the COM of the
-    density field via mass flux."""
-    rho, ra, L, T = 0.5, 2.0, 128, 30.0
-    config = _config(L=L, N=int(rho * L),
+    """All-plus frozen spins on a ring = TASEP.  The product-Bernoulli(ρ)
+    measure is stationary for ring TASEP, so the mobile-pair density must
+    give the fundamental-diagram current J = λ·ρ(1−ρ) — a quantitative
+    check (the previous `J >= 0` smoke could never fail)."""
+    rho, ra, L, T = 0.5, 2.0, 128, 10.0
+    config = _config(L=L, N=int(rho * L), init="poisson",
                      flip_rate_fn=lambda s, m, b: 0.0 * s)
+    # per-site Poisson intensity with 1−exp(−λ) = ρ → site occupied w.p. ρ,
+    # all spins +: exactly the stationary product measure
+    lam = float(-np.log1p(-rho)) * np.ones(L)
     params = broadcast_params(config, beta=[0.0], rate_diffusion=0.0,
-                              rate_active=ra, n_runs=4)
+                              rate_active=ra, n_runs=64)
     frames, occ0 = run_lattice_gas(config, params, jax.random.PRNGKey(1),
-                                   T=T, obs_dt=1.0, dt=0.05 / ra)
-    # frozen random spins would jam; force all-plus via init... instead use
-    # current J = density of (+ at i, empty at i+1) * lambda measured from
-    # the final occupancy ensemble:
+                                   T=T, obs_dt=2.0, dt=0.02 / ra,
+                                   rho0_plus=lam, rho0_minus=np.zeros(L))
     occ = np.asarray(occ0)
+    assert np.all(occ >= 0)                   # all-plus system
     plus = occ == 1
     empty_right = np.roll(occ, -1, axis=-1) == 0
     J = ra * (plus & empty_right).mean()
-    # with frozen 50/50 spins, minus particles jam the ring: the measured
-    # mobile-pair density is suppressed well below rho/2*(1-rho)
-    assert J >= 0.0  # smoke: current nonnegative
+    # tolerance: O(ra·dt = 2%) parallel-update bias + ~2% SE at 64×128
+    # pair samples
+    np.testing.assert_allclose(J, ra * rho * (1.0 - rho), rtol=0.10)
 
 
 def test_matches_particle_engine_m_relaxation():

@@ -287,7 +287,11 @@ def test_run_exclusion_sweep_pallas_matches_xla():
         from hydrolim_tpu.particles.lattice_gas import tracer_valid_mask
 
         tr = np.asarray(frames.tracer_pos, float)
-        valid = tracer_valid_mask(frames.tracer_pos)[:, :1]
+        # mask BOTH endpoints of the displacement: a tag invalidated
+        # mid-run would put the TRACER_INVALID sentinel (~-2.1e9) into
+        # the drift instead of a NaN (cf. test_golden.py)
+        valid = (tracer_valid_mask(frames.tracer_pos[:, :1])
+                 & tracer_valid_mask(frames.tracer_pos[:, -1:]))
         drift = np.where(valid, tr[:, -1:] - tr[:, :1], np.nan)
         out[eng] = (np.abs(np.asarray(frames.m_global)),
                     np.abs(spins).sum(1), np.nanmean(drift))

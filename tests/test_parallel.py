@@ -265,3 +265,15 @@ def test_meshed_driver_passes_true_batch_to_fused_sweep(monkeypatch):
         pass
     assert captured["B_padded"] == 8        # 3 betas x 2 runs -> padded
     assert captured["b_real"] == 6          # ...but R derives from 6
+
+
+def test_factor3_space_factor_divides_lattice():
+    """dryrun mesh factorization: the 'space' factor must divide the dryrun
+    lattice sizes (64/128) for EVERY device count — n=6 used to pick
+    space=3 and crash device_put (regression, round-3 review)."""
+    import __graft_entry__ as ge
+
+    for n in (1, 2, 3, 4, 5, 6, 7, 8, 12, 16, 24):
+        a, b, c = ge._factor3(n)
+        assert a * b * c == n
+        assert 64 % c == 0, (n, (a, b, c))

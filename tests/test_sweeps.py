@@ -188,3 +188,20 @@ def test_fast_meanfield_pallas_rejects_non_fixed_init():
     with _pytest.raises(ValueError, match="fixed"):
         run_meanfield_sweep(config, params, jax.random.PRNGKey(0), T=0.4,
                             obs_dt=0.2, dt=0.1, engine="pallas")
+    # auto-routing gate, independent of the actual default device: even
+    # ON a TPU, init='poisson' must route to XLA and init='fixed' to the
+    # kernel path
+    import hydrolim_tpu.sweeps.fast_exclusion as fx
+    from hydrolim_tpu.sweeps.fast_meanfield import resolve_meanfield_engine
+
+    orig = fx.default_device_is_tpu
+    fx.default_device_is_tpu = lambda: True
+    try:
+        assert resolve_meanfield_engine("auto", config) == "xla"
+        fixed_cfg = ParticleConfig(L=32, N=20, init="fixed",
+                                   scale_rates=False, local_kernel_sigma=0.0,
+                                   periodic=True, site_capacity=None)
+        assert resolve_meanfield_engine("auto", fixed_cfg) == "pallas"
+    finally:
+        fx.default_device_is_tpu = orig
+    assert resolve_meanfield_engine("auto", config) == "xla"   # CPU default
