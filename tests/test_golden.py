@@ -240,3 +240,40 @@ def test_golden_anchored_exit_totals():
     assert abs(mean - g["mean"]) < max(4.0 * se, g["tol"]), (mean, se, g)
     # physics invariant: exits happened at all, and not everyone exited
     assert 0 < mean < N
+
+
+def test_pde_fixed_seed_golden():
+    """Fixed-seed golden of the XLA PDE solve (global-kernel sentinel,
+    gamma=0.2, beta=2, 256 tracers, 500 steps): pins the sampled physics
+    values themselves, not just tolerance-to-theory — a uniform scale
+    error (e.g. the round-3 (window-1)/window tracer bias, a ~1% shift)
+    passes every statistical check but fails here."""
+    import jax
+    import numpy as np
+
+    from hydrolim_tpu.core.config import PDEConfig, make_pde_params
+    from hydrolim_tpu.pde.init import pde_initialize
+    from hydrolim_tpu.pde.stepper import build_pde_ops, pde_solve
+
+    config = PDEConfig(L=128, T=0.5, dt=1e-3, bc="periodic",
+                      gaussian_kernel=True, kernel_sigma=1e5 - 10,
+                      snapshot_interval=100, n_tracers=256,
+                      tracer_window_time=0.05)
+    params = make_pde_params(gamma=0.2, lam=0.6, beta=2.0)
+    ops = build_pde_ops(config, params)
+    rho_p, rho_m, tr = pde_initialize(config, jax.random.PRNGKey(12),
+                                      mode="homogeneous", rho0=1.0,
+                                      noise=0.3, n_tracers=256)
+    res = pde_solve(config, params, ops, rho_p, rho_m, tr,
+                    jax.random.PRNGKey(34))
+    v = float(np.nanmean(np.asarray(res.records.v_eff)[-100:]))
+    D = float(np.nanmean(np.asarray(res.records.D_eff)[-100:]))
+    m = float(np.mean(np.asarray(res.records.m_mean)[-100:]))
+    mass_p = float(np.asarray(res.rho_p).sum())
+    # frozen 2026-08-17 (post tracer-window fix); tracer stats get a few
+    # ulp of slack for cross-version reduction reassociation, fields are
+    # deterministic to ~1e-4
+    np.testing.assert_allclose(v, -0.029707681387662888, rtol=5e-3)
+    np.testing.assert_allclose(D, 0.20189571380615234, rtol=5e-3)
+    np.testing.assert_allclose(m, 0.04618469625711441, rtol=1e-3)
+    np.testing.assert_allclose(mass_p, 0.525442361831665, rtol=1e-4)
