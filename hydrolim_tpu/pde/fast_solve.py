@@ -417,6 +417,21 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     k_chunk = interval
     R = max_r(interval)
     if not keep_snapshots:
+        # Snapshots are the only consumer of the chunk cadence, so the
+        # (R, k_chunk) choice is free.  R dominates throughput (it fills
+        # VPU sublanes / MXU rows: measured R=4 @ 50-step chunks beats
+        # R=2 @ 800-step chunks ~1.6×), and the per-step record block
+        # (k_chunk·128·4 B per replica, VMEM-resident) is what gates R —
+        # so SHRINK the chunk below the snapshot interval if that buys a
+        # larger R (floor 64 steps: launch overhead amortizes by then),
+        # then grow the chunk while the chosen R still fits.
+        kc_min = k_chunk
+        while kc_min % 2 == 0 and kc_min // 2 >= 64 \
+                and nsteps % (kc_min // 2) == 0:
+            kc_min //= 2
+        if max_r(kc_min) > R:
+            R = max_r(kc_min)
+            k_chunk = kc_min
         # growth must re-check the budget at R itself: max_r() returns 1 as
         # an unvalidated floor, so `max_r(kc*2) == R` alone is vacuous at
         # R == 1 and would grow the per-step record rows past the budget
