@@ -56,8 +56,10 @@ def _window_mask(total, *, xlim: float, window_mode: str,
     start = int(0.65 * M)
     min_len = max(3, int(min_window_fraction * M))
     if window_mode == "legacy":
-        any_unsafe = jnp.any(unsafe, axis=-1)
-        end = jnp.where(any_unsafe, min(M, start + min_len), M)
+        # reference rule (see estimators.measurement_window): collapse to
+        # min_len only when the unsafe-frame COUNT exceeds 0.65·M
+        count_unsafe = jnp.sum(unsafe, axis=-1)
+        end = jnp.where(count_unsafe > start, min(M, start + min_len), M)
     elif window_mode == "strict":
         tail = unsafe[:, start:]
         has = jnp.any(tail, axis=-1)

@@ -58,7 +58,15 @@ def measurement_window(total_density, *, boundary_xmin: float = 0.99,
     unsafe = frac_boundary >= max_boundary_fraction
     min_len = max(3, int(min_window_fraction * M))
     if window_mode == "legacy":
-        end = M if not unsafe.any() else min(M, start + min_len)
+        # The reference quirk, decoded (..._sweep_beta.py:141-153): `safe`
+        # holds the INDICES of boundary-heavy frames; `safe[start:]` is
+        # nonempty only when their COUNT exceeds 0.65·M, and `~index` is
+        # always truthy, so the window is [0.65·M, M) unless MORE THAN
+        # 65% of all frames are boundary-heavy — then it collapses to
+        # min_len.  (An earlier round collapsed on ANY unsafe frame —
+        # the opposite of the reference for the common drifting-front
+        # case with a handful of late unsafe frames.)
+        end = M if int(unsafe.sum()) <= start else min(M, start + min_len)
     elif window_mode == "strict":
         rel = np.where(unsafe[start:])[0]
         end = M if rel.size == 0 else start + int(rel[0])

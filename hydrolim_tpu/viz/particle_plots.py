@@ -321,8 +321,15 @@ def plot_cumulative_exits_by_anchor(ps, out: Dict, outdir: str = ".") -> None:
     plt = _plt()
     config = ps.config
     times = np.asarray(out["times_obs"])
-    exit_t = np.asarray([t for t in out["exit_times"] if np.isfinite(t)])
-    exit_x = np.asarray(out["exit_positions"][:len(exit_t)], dtype=int)
+    # filter BOTH arrays by the same finiteness mask (a prefix slice would
+    # misalign times and positions if a non-finite entry were interleaved
+    # — cf. the paired zip in viz/exit_plots.py)
+    all_t = np.asarray(out["exit_times"], dtype=float)
+    all_x = np.asarray(out["exit_positions"], dtype=float)
+    n = min(len(all_t), len(all_x))
+    finite = np.isfinite(all_t[:n])
+    exit_t = all_t[:n][finite]
+    exit_x = all_x[:n][finite].astype(int)
 
     apos = np.asarray(config.anchor_positions, dtype=float)
     centers = np.unique(np.round((apos / config.xlim)

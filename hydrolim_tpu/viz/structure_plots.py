@@ -72,9 +72,10 @@ def plot_dominant_wavelength_vs_beta(results, L: int = 1000, outdir="."):
     betas = _betas(results)
     ks = np.array([max(1, results[b]["dominant_k_mode"]) for b in betas])
     plt.figure(figsize=(6, 4))
-    plt.plot(betas, 1.0 / ks, "o-", color="navy")
+    # wavelength in SITES, L/k* (..._local_structure.py:288) — not 1/k*
+    plt.plot(betas, float(L) / ks, "o-", color="navy")
     plt.xlabel(r"$\beta$")
-    plt.ylabel(r"dominant wavelength $1/k^*$")
+    plt.ylabel(r"dominant wavelength $L/k^*$")
     plt.grid(True)
     plt.tight_layout()
     plt.savefig(Path(outdir) / "dominant_wavelength_vs_beta.png", dpi=300)
@@ -84,10 +85,13 @@ def plot_dominant_wavelength_vs_beta(results, L: int = 1000, outdir="."):
 def plot_fft_spectrum_heatmap(results, k_max: int = 40, outdir="."):
     plt = _plt()
     betas = _betas(results)
-    spec = np.stack([results[b]["fft_mean_mean"][:k_max] for b in betas])
+    # drop the k=0 column like the reference (spectra[:, 1:201]) — |A_0| is
+    # the total mass (~N), which would saturate the color scale and render
+    # every pattern mode flat
+    spec = np.stack([results[b]["fft_mean_mean"][1:k_max] for b in betas])
     plt.figure(figsize=(7, 5))
     plt.imshow(spec, aspect="auto", origin="lower",
-               extent=[0, k_max, betas[0], betas[-1]], cmap="viridis")
+               extent=[1, k_max, betas[0], betas[-1]], cmap="viridis")
     plt.colorbar(label=r"$\langle|A_k|\rangle$")
     plt.xlabel(r"$k$")
     plt.ylabel(r"$\beta$")
@@ -121,15 +125,17 @@ def plot_lowk_variance_time(results, k_cut: int = 25, outdir="."):
     plt.figure(figsize=(7, 5))
     colors = plt.cm.Blues(np.linspace(0.35, 0.9, len(betas)))
     for b, c in zip(betas, colors):
-        raws = results[b].get("raw")
-        if not raws:
+        raws = [r for r in results[b].get("raw") or [] if r.get("out")]
+        if not raws:                      # keep_outs=False leaves out=None
             continue
         series = np.stack([lowk_variance_time(r["out"], k_cut)
-                           for r in raws if r.get("out")])
+                           for r in raws])
         t = raws[0]["out"]["times_obs"]
-        plt.plot(t, series.mean(axis=0), color=c, label=rf"$\beta={b:.2f}$")
+        # sqrt like the reference figure (..._local_structure.py:367)
+        plt.plot(t, np.sqrt(series.mean(axis=0)), color=c,
+                 label=rf"$\beta={b:.2f}$")
     plt.xlabel("t")
-    plt.ylabel(r"$\sum_{k \leq 25}|A_k|^2$")
+    plt.ylabel(r"$\sqrt{\sum_{k \leq 25}|A_k|^2}$")
     plt.legend(ncol=2, fontsize=8)
     plt.grid(True)
     plt.tight_layout()
@@ -143,11 +149,11 @@ def plot_mode_growth_time(results, k: int = 1, outdir="."):
     plt.figure(figsize=(7, 5))
     colors = plt.cm.Blues(np.linspace(0.35, 0.9, len(betas)))
     for b, c in zip(betas, colors):
-        raws = results[b].get("raw")
-        if not raws:
+        raws = [r for r in results[b].get("raw") or [] if r.get("out")]
+        if not raws:                      # keep_outs=False leaves out=None
             continue
         amps = np.stack([np.asarray(r["out"]["fft_amp_list"])[:, k]
-                         for r in raws if r.get("out")])
+                         for r in raws])
         t = raws[0]["out"]["times_obs"]
         plt.semilogy(t, amps.mean(axis=0), color=c, label=rf"$\beta={b:.2f}$")
     plt.xlabel("t")
@@ -164,8 +170,12 @@ def plot_dominant_mode_amplitude_vs_beta(results, outdir="."):
     betas = _betas(results)
     amps, errs = [], []
     for b in betas:
-        k_star = max(1, results[b]["dominant_k_mode"])
-        amps.append(results[b]["fft_mean_mean"][k_star])
+        # the reference recomputes k* = argmax of the ensemble-MEAN
+        # spectrum per beta (..._local_structure.py:414-423) — the rounded
+        # mean of per-run dominant modes can name a mode dominant in no run
+        spec = np.asarray(results[b]["fft_mean_mean"])
+        k_star = int(np.argmax(spec[1:]) + 1)
+        amps.append(spec[k_star])
         errs.append(results[b]["fft_mean_se"][k_star])
     plt.figure(figsize=(6, 4))
     plt.errorbar(betas, amps, yerr=errs, fmt="o-", capsize=3, color="navy")
@@ -300,7 +310,10 @@ def run_all_plots(results, outdir=".", L: int = 1000):
     plot_spectral_entropy_vs_beta(results, outdir=outdir)
     plot_mode_competition_vs_beta(results, outdir)
     plot_time_to_pattern_vs_beta(results, outdir=outdir)
-    has_raw = any(results[b].get("raw") for b in results)
+    # keep_outs=False leaves 'raw' entries with out=None — the time-series
+    # figures need the actual out dicts, not just the raw list
+    has_raw = any(r.get("out")
+                  for b in results for r in results[b].get("raw") or [])
     if has_raw:
         plot_lowk_variance_time(results, outdir=outdir)
         plot_mode_growth_time(results, outdir=outdir)

@@ -21,17 +21,30 @@ def _drifting_out(M=40, L=50, v=0.01):
 
 
 def test_window_legacy_vs_strict():
-    out = _drifting_out(v=0.05)  # bump reaches the boundary
+    out = _drifting_out(v=0.05)  # bump reaches the boundary late
     total = out["total_list"]
     s_leg, e_leg, frac = measurement_window(total, window_mode="legacy")
     s_str, e_str, _ = measurement_window(total, window_mode="strict")
     M = total.shape[0]
     assert s_leg == s_str == int(0.65 * M)
-    # legacy collapses to the min window whenever any frame is unsafe
     assert frac.max() > 0.06
-    assert e_leg == min(M, s_leg + max(3, int(0.1 * M)))
+    # the decoded reference 'legacy' rule (..._sweep_beta.py:141-153): a
+    # handful of late unsafe frames does NOT collapse the window — the
+    # collapse fires only when the unsafe COUNT exceeds 0.65*M (round-3
+    # review: an earlier round collapsed on ANY unsafe frame)
+    assert 0 < (frac >= 0.06).sum() <= s_leg
+    assert e_leg == M
     # strict ends at the first unsafe frame after start (>= min length)
-    assert e_str >= s_str + 3
+    assert s_str + 3 <= e_str < M
+
+    # legacy collapse case: bump parked ON the boundary the whole run
+    x = np.linspace(0, 1, 50)
+    bump = np.exp(-0.5 * ((x - 0.995) / 0.02) ** 2)
+    total2 = np.tile(bump, (M, 1))
+    total2 /= total2.sum(axis=1, keepdims=True) * (x[1] - x[0])
+    s2, e2, frac2 = measurement_window(total2, window_mode="legacy")
+    assert (frac2 >= 0.06).sum() > s2
+    assert e2 == min(M, s2 + max(3, int(0.1 * M)))
 
 
 def test_v_eff_recovers_drift():
