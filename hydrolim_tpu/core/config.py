@@ -171,14 +171,28 @@ def auto_dt(config: ParticleConfig, params: ParticleParams,
     ``config.max_event_prob`` (SURVEY.md §7.4 "Δt selection").
 
     The per-particle total-rate bound is
-    ``2·r_diff + r_act + exp(β·1) + k_on + k_off + k_exit`` — the flip rate
-    ``exp(-βσm)`` is maximised at ``σm = -1``.
+    ``2·r_diff + r_act + flip_max + k_on + k_off + k_exit``.  For the
+    default Curie–Weiss flip rate ``exp(-βσm)`` the maximum is
+    ``exp(|β|)`` (at σm = -1); a custom ``config.flip_rate_fn`` is probed
+    numerically over σ = ±1 and m ∈ [-1, 1] — bounding it with the CW
+    formula would silently let a larger custom rate exceed
+    ``max_event_prob`` and truncate the stacked bind/unbind/exit channels.
     """
     get = lambda v: float(np.max(np.asarray(v)))
     b = beta_max if beta_max is not None else get(params.beta)
+    if config.flip_rate_fn is not None:
+        import jax.numpy as jnp
+
+        m_grid = jnp.linspace(-1.0, 1.0, 201)
+        flip_max = max(
+            float(np.max(np.asarray(config.flip_rate_fn(
+                jnp.full_like(m_grid, s), m_grid, jnp.float32(abs(b))))))
+            for s in (-1.0, 1.0))
+    else:
+        flip_max = float(np.exp(abs(b)))
     r_max = (2.0 * get(params.rate_diffusion)
              + get(params.rate_active)
-             + float(np.exp(abs(b)))
+             + flip_max
              + get(params.k_on) + get(params.k_off) + get(params.k_exit))
     return config.max_event_prob / max(r_max, 1e-12)
 

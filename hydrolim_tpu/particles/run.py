@@ -142,6 +142,17 @@ def run_particles(config: ParticleConfig, params: ParticleParams,
 
     times_obs = np.arange(0.0, T, obs_dt)
     n_frames = len(times_obs)
+    if n_frames == 0:
+        # T <= 0: a consistently EMPTY frame pytree (leading dim 0) against
+        # the empty times_obs — _run_scan would still prepend frame0 and
+        # return length-1 frames, an off-by-one for any times/frames zip
+        res = _run_scan(config, params, state0,
+                        statics_builder=build_static_arrays,
+                        n_frames=1, n_sub=1, obs_dt=max(obs_dt, 1e-9),
+                        record_pos=record_pos, record_fft=record_fft)
+        return ParticleRunResult(
+            frames=jax.tree.map(lambda a: a[:0], res.frames),
+            final_state=state0)
     n_sub = substeps_for(obs_dt, dt)
     return _run_scan(config, params, state0,
                      statics_builder=build_static_arrays,

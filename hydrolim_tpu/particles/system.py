@@ -22,7 +22,11 @@ from hydrolim_tpu.core.config import (
 )
 from hydrolim_tpu.ops.dft import ri_to_complex as _ri_to_complex
 from hydrolim_tpu.particles.init import ParticleState, eval_profile, init_particles
-from hydrolim_tpu.particles.run import ParticleRunResult, run_particles
+from hydrolim_tpu.particles.run import (
+    ParticleRunResult,
+    run_particles,
+    substeps_for,
+)
 
 
 def _wrap_flip_rate_fn(fn: Optional[Callable]) -> Optional[Callable]:
@@ -88,6 +92,23 @@ class ParticleSystem:
         if exit_buffer is None:
             # a particle exits at most once, so N slots always suffice
             exit_buffer = N if k_exit and anchor_positions else 8
+        if init == "poisson" and n_pad is None and rho0_plus is not None:
+            # The Poisson profiles, not N, determine the realized count —
+            # size the particle buffer from the total intensity with
+            # 6-sigma headroom (capped at the K*L capacity when exclusion
+            # truncates), so profiles whose mass exceeds N are realized in
+            # full instead of binomially thinned to n_buf(N).  The
+            # reference has no buffer and realizes whatever Poisson draws.
+            lam_tot = float(np.sum(eval_profile(rho0_plus, L))
+                            + np.sum(eval_profile(rho0_minus, L)))
+            need = int(np.ceil(lam_tot + 6.0 * np.sqrt(max(lam_tot, 1.0))))
+            if site_capacity is not None:
+                need = min(need, L * int(site_capacity))
+            default_buf = -(-max(int(np.ceil(N * 1.25)), 8) // 8) * 8
+            if need > default_buf:
+                n_pad = -(-need // 8) * 8
+                if k_exit and anchor_positions:
+                    exit_buffer = max(exit_buffer, n_pad)
         self.config = ParticleConfig(
             L=L, xlim=xlim, init=init, N=N, scale_rates=scale_rates,
             local_kernel_sigma=local_kernel_sigma, periodic=periodic,
@@ -155,13 +176,15 @@ class ParticleSystem:
                               self.rho0_plus, self.rho0_minus)
 
     def run_raw(self, T: float = 10.0, obs_dt: float = 0.01,
-                state0: Optional[ParticleState] = None) -> ParticleRunResult:
+                state0: Optional[ParticleState] = None,
+                record_fft: bool = True) -> ParticleRunResult:
         """Device-side run returning the raw frame pytree (for sweeps)."""
         if state0 is None:
             state0 = self.init_particles()
         return run_particles(self.config, self.params, state0, T=T,
                              obs_dt=obs_dt, dt=self._dt,
-                             record_pos=self.record_pos)
+                             record_pos=self.record_pos,
+                             record_fft=record_fft)
 
     def run(self, T: float = 10.0, obs_dt: float = 0.01,
             record_fft: bool = False, record_var: bool = False,
@@ -185,7 +208,14 @@ class ParticleSystem:
             return self._run_lattice_gas(
                 T, obs_dt, record_fft, record_var,
                 kernel="auto" if engine == "pallas" else "xla")
-        res = jax.device_get(self.run_raw(T=T, obs_dt=obs_dt))
+        # record_fft gates the O(L^2) matmul-DFT on device, not just the
+        # host-side slicing below.  Deviation from a reference quirk: the
+        # reference computes var only inside its record_fft branch (so
+        # record_var without record_fft yields zeros,
+        # PARTICLE_solver_CLASS.py:499-535); here var_list holds the true
+        # variances whenever record_var is set.
+        res = jax.device_get(self.run_raw(T=T, obs_dt=obs_dt,
+                                          record_fft=record_fft))
         f = res.frames
         L = self.config.L
         times_obs = np.arange(0.0, T, obs_dt)
@@ -220,7 +250,7 @@ class ParticleSystem:
             "pos_frames": np.asarray(f.pos) if self.record_pos else None,
             "alive_frames": np.asarray(f.alive) if self.record_pos else None,
             "bound_frames": np.asarray(f.bound) if self.record_pos else None,
-            "dt_eff": obs_dt / max(1, int(np.ceil(obs_dt / self._dt - 1e-9))),
+            "dt_eff": obs_dt / substeps_for(obs_dt, self._dt),
         }
         return out
 
@@ -238,6 +268,11 @@ class ParticleSystem:
             "engine='lattice_gas' supports exclusion configs without "
             "anchors/binding")
         N, L = config.N, config.L
+        # Tag budget: for Poisson inits the realized count follows the
+        # profiles, not N, and the ctor sizes n_buf from the intensities —
+        # tag the whole buffer so every realized particle carries an
+        # identity; surplus tags are TRACER_INVALID and masked below.
+        n_tags = config.n_buf if config.init == "poisson" else N
         params_b = jax.tree.map(lambda x: np.asarray(x)[None], self.params)
         if kernel != "xla":
             from hydrolim_tpu.sweeps.fast_exclusion import (
@@ -254,11 +289,11 @@ class ParticleSystem:
         frames, _slots = jax.tree.map(np.asarray, runner(
             config, params_b, self._split_key(), T=T, obs_dt=obs_dt,
             dt=self._dt, rho0_plus=self.rho0_plus, rho0_minus=self.rho0_minus,
-            record_fft=record_fft, n_tracers=N))
+            record_fft=record_fft, n_tracers=n_tags))
         g = lambda a: np.asarray(a[0])
         times_obs = np.arange(0.0, T, obs_dt)
         M = len(times_obs)
-        pos_u = g(frames.tracer_pos)                     # (M, N) unwrapped
+        pos_u = g(frames.tracer_pos)                 # (M, n_tags) unwrapped
         # Poisson init may realize fewer than N particles; surplus tags are
         # TRACER_INVALID (phantom-tracer guard) — mask them out everywhere
         from hydrolim_tpu.particles.lattice_gas import tracer_valid_mask
@@ -267,7 +302,7 @@ class ParticleSystem:
         n_real = int(alive[0].sum())
         pos_list = [(pos_u[k][alive[k]] % L).astype(np.int64)
                     for k in range(M)]
-        zeros = np.zeros((M, N), bool)
+        zeros = np.zeros((M, n_tags), bool)
         if record_fft:
             rho_hat = np.fft.fft(g(frames.total), axis=-1)
             fft_amp = np.abs(rho_hat)
@@ -292,7 +327,7 @@ class ParticleSystem:
             "pos_frames": pos_u,
             "alive_frames": alive,
             "bound_frames": zeros,
-            "dt_eff": obs_dt / max(1, int(np.ceil(obs_dt / self._dt - 1e-9))),
+            "dt_eff": obs_dt / substeps_for(obs_dt, self._dt),
         }
 
     # -- visualization (PARTICLE_solver_CLASS.py:561-1093) ------------------

@@ -300,7 +300,23 @@ long long run_gillespie(
         if (u < acc) { i = j; channel = c; break; }
       }
     }
-    if (channel < 0) { i = N - 1; channel = 3; }  // numerical edge: flip last
+    if (channel < 0) {
+      // numerical edge: u landed past the scan's accumulated total
+      // (summation-order mismatch vs assemble_rates).  Flip the LAST
+      // particle that is alive with a nonzero flip rate — blindly flipping
+      // index N-1 could act on an exited or zero-rate particle and corrupt
+      // the counts/sigma_sum the oracle validates against.
+      for (long long j = N - 1; j >= 0; --j) {
+        if (e.alive[j] && rf[j] > 0.0) { i = j; channel = 3; break; }
+      }
+      if (channel < 0) {  // no eligible flip: drop the event (state
+        // unchanged), but catch up the frame clock first so frames due at
+        // times <= t record the CURRENT state, not a later event's
+        while (frame < n_frames && (double)frame * obs_dt <= t)
+          record(frame++);
+        continue;
+      }
+    }
 
     int64_t x = e.pos[i];
     auto move_to = [&](int64_t nx) {

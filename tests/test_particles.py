@@ -179,3 +179,44 @@ def test_init_poisson_overflow_unbiased():
     # unbiased within a few sites (tail truncation would shift it ~30 sites)
     assert abs(np.mean(kept_means) - pop_mean) < 5.0
     assert max(totals) <= config.n_buf
+
+
+def test_lattice_gas_poisson_reports_realized_count():
+    """engine='lattice_gas' with Poisson profiles that realize MORE than N
+    particles must report the true realized population and carry every
+    identity (regression, round-3 review: tags/counts were capped at N)."""
+    ps = _mini_system(init="poisson", N=20, site_capacity=3,
+                      rho0_plus=lambda x: 1.0, rho0_minus=lambda x: 0.8)
+    out = ps.run(T=0.5, obs_dt=0.25, engine="lattice_gas")
+    n0 = out["particle_count_list"][0]
+    # E[total] = 64*(1.0+0.8) = 115.2 -> realized well above N=20
+    assert n0 > 60, n0
+    assert len(out["pos_list"][0]) == n0
+    assert out["alive_frames"].shape[1] >= n0
+
+
+def test_auto_dt_bounds_custom_flip_rate():
+    """auto_dt must probe a custom flip_rate_fn instead of assuming the
+    Curie-Weiss exp(|beta|) bound — a larger custom rate would silently
+    exceed max_event_prob and starve the channels stacked after flip."""
+    from hydrolim_tpu.core.config import auto_dt
+
+    big = 1000.0
+    ps = _mini_system(flip_rate_fn=lambda s, m, b: big + 0.0 * s)
+    dt = auto_dt(ps.config, ps.params)
+    assert dt <= ps.config.max_event_prob / big * 1.001
+    # and the default CW bound is unchanged
+    ps2 = _mini_system()
+    dt2 = auto_dt(ps2.config, ps2.params)
+    assert dt2 > ps.config.max_event_prob / big
+
+
+def test_run_zero_horizon_returns_empty_frames():
+    """T<=0: frames must be consistently EMPTY (leading dim 0) against the
+    empty times_obs — not a single spurious frame0."""
+    ps = _mini_system()
+    out = ps.run(T=0.0, obs_dt=0.1)
+    assert len(out["times_obs"]) == 0
+    assert out["total_list"].shape[0] == 0
+    assert out["m_global"].shape[0] == 0
+    assert out["pos_list"] == []
