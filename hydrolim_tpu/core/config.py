@@ -221,7 +221,9 @@ class PDEConfig:
     tracer_window_time: float = 0.05         # IMEX_PDE_solver_class.py:238
     fft_kmax: Optional[int] = None           # None -> L//2+1 (full rfft)
     record_every: int = 1                    # thin the per-step series
-    legacy_double_diffusion: bool = False    # reproduce :189-190 + :207-208 quirk
+    # API-compat no-op: the reference's anchored "double solve" (:189-190 +
+    # :207-208) re-reads the unchanged fields, so it equals a single solve
+    legacy_double_diffusion: bool = False
 
     def __post_init__(self):
         assert self.bc in ("periodic", "neumann")

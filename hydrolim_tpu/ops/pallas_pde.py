@@ -287,8 +287,10 @@ def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, swts_ref, rhop_ref,
             rho_p2 = jnp.maximum(rho_p1 + dt * (adv_p + R_p), 0.0)
             rho_m2 = jnp.maximum(rho_m1 + dt * (adv_m - R_p), 0.0)
         else:                            # anchored_minus (:205-227)
-            if legacy_double_diffusion and solve_mode != "none":
-                rho_p1, rho_m1 = apply_solve(rho_p1, rho_m1)
+            # NB the reference's second solve call (:207-208) re-reads the
+            # UNCHANGED pre-step fields — identical result, no A^-2; the
+            # single solve above is bit-faithful (legacy_double_diffusion
+            # is an accepted no-op; see pde/stepper.pde_step)
             R_p = cw(-1.0, m) * rho_m1 - cw(+1.0, m) * rho_p1
             rho_p_star = jnp.maximum(rho_p1 + dt * R_p, 0.0)
             rho_m2 = jnp.maximum(rho_m1 - dt * R_p, 0.0)

@@ -11,10 +11,13 @@ a pure jitted scan:
 - embedded Euler–Maruyama tracer ensemble with windowed v_eff/D_eff
   (:256-287) kept in the scan carry as a circular displacement buffer.
 
-The reference's ``anchored_minus`` branch applies the implicit diffusion
-solve twice per step (:189-190 then :207-208 — SURVEY.md §2.4); the intended
-single solve is the default here and ``config.legacy_double_diffusion=True``
-reproduces the reference behavior bit-for-bit in structure.
+The reference's ``anchored_minus`` branch CALLS the implicit solve twice per
+step (:189-190 then :207-208 — SURVEY.md §2.4), but the second call reads
+the unchanged ``self.rho_p/self.rho_m`` and overwrites the first call's
+locals with an identical result — the quirk is wasted work, not ``A^-2``
+composition, so the single solve here is bit-faithful.
+``config.legacy_double_diffusion`` is accepted for API compatibility and is
+a no-op (an earlier round misread the quirk as composition).
 """
 from __future__ import annotations
 
@@ -131,9 +134,14 @@ def pde_step(config: PDEConfig, params: PDEParams, ops: PDEOps,
         rho_p2 = jnp.clip(rho_p1 + dt * (adv_p + R_p), 0.0, None)
         rho_m2 = jnp.clip(rho_m1 + dt * (adv_m - R_p), 0.0, None)
     else:  # anchored_minus: reaction first, then advection of rho_p only
-        if config.legacy_double_diffusion:
-            rho_p1 = diffusion_solve(sop, rho_p1, kind)
-            rho_m1 = diffusion_solve(sop, rho_m1, kind)
+        # NB the reference's "double solve" (:189-190 then :207-208) is a
+        # no-op quirk, NOT A^-2: the second spsolve reads the UNCHANGED
+        # self.rho_p/self.rho_m (the first solve wrote locals), so its
+        # result is identical to the first — the reference applies single
+        # diffusion and just pays the solve twice.  The single solve above
+        # is therefore bit-faithful; `legacy_double_diffusion` is accepted
+        # for API compatibility and changes nothing (an earlier round
+        # misread the quirk as composition and applied A^-2 here).
         R_p = cw_rate(-1.0, m, params.beta) * rho_m1 - \
             cw_rate(+1.0, m, params.beta) * rho_p1
         rho_p_star = jnp.clip(rho_p1 + dt * R_p, 0.0, None)

@@ -59,6 +59,13 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
     Pallas engine runs single-chip and ignores the mesh."""
     from hydrolim_tpu.parallel.mesh import pad_and_shard, resolve_sweep_mesh
 
+    if float(gamma) == 0.0 and config.diffusion_solver == "auto":
+        # A = I exactly at gamma=0: skip the spectral solve entirely (the
+        # IMEXPDE facade does the same).  Without this, the 'magn' variant
+        # (gamma=0, 80k steps) pays two (L, L) DFT round-trips per step
+        # that compute the identity — and accumulates f32 round-trip noise
+        # the reference's exact spsolve(I, rho) doesn't have.
+        config = dataclasses.replace(config, diffusion_solver="identity")
     beta_values = np.atleast_1d(np.asarray(beta_values, dtype=np.float32))
     flat_beta = np.repeat(beta_values, n_runs)
     B = flat_beta.shape[0]

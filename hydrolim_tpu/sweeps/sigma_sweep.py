@@ -157,9 +157,11 @@ def _vs_sigma(results: Dict, key: str, err_key: str, fname: str,
         errs = [scale * results[s][err_key][i] for s in sigmas_pos]
         plt.errorbar(sigmas_pos, vals, yerr=errs, fmt="o", capsize=3,
                      color=color, label=rf"$\beta={beta:.2f}$")
-        if 0.0 in results:  # σ=0 (global m) plotted at σ=1 (:1209-1218)
-            plt.errorbar(1.0, scale * results[0.0][key][i],
-                         yerr=scale * results[0.0][err_key][i], fmt="o",
+        if 0.0 in results:  # σ=0 (global m) plotted at σ=1 (:1209-1218),
+            # UNSCALED — the reference applies the 2.5 display scale to
+            # the σ>0 series only (:1249-1266)
+            plt.errorbar(1.0, results[0.0][key][i],
+                         yerr=results[0.0][err_key][i], fmt="o",
                          markersize=6, capsize=3, color=color)
     plt.xscale("log")
     plt.xlabel(r"$\sigma$")

@@ -132,9 +132,12 @@ def test_anchored_minus_runs():
 
 
 def test_anchored_minus_oracle_and_legacy_double_diffusion():
-    """anchored_minus branch vs a direct NumPy replication, for both the
-    intended single implicit solve and the reference's double-solve quirk
-    (IMEX_PDE_solver_class.py:189-190 + :207-208, legacy_double_diffusion)."""
+    """anchored_minus branch vs a direct NumPy replication of the
+    reference step.  NB the reference's "double solve" (:189-190 then
+    :207-208) re-reads the UNCHANGED self.rho_* — the second call yields
+    the identical single-solve result, so the oracle applies ONE solve and
+    ``legacy_double_diffusion`` must be a no-op (an earlier round misread
+    the quirk as A^-2 composition; round-3 review)."""
     L, dx, dt = 64, 1.0 / 64, 5e-4
     gamma, lam, beta = 0.2, 0.6, 1.5
     rng = np.random.default_rng(3)
@@ -149,11 +152,9 @@ def test_anchored_minus_oracle_and_legacy_double_diffusion():
     A = (diags(np.ones(L), 0) - gamma * dt * D / dx ** 2).tocsr()
 
     for legacy in (False, True):
+        # the reference solves twice FROM THE SAME INPUT — equals one solve
         p = spsolve(A, rho_p)
         m = spsolve(A, rho_m)
-        if legacy:          # the reference applies the solve twice
-            p = spsolve(A, p)
-            m = spsolve(A, m)
         mag = (rho_p - rho_m) / (rho_p + rho_m + 1e-12)  # pre-step densities
         cw = lambda sg: np.clip(np.exp(-beta * sg * mag), 1e-8, 1e8)
         R_p = cw(-1) * m - cw(+1) * p
