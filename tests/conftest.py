@@ -26,6 +26,18 @@ if not TPU_LANE:
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+if not TPU_LANE:
+    # Belt and braces: the axon plugin overrides the JAX_PLATFORMS env var,
+    # and when its remote worker is down ANY backend init — even
+    # jax.devices('cpu') — blocks indefinitely, hanging the whole
+    # CPU-pinned suite at the session fixture with zero CPU load.  The
+    # config update (unlike the env var) reliably restricts initialization
+    # to the CPU backend, so the suite runs regardless of worker health.
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass  # older jax or already-initialized backends: keep going
+
 
 @pytest.fixture(scope="session", autouse=True)
 def _force_cpu():
