@@ -286,3 +286,35 @@ def test_fft_record_slab_matches_partial_dft():
                                atol=1e-5)
     # wide kmax (full rfft at reference L: 501 bins) stays on chunk cadence
     assert _kmax_rec(PDEConfig(L=1000, T=1e-3, dt=1e-3)) == 0
+
+
+def test_gamma_zero_ensemble_promotes_to_identity_solver():
+    """run_pde_ensemble must resolve diffusion_solver='auto' to 'identity'
+    at gamma=0 like the IMEXPDE facade (regression, round-3 review: the
+    'magn' sweep variant paid two (L, L) DFT round-trips per step
+    computing A^-1 = I, and accumulated f32 round-trip noise)."""
+    import numpy as np
+
+    from hydrolim_tpu.core.config import PDEConfig
+    from hydrolim_tpu.sweeps.pde_sweeps import run_pde_ensemble
+
+    kw = dict(L=64, T=0.02, dt=1e-3, bc="periodic", gaussian_kernel=True,
+              kernel_sigma=0.05, snapshot_interval=10, n_tracers=8)
+    res_auto, _ = run_pde_ensemble(
+        PDEConfig(**kw), [1.5], gamma=0.0, lam=0.6, n_runs=2, seed=5,
+        n_tracers=8)
+    res_id, _ = run_pde_ensemble(
+        PDEConfig(**kw, diffusion_solver="identity"), [1.5], gamma=0.0,
+        lam=0.6, n_runs=2, seed=5, n_tracers=8)
+    # the promotion makes 'auto' the SAME program as explicit 'identity'
+    np.testing.assert_array_equal(np.asarray(res_auto.rho_p),
+                                  np.asarray(res_id.rho_p))
+    np.testing.assert_array_equal(np.asarray(res_auto.records.m_mean),
+                                  np.asarray(res_id.records.m_mean))
+    # and the spectral solve at gamma=0 is the identity up to f32 noise
+    res_fft, _ = run_pde_ensemble(
+        PDEConfig(**kw, diffusion_solver="fft"), [1.5], gamma=0.0,
+        lam=0.6, n_runs=2, seed=5, n_tracers=8)
+    np.testing.assert_allclose(np.asarray(res_fft.rho_p),
+                               np.asarray(res_id.rho_p), rtol=2e-4,
+                               atol=2e-6)
