@@ -9,8 +9,49 @@ Secondary metrics (stderr): IMEX PDE steps/sec (L=1000, reference single-run
 shape) and β-sweep replicas/sec.
 """
 import json
+import os
+import subprocess
 import sys
 import time
+
+
+def _wait_for_backend(max_wait_s: float = 1800.0) -> None:
+    """Block (boundedly) until JAX backend init succeeds in a PROBE
+    subprocess.  The axon worker faults after sustained sessions and takes
+    ~5-20 min to return; while it is down, ANY backend init — even
+    jax.devices('cpu') — blocks forever, which would hang this benchmark
+    (and the driver waiting on it) indefinitely.  Probing in a subprocess
+    keeps this process unblocked; on success the real init below hits a
+    live worker.  Exits nonzero with a diagnostic after max_wait_s."""
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=60, capture_output=True)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"# backend probe: worker back after {attempt} "
+                          f"attempts ({time.time() - t0:.0f} s)",
+                          file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        waited = time.time() - t0
+        if waited > max_wait_s:
+            print(f"# FATAL: JAX backend init still blocking after "
+                  f"{waited:.0f} s (axon worker down?) — aborting instead "
+                  f"of hanging", file=sys.stderr)
+            sys.exit(1)
+        print(f"# backend probe attempt {attempt}: init blocked/failing; "
+              f"retrying ({waited:.0f}/{max_wait_s:.0f} s)", file=sys.stderr)
+        time.sleep(45)
+
+
+if os.environ.get("HYDROLIM_BENCH_NO_PROBE", "") != "1":
+    _wait_for_backend()
 
 import jax
 
