@@ -26,7 +26,6 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 class BatchedEstimates(NamedTuple):

@@ -34,7 +34,6 @@ to the XLA engines.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

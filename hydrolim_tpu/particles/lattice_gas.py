@@ -21,7 +21,6 @@ the state.
 from __future__ import annotations
 
 import functools
-import math
 from typing import NamedTuple, Optional
 
 import jax

@@ -33,8 +33,7 @@ before its position in the [stayers | right-in | left-in] concatenation.
 from __future__ import annotations
 
 import functools
-import math
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +43,6 @@ from hydrolim_tpu.core.config import ParticleConfig, ParticleParams
 from hydrolim_tpu.particles.run import substeps_for
 from hydrolim_tpu.fields.magnetization import MFieldOp, build_mfield_op, local_m_field
 from hydrolim_tpu.particles.lattice_gas import (
-    LatticeGasFrames,
     TRACER_INVALID,
     _lg_record_counts,
 )

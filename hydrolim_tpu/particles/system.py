@@ -16,7 +16,6 @@ import numpy as np
 
 from hydrolim_tpu.core.config import (
     ParticleConfig,
-    ParticleParams,
     auto_dt,
     make_particle_params,
 )

@@ -33,8 +33,6 @@ back to the vmapped XLA ``pde_solve`` (as does everything off-TPU,
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,6 @@ from hydrolim_tpu.core.config import PDEConfig, make_pde_params
 from hydrolim_tpu.pde.stepper import (
     PDEOps,
     PDESolveResult,
-    TracerState,
     build_pde_ops,
     pde_solve,
 )

@@ -6,7 +6,6 @@ and cached next to the source (no pybind11 in the image; plain C ABI).
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Dict, Optional

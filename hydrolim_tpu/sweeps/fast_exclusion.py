@@ -23,7 +23,6 @@ suppression.  Everything else routes to the XLA engines.
 """
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import jax

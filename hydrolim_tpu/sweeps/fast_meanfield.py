@@ -11,7 +11,6 @@ Falls back to the XLA fast path automatically off-TPU (`engine='auto'`).
 from __future__ import annotations
 
 import functools
-import math
 from typing import NamedTuple, Optional
 
 import jax

@@ -15,7 +15,6 @@ import numpy as np
 
 from hydrolim_tpu.observables.structure import extract_structure_observables_from_out
 from hydrolim_tpu.sweeps.beta_sweep import (
-    DEFAULT_RUN_KWARGS,
     make_exp_gradient,
     run_sweep_grid,
 )

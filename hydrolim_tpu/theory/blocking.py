@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 from scipy.stats import nbinom, poisson
 
-from hydrolim_tpu.theory.meanfield import compute_m_of_beta, compute_m_of_beta_non
+from hydrolim_tpu.theory.meanfield import compute_m_of_beta_non
 
 # frozen exclusion-fit constants (BASELINE.md)
 C0 = 1.2552899764748897
