@@ -204,7 +204,12 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
         out_for = _lattice_gas_out_accessor(frames, times,
                                             exit_log=exit_log)
         return config, out_for, dt, frames
-    n_tracers = config.N if n_tracers is None else min(n_tracers, config.N)
+    # tag budget: Poisson inits realize a profile-determined count that can
+    # exceed N (up to the n_buf headroom) — tag the whole buffer so every
+    # realized particle carries an identity (surplus tags are
+    # TRACER_INVALID); 'fixed' inits realize exactly N
+    full_tags = config.n_buf if config.init == "poisson" else config.N
+    n_tracers = full_tags if n_tracers is None else min(n_tracers, full_tags)
     if kernel != "xla":
         from hydrolim_tpu.sweeps.fast_exclusion import (
             is_pallas_exclusion_path,
