@@ -50,9 +50,6 @@ def _wait_for_backend(max_wait_s: float = 1800.0) -> None:
         time.sleep(45)
 
 
-if os.environ.get("HYDROLIM_BENCH_NO_PROBE", "") != "1":
-    _wait_for_backend()
-
 import jax
 
 try:  # persistent compilation cache: repeat bench runs skip the recompile
@@ -477,6 +474,11 @@ print(json.dumps({"wall_1": w1, "wall_n": wn,
 
 
 def main():
+    # probe in main(), NOT at import: tests exec the module to check the
+    # entry points exist, and an import-time probe would block them for
+    # the whole retry budget while the worker is down
+    if os.environ.get("HYDROLIM_BENCH_NO_PROBE", "") != "1":
+        _wait_for_backend()
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 

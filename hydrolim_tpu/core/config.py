@@ -246,7 +246,11 @@ class PDEConfig:
 
     @property
     def kmax(self) -> int:
-        return self.fft_kmax if self.fft_kmax is not None else self.L // 2 + 1
+        # clamp to the rfft width: bins past L//2 are aliased mirrors, and
+        # an unclamped kmax would give the fused and XLA engines different
+        # fft_ri shapes (dft.rfft_ri_partial clamps the same way)
+        full = self.L // 2 + 1
+        return min(self.fft_kmax, full) if self.fft_kmax is not None else full
 
     @property
     def n_records(self) -> int:

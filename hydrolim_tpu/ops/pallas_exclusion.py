@@ -74,11 +74,14 @@ def build_conv_matrix(config: ParticleConfig) -> np.ndarray:
     L, Lp = config.L, _pad_lanes(config.L)
     M = np.zeros((Lp, Lp), np.float32)
     if config.periodic:
-        # circular convolution: out[j] = sum_i x[i] * k[(j - i) % L]
+        # circular convolution: out[j] = sum_i x[i] * k[(j - i) % L] — the
+        # one cached/vectorized construction shared with the XLA smoothing
+        # and the PDE bridge (a second hand-rolled copy here would have to
+        # track dft.py's orientation convention forever)
+        from hydrolim_tpu.ops import dft
+
         k = periodic_gaussian_kernel(L, config.dx, config.local_kernel_sigma)
-        i = np.arange(L)
-        for j in range(L):
-            M[i, j] = k[(j - i) % L]
+        M[:L, :L] = np.asarray(dft.circulant_matmul_matrix(k))
     else:
         w = gaussian_filter_weights(config.sigma_grid, 4.0)
         r = (len(w) - 1) // 2
@@ -294,8 +297,14 @@ def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
         # minimal tiling-aligned placeholder — shipping a (Lp, Lp) zero
         # matrix would waste ~4 MB of VMEM per program at L=1000
         conv_mat = jnp.zeros((8, LANE), jnp.float32)
-    elif conv_mat.size == 0:
-        conv_mat = jnp.zeros((Lp, Lp), jnp.float32)
+    elif conv_mat.shape != (Lp, Lp):
+        # an empty/mis-shaped matrix with use_local_m would previously be
+        # replaced by ZEROS: m ≡ 0 and every occupied slot flips with
+        # probability dt — beta-independent coin-flip dynamics with no
+        # error.  Fail loudly instead.
+        raise ValueError(
+            f"use_local_m=True requires a ({Lp}, {Lp}) smoothing matrix "
+            f"(build_conv_matrix); got shape {tuple(conv_mat.shape)}")
     G = B // R
     grid = (G,)
     kernel = functools.partial(

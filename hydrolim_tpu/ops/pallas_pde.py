@@ -17,8 +17,9 @@ utilization; the operator matrices are shared across the R replicas):
   recorder, the tracer flips and the reaction (pre-diffusion densities,
   :198),
 - upwind advection + CW reaction + positivity clip + mass renorm
-  (:187-233), both ``bidirectional`` and ``anchored_minus`` branches incl.
-  the flag-gated legacy double-diffusion quirk (:189-190, :207-208),
+  (:187-233), both ``bidirectional`` and ``anchored_minus`` branches (the
+  reference's "double solve" :207-208 re-reads unchanged fields — a
+  no-op, so a single solve is bit-faithful; see pde/stepper.py),
 - tracer SDE (:256-287): flip Bernoulli(c·dt) with m gathered at tracer
   sites via a one-hot matmul (Mosaic has no vector gather; skipped
   entirely in global-m mode where m is spatially constant), Euler–Maruyama
@@ -57,7 +58,7 @@ def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, swts_ref, rhop_ref,
             L: int, Lp: int, n_t: int, Ntp: int, window: int, k_steps: int,
             R: int, dt: float, dx: float, xlim: float, periodic: bool,
             m_mode: str, narrow_r: int, solve_mode: str, solve_r: int,
-            bidirectional: bool, legacy_double_diffusion: bool,
+            bidirectional: bool,
             has_noise: bool, kmax_rec: int):
     g = pl.program_id(0)
     beta = scalv_ref[:, 0:1]          # (R, 1) per-replica scalars
@@ -318,7 +319,7 @@ def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, swts_ref, rhop_ref,
     jax.jit,
     static_argnames=("L", "n_t", "window", "k_steps", "r_batch", "dt", "dx",
                      "xlim", "periodic", "m_mode", "narrow_r", "solve_mode",
-                     "solve_r", "bidirectional", "legacy_double_diffusion",
+                     "solve_r", "bidirectional",
                      "has_noise", "kmax_rec"))
 def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
                    rho_p: jnp.ndarray, rho_m: jnp.ndarray, pos: jnp.ndarray,
@@ -331,7 +332,6 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
                    r_batch: int = 1, dt: float, dx: float, xlim: float,
                    periodic: bool, m_mode: str, narrow_r: int = 0,
                    solve_mode: str, solve_r: int = 0, bidirectional: bool,
-                   legacy_double_diffusion: bool = False,
                    has_noise: bool = True, kmax_rec: int = 0):
     """Advance K_STEPS IMEX steps (fields + tracers) fully on-chip.
 
@@ -390,7 +390,7 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
         k_steps=k_steps, R=R, dt=dt, dx=dx, xlim=xlim, periodic=periodic,
         m_mode=m_mode, narrow_r=narrow_r, solve_mode=solve_mode,
         solve_r=solve_r, bidirectional=bidirectional,
-        legacy_double_diffusion=legacy_double_diffusion, has_noise=has_noise,
+        has_noise=has_noise,
         kmax_rec=kmax_rec)
     if wts is None:
         wts = jnp.zeros((1, LANE), jnp.float32)

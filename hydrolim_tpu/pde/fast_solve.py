@@ -312,7 +312,6 @@ def _run_scanned(config: PDEConfig, scal, seeds0, rho_p, rho_m, pos, spin,
             m_mode=m_mode, narrow_r=narrow_r, solve_mode=solve_mode,
             solve_r=solve_r,
             bidirectional=(config.active_model == "bidirectional"),
-            legacy_double_diffusion=config.legacy_double_diffusion,
             has_noise=has_noise, kmax_rec=kmax_rec)
         return (rho_p, rho_m, pos, spin, hist), (recs[:B],) + fft_part + snaps
 

@@ -217,6 +217,23 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     n_sub = substeps_for(obs_dt, dt)
     dt_eff = obs_dt / n_sub
 
+    if config.periodic and n_tracers > 0:
+        # unwrap_tracer_sites resolves periodic winding by per-frame
+        # minimal image, valid only while per-frame |displacement| < L/2.
+        # Bound the expected per-frame event count (drift + both diffusion
+        # directions); exceeding L/2 net displacement then has a
+        # negligible Poisson tail.  Fail loudly rather than silently
+        # folding every displacement to the wrong branch.
+        ev = float(np.max(np.asarray(params_b.rate_active))
+                   + 2.0 * np.max(np.asarray(params_b.rate_diffusion)))
+        if ev * obs_dt >= L / 2:
+            raise ValueError(
+                f"obs_dt={obs_dt} gives ~{ev * obs_dt:.0f} expected events "
+                f"per frame >= L/2={L // 2}: per-frame minimal-image "
+                "unwrapping of tracer winding would be ambiguous — use a "
+                "smaller obs_dt or engine='xla' (exact per-substep "
+                "winding)")
+
     key, k_seed, k_tag = jax.random.split(key, 3)
     keys = jax.random.split(key, B)
     init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)

@@ -51,18 +51,26 @@ def resolve_meanfield_engine(engine: str, config: ParticleConfig) -> str:
     """'auto' picks the fused kernel only when the default device is a TPU
     (default-device check, not jax.devices(): the axon plugin lists the TPU
     even when jax_default_device pins CPU, and a Pallas call lowered for
-    the CPU default device fails) AND the init is 'fixed' — the kernel
-    path implements the uniform-site init only.  Explicit 'pallas' with
-    another init raises instead of silently changing the init law."""
+    the CPU default device fails) AND the config is in the kernel's scope:
+    init='fixed' (the kernel implements the uniform-site init only) and
+    PERIODIC (the kernel hard-codes wrap+winding moves; the XLA fast path
+    blocks boundary moves for non-periodic configs,
+    particles/stepper._step_meanfield_global).  Explicit 'pallas' outside
+    that scope raises instead of silently changing the law."""
     if engine == "auto":
         from hydrolim_tpu.sweeps.fast_exclusion import default_device_is_tpu
 
         engine = ("pallas" if default_device_is_tpu()
-                  and config.init == "fixed" else "xla")
+                  and config.init == "fixed" and config.periodic else "xla")
     if engine == "pallas" and config.init != "fixed":
         raise ValueError(
             "engine='pallas' implements the 'fixed' (uniform-site) init "
             f"only; got init={config.init!r} — use engine='xla' or 'auto'")
+    if engine == "pallas" and not config.periodic:
+        raise ValueError(
+            "engine='pallas' implements the periodic lattice only (the "
+            "kernel hard-codes wrap+winding moves); non-periodic configs "
+            "block boundary moves — use engine='xla' or 'auto'")
     return engine
 
 

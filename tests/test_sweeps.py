@@ -202,6 +202,15 @@ def test_fast_meanfield_pallas_rejects_non_fixed_init():
                                    scale_rates=False, local_kernel_sigma=0.0,
                                    periodic=True, site_capacity=None)
         assert resolve_meanfield_engine("auto", fixed_cfg) == "pallas"
+        # the kernel hard-codes periodic wrap+winding: non-periodic configs
+        # must route to XLA (blocked boundary moves) / raise on explicit
+        # pallas (round-3 kernel review)
+        open_cfg = ParticleConfig(L=32, N=20, init="fixed",
+                                  scale_rates=False, local_kernel_sigma=0.0,
+                                  periodic=False, site_capacity=None)
+        assert resolve_meanfield_engine("auto", open_cfg) == "xla"
+        with _pytest.raises(ValueError, match="periodic"):
+            resolve_meanfield_engine("pallas", open_cfg)
     finally:
         fx.default_device_is_tpu = orig
     assert resolve_meanfield_engine("auto", config) == "xla"   # CPU default
