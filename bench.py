@@ -15,14 +15,16 @@ import sys
 import time
 
 
-def _wait_for_backend(max_wait_s: float = 1800.0) -> None:
+def _wait_for_backend(max_wait_s: float = 540.0) -> bool:
     """Block (boundedly) until JAX backend init succeeds in a PROBE
     subprocess.  The axon worker faults after sustained sessions and takes
     ~5-20 min to return; while it is down, ANY backend init — even
     jax.devices('cpu') — blocks forever, which would hang this benchmark
     (and the driver waiting on it) indefinitely.  Probing in a subprocess
     keeps this process unblocked; on success the real init below hits a
-    live worker.  Exits nonzero with a diagnostic after max_wait_s."""
+    live worker.  Returns False after max_wait_s — the budget is kept WELL
+    under the driver's ~1800 s timeout so an outage degrades to a parseable
+    JSON error record (main()) instead of an rc=124 null (BENCH_r03)."""
     t0 = time.time()
     attempt = 0
     while True:
@@ -36,15 +38,15 @@ def _wait_for_backend(max_wait_s: float = 1800.0) -> None:
                     print(f"# backend probe: worker back after {attempt} "
                           f"attempts ({time.time() - t0:.0f} s)",
                           file=sys.stderr)
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
         waited = time.time() - t0
         if waited > max_wait_s:
-            print(f"# FATAL: JAX backend init still blocking after "
-                  f"{waited:.0f} s (axon worker down?) — aborting instead "
-                  f"of hanging", file=sys.stderr)
-            sys.exit(1)
+            print(f"# backend init still blocking after {waited:.0f} s "
+                  f"(axon worker down?) — emitting error record instead of "
+                  f"hanging", file=sys.stderr)
+            return False
         print(f"# backend probe attempt {attempt}: init blocked/failing; "
               f"retrying ({waited:.0f}/{max_wait_s:.0f} s)", file=sys.stderr)
         time.sleep(45)
@@ -473,14 +475,33 @@ print(json.dumps({"wall_1": w1, "wall_n": wn,
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _emit(record):
+    """The bench contract: exactly ONE JSON line on stdout, always."""
+    print(json.dumps(record))
+
+
 def main():
     # probe in main(), NOT at import: tests exec the module to check the
     # entry points exist, and an import-time probe would block them for
     # the whole retry budget while the worker is down
     if os.environ.get("HYDROLIM_BENCH_NO_PROBE", "") != "1":
-        _wait_for_backend()
+        budget = float(os.environ.get("HYDROLIM_BENCH_PROBE_BUDGET", 540.0))
+        if not _wait_for_backend(budget):
+            _emit({"error": "backend down",
+                   "detail": "axon worker: jax.devices() blocked for the "
+                             f"whole probe budget ({budget:.0f} s)",
+                   "metric": "particle-steps/sec/chip "
+                             "(N=1e5, 64-point beta sweep)",
+                   "value": None, "unit": "particle-steps/s",
+                   "vs_baseline": None})
+            return
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
+    # per-engine record (VERDICT r3 #1): machine-diffable round-over-round;
+    # None = that engine's bench failed/unavailable (reason on stderr).
+    # Timing methodology for every number: pipelined mean (one sync after
+    # `reps` chained dispatches), NOT min-of-reps — see README/VALIDATION.
+    engines = {}
 
     # Ordering: once any LARGE program has run, this remote worker's eager
     # dispatches degrade to ~300 ms synchronous round-trips (bisected: the
@@ -491,13 +512,18 @@ def main():
     # is printed at the end regardless of ordering.
     try:
         k3_1, k3_b = bench_k3_flagship()
+        engines["k3_slot_single"] = k3_1
+        engines["k3_slot_b16"] = k3_b
         print(f"# K=3 flagship (site-centric slot engine): {k3_1:.3e} "
               f"particle-steps/sec single replica, {k3_b:.3e} at B=16",
               file=sys.stderr)
     except Exception as e:
+        engines["k3_slot_single"] = engines["k3_slot_b16"] = None
         print(f"# K=3 flagship bench failed: {e}", file=sys.stderr)
     try:
         k3p_1, k3p_b = bench_k3_pallas()
+        engines["k3_fused_single"] = k3p_1
+        engines["k3_fused_b16"] = k3p_b
         # roofline: lane-elements/s = replica-steps/s x Kp x Lp (slot tiles)
         ops = _exclusion_ops_per_lane(3)
         vpu_frac = (k3p_b / 750) * 4 * 1024 * ops / _V5E_VPU_PEAK
@@ -507,13 +533,16 @@ def main():
               f"roofline at {ops} lane-ops/slot-element est.)",
               file=sys.stderr)
     except Exception as e:
+        engines["k3_fused_single"] = engines["k3_fused_b16"] = None
         print(f"# K=3 pallas bench unavailable: {e}", file=sys.stderr)
     pps, step_time = bench_particle_steps()
+    engines["meanfield_xla"] = pps
     print(f"# particle bench (XLA path): {pps:.3e} particle-steps/sec/chip "
           f"(64x1e5 batch, {step_time * 1e3:.1f} ms / 100 steps)",
           file=sys.stderr)
     try:
         pps_pl, t_pl = bench_particle_steps_pallas()
+        engines["meanfield_pallas"] = pps_pl
         vpu_frac = pps_pl * _PALLAS_OPS_PER_STEP / _V5E_VPU_PEAK
         print(f"# particle bench (Pallas fused): {pps_pl:.3e} "
               f"particle-steps/sec/chip ({t_pl * 1e3:.1f} ms / 1000 steps); "
@@ -522,24 +551,32 @@ def main():
               f"({_PALLAS_OPS_PER_STEP} ops/step est.)", file=sys.stderr)
         pps = max(pps, pps_pl)
     except Exception as e:  # Mosaic unavailable off-TPU
+        engines["meanfield_pallas"] = None
         print(f"# pallas bench unavailable: {e}", file=sys.stderr)
     try:
         lg = bench_lattice_gas()
+        engines["lattice_gas_k1"] = lg
         print(f"# lattice-gas bench (K=1 exclusion, local kernel): "
               f"{lg:.3e} particle-equivalent steps/sec", file=sys.stderr)
     except Exception as e:
+        engines["lattice_gas_k1"] = None
         print(f"# lattice-gas bench failed: {e}", file=sys.stderr)
     try:
         pde_sps = bench_pde_steps()
+        engines["pde_imex_single"] = pde_sps
         print(f"# pde bench: {pde_sps:.3e} IMEX steps/sec (L=1000)",
               file=sys.stderr)
         pde_sps_b = bench_pde_steps(B=32)
+        engines["pde_imex_b32_aggregate"] = 32 * pde_sps_b
         print(f"# pde bench (batched B=32): {32 * pde_sps_b:.3e} aggregate "
               f"replica-steps/sec", file=sys.stderr)
     except Exception as e:  # secondary metric must not kill the headline
+        engines.setdefault("pde_imex_single", None)
+        engines.setdefault("pde_imex_b32_aggregate", None)
         print(f"# pde bench failed: {e}", file=sys.stderr)
     try:
         fsw_sps, fsw_wall = bench_pde_sweep_fused()
+        engines["pde_fused_sweep_aggregate"] = fsw_sps
         # roofline: the dense implicit solve is the FLOPs hog — one
         # (2, Lp)@(Lp, Lp) f32-HIGHEST matmul per replica-step (global-m
         # route: no smoothing matmul); everything else is ~60 VPU
@@ -554,24 +591,32 @@ def main():
               f"matmul + ~{100 * vpu_frac:.0f}% VPU on the step body; "
               f"XLA batch path: ~7.6 s at the same scale)", file=sys.stderr)
     except Exception as e:
+        engines["pde_fused_sweep_aggregate"] = None
         print(f"# pde fused-sweep bench unavailable: {e}", file=sys.stderr)
     try:
         full_sps, full_wall = bench_pde_solve_full()
+        engines["pde_full_solve"] = full_sps
         print(f"# pde full solve (reference single-run scale, records + "
               f"1000 tracers): {full_sps:.3e} steps/sec, {full_wall:.1f} s "
               f"wall for 40k steps", file=sys.stderr)
     except Exception as e:
+        engines["pde_full_solve"] = None
         print(f"# pde full-solve bench failed: {e}", file=sys.stderr)
     try:
         bl_p, bl_x = bench_pde_banded_large_L()
+        engines["pde_banded_l8192_fused"] = bl_p
+        engines["pde_banded_l8192_xla"] = bl_x
         print(f"# pde banded large-L (L=8192, in-kernel rolled solve): "
               f"{bl_p:.3e} aggregate replica-steps/sec fused vs "
               f"{bl_x:.3e} XLA banded batch", file=sys.stderr)
     except Exception as e:
+        engines["pde_banded_l8192_fused"] = None
+        engines["pde_banded_l8192_xla"] = None
         print(f"# pde banded large-L bench unavailable: {e}",
               file=sys.stderr)
     try:
         mc = bench_multichip_sweep_virtual()
+        engines["multichip_sweep_ok"] = bool(mc["close"])
         print(f"# multi-device sweep (8-way virtual CPU mesh, public "
               f"n_devices= API): {mc['wall_n']:.1f} s sharded vs "
               f"{mc['wall_1']:.1f} s unsharded on one host; observables "
@@ -581,15 +626,28 @@ def main():
               f"global-m configs are exactly bitwise; real ICI scaling "
               f"needs a pod)", file=sys.stderr)
     except Exception as e:
+        engines["multichip_sweep_ok"] = None
         print(f"# multi-device sweep bench unavailable: {e}", file=sys.stderr)
 
-    print(json.dumps({
+    _emit({
         "metric": "particle-steps/sec/chip (N=1e5, 64-point beta sweep)",
         "value": pps,
         "unit": "particle-steps/s",
         "vs_baseline": pps / 1e9,
-    }))
+        "timing": "pipelined-mean",
+        "engines": engines,
+    })
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # one parseable line, no matter what broke
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        _emit({"error": f"{type(exc).__name__}: {exc}",
+               "metric": "particle-steps/sec/chip "
+                         "(N=1e5, 64-point beta sweep)",
+               "value": None, "unit": "particle-steps/s",
+               "vs_baseline": None})
+        sys.exit(0)

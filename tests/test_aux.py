@@ -111,6 +111,33 @@ def test_bench_module_importable():
         assert callable(getattr(mod, fn))
 
 
+def test_bench_outage_emits_one_json_line():
+    """VERDICT r3 #1: with the backend down (simulated by a zero probe
+    budget), bench.py must exit 0 and print exactly ONE parseable JSON
+    line carrying an error record — never an unparseable timeout."""
+    import json
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    path = pathlib.Path(__file__).parent.parent / "bench.py"
+    env = dict(os.environ)
+    env["HYDROLIM_BENCH_PROBE_BUDGET"] = "0"
+    # poison the probe so it fails fast even with a healthy backend
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "nonexistent-platform"
+    out = subprocess.run([sys.executable, str(path)], env=env,
+                         capture_output=True, text=True, timeout=300,
+                         cwd=str(path.parent))
+    assert out.returncode == 0, out.stderr[-1000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l]
+    assert len(lines) == 1, out.stdout
+    rec = json.loads(lines[0])
+    assert rec["error"] == "backend down"
+    assert rec["value"] is None and rec["vs_baseline"] is None
+
+
 def test_graft_entry_importable():
     import importlib.util
     import pathlib
