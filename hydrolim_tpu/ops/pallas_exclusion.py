@@ -97,7 +97,7 @@ def build_conv_matrix(config: ParticleConfig) -> np.ndarray:
 def _kernel(scal_ref, seed_ref, gid_ref, slots_ref, conv_ref, slots_out, *,
             L: int, Lp: int, K: int, Kp: int, R: int, k_steps: int,
             dt: float, periodic: bool, bidirectional: bool,
-            use_local_m: bool):
+            use_local_m: bool, noise_ref=None):
     """R replicas per grid program (VERDICT r2 #6): state is (R, Kp, Lp)
     with the (Kp, Lp) tiles stacked on the leading axis — per-replica
     reductions run over axis 1 (the sublane axis of each tile), rolls over
@@ -116,8 +116,12 @@ def _kernel(scal_ref, seed_ref, gid_ref, slots_ref, conv_ref, slots_out, *,
     p_act = scal_ref[:, :, 2:3] * dt
     # second seed word is the GLOBAL program id (== g unless the caller is
     # a shard_map shard, which passes its global offset) so that per-shard
-    # streams match the unsharded run replica-for-replica
-    pltpu.prng_seed(seed_ref[g], gid_ref[g])
+    # streams match the unsharded run replica-for-replica.
+    # noise_ref != None = injected-randomness mode (VERDICT r3 #3): bits
+    # come from a (k_steps, 2, R, Kp, Lp) pre-drawn ref so the whole body
+    # runs under interpret=True on CPU (pltpu.prng_* has no interpreter).
+    if noise_ref is None:
+        pltpu.prng_seed(seed_ref[g], gid_ref[g])
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (R, 1, Lp), 2)
     laneK = jax.lax.broadcasted_iota(jnp.int32, (R, Kp, Lp), 2)
@@ -195,7 +199,11 @@ def _kernel(scal_ref, seed_ref, gid_ref, slots_ref, conv_ref, slots_out, *,
         t3 = t2 + c * dt
         # low-24-bit mask, NOT `>> 8`: Mosaic lowers the shift as arithmetic
         # (sign-extends), which would make u negative for half the draws
-        u = (pltpu.prng_random_bits((R, Kp, Lp)) & np.uint32(0x00FFFFFF)
+        if noise_ref is None:
+            u_bits = pltpu.prng_random_bits((R, Kp, Lp))
+        else:
+            u_bits = noise_ref[pl.ds(step, 1)][0, 0]
+        u = (u_bits & np.uint32(0x00FFFFFF)
              ).astype(jnp.float32) * jnp.float32(2.0 ** -24)
         ev_left = u < t1
         ev_right = (u >= t1) & (u < t2)
@@ -204,7 +212,10 @@ def _kernel(scal_ref, seed_ref, gid_ref, slots_ref, conv_ref, slots_out, *,
         # unique candidate priorities as NON-NEGATIVE int32 (Mosaic has no
         # unsigned reductions): 27 random high bits | row id (right movers
         # rows 0..K-1, left movers K..2K-1 at the destination lane)
-        bits = pltpu.prng_random_bits((R, Kp, Lp))
+        if noise_ref is None:
+            bits = pltpu.prng_random_bits((R, Kp, Lp))
+        else:
+            bits = noise_ref[pl.ds(step, 1)][0, 1]
         rand_hi = jnp.right_shift(bits, 1).astype(jnp.int32) & _MASK_HI
         pr = rand_hi | rowK
         plf = rand_hi | (rowK + Kp)
@@ -265,7 +276,8 @@ def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
                          periodic: bool, bidirectional: bool,
                          use_local_m: bool, r_batch: int = 1,
                          prog_ids: jnp.ndarray = None,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         noise=None):
     """Advance K_STEPS exclusion steps fully on-chip.
 
     Args:
@@ -287,6 +299,10 @@ def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
         word (default arange(G)).  A shard_map caller passes its shard's
         global offset + arange so every replica's bit stream matches the
         unsharded run.
+      noise: optional (G, k_steps, 2, R, Kp, Lp) uint32 pre-drawn random
+        bits (slot 0 = event draw, slot 1 = priority draw per step),
+        consumed instead of the on-core PRNG — the CPU/interpret validation
+        path (VERDICT r3 #3).  None on the production TPU path.
     """
     B, Kp, Lp = slots.shape
     R = r_batch
@@ -312,8 +328,16 @@ def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
         periodic=periodic, bidirectional=bidirectional,
         use_local_m=use_local_m)
 
-    def squeeze(scal, seed, gid, sl, conv, out):
-        kernel(scal.at[0], seed, gid, sl.at[0], conv, out.at[0])
+    inject = noise is not None
+
+    def squeeze(scal, seed, gid, sl, conv, *rest):
+        if inject:
+            nz, out = rest
+            kernel(scal.at[0], seed, gid, sl.at[0], conv, out.at[0],
+                   noise_ref=nz.at[0])
+        else:
+            (out,) = rest
+            kernel(scal.at[0], seed, gid, sl.at[0], conv, out.at[0])
 
     slot_spec = pl.BlockSpec((1, R, Kp, Lp), lambda g: (g, 0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -323,24 +347,31 @@ def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
     gids_g = (jnp.arange(G, dtype=jnp.int32) if prog_ids is None
               else jnp.asarray(prog_ids, jnp.int32))
     smem_vec = pl.BlockSpec((G,), lambda g: (0,), memory_space=pltpu.SMEM)
+    in_specs = [
+        pl.BlockSpec((1, R, 1, LANE), lambda g: (g, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        smem_vec,
+        smem_vec,
+        slot_spec,
+        pl.BlockSpec(conv_mat.shape, lambda g: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [scal_g, seeds_g, gids_g, slots.reshape(G, R, Kp, Lp),
+              jnp.asarray(conv_mat, jnp.float32)]
+    if inject:
+        in_specs.append(pl.BlockSpec(
+            (1, k_steps, 2, R, Kp, Lp), lambda g: (g, 0, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+        inputs.append(jnp.asarray(noise, jnp.uint32))
     out = pl.pallas_call(
         squeeze,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, R, 1, LANE), lambda g: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            smem_vec,
-            smem_vec,
-            slot_spec,
-            pl.BlockSpec(conv_mat.shape, lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=slot_spec,
         out_shape=jax.ShapeDtypeStruct((G, R, Kp, Lp), jnp.int32),
         input_output_aliases={3: 0},
         interpret=interpret,
-    )(scal_g, seeds_g, gids_g, slots.reshape(G, R, Kp, Lp),
-      jnp.asarray(conv_mat, jnp.float32))
+    )(*inputs)
     return out.reshape(B, Kp, Lp)
 
 

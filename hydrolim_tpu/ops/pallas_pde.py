@@ -59,12 +59,17 @@ def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, swts_ref, rhop_ref,
             R: int, dt: float, dx: float, xlim: float, periodic: bool,
             m_mode: str, narrow_r: int, solve_mode: str, solve_r: int,
             bidirectional: bool,
-            has_noise: bool, kmax_rec: int):
+            has_noise: bool, kmax_rec: int, noise_ref=None):
     g = pl.program_id(0)
     beta = scalv_ref[:, 0:1]          # (R, 1) per-replica scalars
     lam = scalv_ref[:, 1:2]
     noise_amp = scalv_ref[:, 2:3]
-    pltpu.prng_seed(seed_ref[g], g)
+    # noise_ref != None = injected-randomness mode (VERDICT r3 #3): a
+    # (k_steps, 3, R, Ntp) uint32 ref of pre-drawn bits (slots: flip, BM-u2,
+    # BM-u3) replaces the on-core PRNG so the whole body runs under
+    # interpret=True on CPU (pltpu.prng_* has no interpreter lowering).
+    if noise_ref is None:
+        pltpu.prng_seed(seed_ref[g], g)
     n0 = step0_ref[g]
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
@@ -109,8 +114,14 @@ def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, swts_ref, rhop_ref,
     def cw(s, m):
         return jnp.clip(jnp.exp(-beta * s * m), 1e-8, 1e8)
 
-    def uniform():
-        bits = pltpu.prng_random_bits((R, Ntp))
+    def uniform(s, j):
+        """Draw j (0 = tracer flip, 1/2 = Box–Muller) of step s.  On the
+        PRNG path s/j are ignored — call order defines the stream, and the
+        injected path reads the same (step, draw) slots in the same order."""
+        if noise_ref is None:
+            bits = pltpu.prng_random_bits((R, Ntp))
+        else:
+            bits = noise_ref[pl.ds(s, 1)][0, j]
         return (bits & np.uint32(0x00FFFFFF)).astype(jnp.float32) * \
             jnp.float32(2.0 ** -24)
 
@@ -234,11 +245,11 @@ def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, swts_ref, rhop_ref,
                 rows_tr.append(m_tr_r)
             m_tr = jnp.concatenate(rows_tr, axis=0)             # (R, Ntp)
         rate = cw(spin, m_tr)
-        flip = uniform() < rate * dt
+        flip = uniform(s, 0) < rate * dt
         spin = jnp.where(flip, -spin, spin)
         if has_noise:
-            u2 = jnp.maximum(uniform(), jnp.float32(1e-12))
-            u3 = uniform()
+            u2 = jnp.maximum(uniform(s, 1), jnp.float32(1e-12))
+            u3 = uniform(s, 2)
             z = jnp.sqrt(-2.0 * jnp.log(u2)) * jnp.cos(
                 jnp.float32(2.0 * np.pi) * u3)
             pos_u = pos_u + lam * spin * dt + noise_amp * z
@@ -320,7 +331,7 @@ def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, swts_ref, rhop_ref,
     static_argnames=("L", "n_t", "window", "k_steps", "r_batch", "dt", "dx",
                      "xlim", "periodic", "m_mode", "narrow_r", "solve_mode",
                      "solve_r", "bidirectional",
-                     "has_noise", "kmax_rec"))
+                     "has_noise", "kmax_rec", "interpret"))
 def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
                    rho_p: jnp.ndarray, rho_m: jnp.ndarray, pos: jnp.ndarray,
                    spin: jnp.ndarray, hist: jnp.ndarray,
@@ -332,7 +343,8 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
                    r_batch: int = 1, dt: float, dx: float, xlim: float,
                    periodic: bool, m_mode: str, narrow_r: int = 0,
                    solve_mode: str, solve_r: int = 0, bidirectional: bool,
-                   has_noise: bool = True, kmax_rec: int = 0):
+                   has_noise: bool = True, kmax_rec: int = 0,
+                   noise=None, interpret: bool = False):
     """Advance K_STEPS IMEX steps (fields + tracers) fully on-chip.
 
     Args:
@@ -368,6 +380,10 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
       r_batch: replicas per grid program (B must divide evenly); the
         operator matrices are shared within a program, and row-batching
         fills the VPU sublanes / MXU rows a single replica leaves idle.
+      noise: optional (G, k_steps, 3, R, Ntp) uint32 pre-drawn random bits
+        (per-step slots: tracer flip, Box–Muller u2, u3) consumed instead
+        of the on-core PRNG — the CPU/interpret validation path (VERDICT
+        r3 #3).  None on the production TPU path.
 
     Returns (rho_p, rho_m, pos, spin, hist, recs) with recs
     (B, k_steps, 128) float32 rows [m_mean, Var, v_eff, D_eff, spectra…]
@@ -413,39 +429,51 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
     def gshape(x):
         return x.reshape((G, R) + x.shape[1:])
 
+    inject = noise is not None
+
     def squeeze(scalv, seed, step0, wts, swts, rp, rm, pos, spin, hist,
-                solve, smooth, fft, rp_o, rm_o, pos_o, spin_o, hist_o,
-                recs):
+                solve, smooth, fft, *rest):
+        if inject:
+            nz, rp_o, rm_o, pos_o, spin_o, hist_o, recs = rest
+            nz_ref = nz.at[0]
+        else:
+            rp_o, rm_o, pos_o, spin_o, hist_o, recs = rest
+            nz_ref = None
         kernel(scalv.at[0], seed, step0, wts, swts, rp.at[0], rm.at[0],
                pos.at[0], spin.at[0], hist.at[0], solve, smooth, fft,
                rp_o.at[0], rm_o.at[0], pos_o.at[0], spin_o.at[0],
-               hist_o.at[0], recs.at[0])
+               hist_o.at[0], recs.at[0], noise_ref=nz_ref)
 
     bspec = lambda shape: pl.BlockSpec(
         (1, R) + shape, lambda g: (g, 0) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
     mspec = lambda m: pl.BlockSpec(m.shape, lambda g: (0, 0),
                                    memory_space=pltpu.VMEM)
+    in_specs = [
+        bspec((LANE,)),
+        pl.BlockSpec((G,), lambda g: (0,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((G,), lambda g: (0,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, LANE), lambda g: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, LANE), lambda g: (0, 0),
+                     memory_space=pltpu.SMEM),
+        bspec((Lp,)),
+        bspec((Lp,)),
+        bspec((Ntp,)),
+        bspec((Ntp,)),
+        bspec((Wp, Ntp)),
+        mspec(solve_mat),
+        mspec(smooth_mat),
+        mspec(fft_slab),
+    ]
+    if inject:
+        in_specs.append(pl.BlockSpec(
+            (1, k_steps, 3, R, Ntp), lambda g: (g, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         squeeze,
         grid=grid,
-        in_specs=[
-            bspec((LANE,)),
-            pl.BlockSpec((G,), lambda g: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((G,), lambda g: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, LANE), lambda g: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, LANE), lambda g: (0, 0),
-                         memory_space=pltpu.SMEM),
-            bspec((Lp,)),
-            bspec((Lp,)),
-            bspec((Ntp,)),
-            bspec((Ntp,)),
-            bspec((Wp, Ntp)),
-            mspec(solve_mat),
-            mspec(smooth_mat),
-            mspec(fft_slab),
-        ],
+        in_specs=in_specs,
         out_specs=[
             bspec((Lp,)),
             bspec((Lp,)),
@@ -463,13 +491,15 @@ def pde_multi_step(scal: jnp.ndarray, seeds: jnp.ndarray, step0: jnp.ndarray,
             jax.ShapeDtypeStruct((G, R, k_steps, _REC_W), jnp.float32),
         ],
         input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3, 9: 4},
+        interpret=interpret,
     )(gshape(scalv), seeds_g, step0_g, jnp.asarray(wts, jnp.float32),
       jnp.asarray(solve_wts, jnp.float32),
       gshape(rho_p), gshape(rho_m),
       gshape(pos), gshape(spin), gshape(hist),
       jnp.asarray(solve_mat, jnp.float32),
       jnp.asarray(smooth_mat, jnp.float32),
-      jnp.asarray(fft_slab, jnp.float32))
+      jnp.asarray(fft_slab, jnp.float32),
+      *([jnp.asarray(noise, jnp.uint32)] if inject else []))
     rp_o, rm_o, pos_o, spin_o, hist_o, recs = out
     ung = lambda x: x.reshape((B,) + x.shape[2:])
     return (ung(rp_o), ung(rm_o), ung(pos_o), ung(spin_o), ung(hist_o),

@@ -33,27 +33,41 @@ LANE = 128
 def _kernel(scal_ref, seed_ref, pos_ref, sigma_ref, wind_ref,
             pos_out, sigma_out, wind_out, *,
             L: int, k_steps: int, dt: float, bidirectional: bool,
-            n_active: int):
+            n_active: int, noise_ref=None):
     """scal_ref: SMEM (B, 3) float32 = [beta, rate_diffusion, rate_active]
     rows; seed_ref: SMEM (B,) int32 PRNG seeds (int32 end-to-end — a float32
     seed column cannot represent per-frame increments above 2^24, which
-    silently replayed identical random streams every obs_dt frame)."""
+    silently replayed identical random streams every obs_dt frame).
+
+    ``noise_ref`` (injected-randomness mode, VERDICT r3 #3): a
+    (k_steps, R, 128) uint32 VMEM ref of pre-drawn random bits consumed
+    instead of the on-core PRNG — ``pltpu.prng_*`` has no interpreter
+    lowering, so this is what lets the CPU suite run the ENTIRE kernel body
+    under ``interpret=True`` and assert equality with the XLA engine at
+    matched draws (tests/test_kernel_logic_cpu.py).  Production TPU calls
+    leave it None and are structurally unchanged."""
     b = pl.program_id(0)
     beta = scal_ref[b, 0]
     p_dif = scal_ref[b, 1] * dt
     p_act = scal_ref[b, 2] * dt
-    pltpu.prng_seed(seed_ref[b], b)
+    if noise_ref is None:
+        pltpu.prng_seed(seed_ref[b], b)
 
-    inv_n = jnp.float32(1.0 / n_active)
+    # division, not multiply-by-reciprocal: bit-parity with the XLA
+    # engine's m = s_sum / n_alive (the integer sums are exact either way)
+    n_f = jnp.float32(n_active)
     shape = pos_ref.shape  # (R, 128)
 
     def body(step, carry):
         pos, sigma, wind = carry
-        m = jnp.sum(sigma).astype(jnp.float32) * inv_n
+        m = jnp.sum(sigma).astype(jnp.float32) / n_f
         e_p = jnp.exp(-beta * m) * dt
         e_m = jnp.exp(beta * m) * dt
 
-        bits = pltpu.prng_random_bits(shape)
+        if noise_ref is None:
+            bits = pltpu.prng_random_bits(shape)
+        else:
+            bits = noise_ref[pl.ds(step, 1)][0]
         # mask the LOW 24 bits: Mosaic lowers `bits >> 8` as an ARITHMETIC
         # shift (sign-extends the top bit), which made u negative for half
         # the draws and fired the u < t1 left-hop branch ~50% of the time
@@ -105,7 +119,8 @@ def meanfield_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
                          wind: jnp.ndarray, *,
                          L: int, k_steps: int, dt: float,
                          bidirectional: bool, n_active: int,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         noise=None):
     """Advance K mean-field steps fully on-chip.
 
     Args:
@@ -116,6 +131,9 @@ def meanfield_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
         draw independent random streams.
       pos/sigma/wind: (B, R, 128) int32 particle lanes; σ = 0 marks padding.
       n_active: true particle count per replica (for the m normalization).
+      noise: optional (B, k_steps, R, 128) uint32 pre-drawn random bits —
+        consumed instead of the on-core PRNG (CPU/interpret validation;
+        see ``_kernel``).  None on the production TPU path.
 
     Returns the advanced (pos, sigma, wind).
     """
@@ -126,22 +144,38 @@ def meanfield_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
     kernel = functools.partial(
         _kernel, L=L, k_steps=k_steps, dt=dt, bidirectional=bidirectional,
         n_active=n_active)
+    inject = noise is not None
 
-    def squeeze_kernel(scal, seed, p, s, w, po, so, wo):
-        # drop the leading block dim of the vector refs
-        kernel(scal, seed, p.at[0], s.at[0], w.at[0], po.at[0], so.at[0],
-               wo.at[0])
+    def squeeze_kernel(scal, seed, *refs):
+        if inject:
+            nz, p, s, w, po, so, wo = refs
+            kernel(scal, seed, p.at[0], s.at[0], w.at[0], po.at[0],
+                   so.at[0], wo.at[0], noise_ref=nz.at[0])
+        else:
+            p, s, w, po, so, wo = refs
+            # drop the leading block dim of the vector refs
+            kernel(scal, seed, p.at[0], s.at[0], w.at[0], po.at[0],
+                   so.at[0], wo.at[0])
+
+    in_specs = [
+        pl.BlockSpec((B, 3), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
+    ]
+    inputs = [scalars, jnp.asarray(seeds, jnp.int32)]
+    n_state_in = 2
+    if inject:
+        in_specs.append(pl.BlockSpec((1, k_steps, R, LANE),
+                                     lambda b: (b, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(jnp.asarray(noise, jnp.uint32))
+        n_state_in = 3
+    in_specs += [vec_spec, vec_spec, vec_spec]
+    inputs += [pos, sigma, wind]
 
     return pl.pallas_call(
         squeeze_kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((B, 3), lambda b: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((B,), lambda b: (0,),
-                         memory_space=pltpu.SMEM),
-            vec_spec, vec_spec, vec_spec,
-        ],
+        in_specs=in_specs,
         out_specs=[vec_spec, vec_spec, vec_spec],
         out_shape=[
             jax.ShapeDtypeStruct((B, R, LANE), jnp.int32),
@@ -149,9 +183,10 @@ def meanfield_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
             jax.ShapeDtypeStruct((B, R, LANE), jnp.int32),
         ],
         # in-place update: halves VMEM/HBM footprint of the state buffers
-        input_output_aliases={2: 0, 3: 1, 4: 2},
+        input_output_aliases={n_state_in: 0, n_state_in + 1: 1,
+                              n_state_in + 2: 2},
         interpret=interpret,
-    )(scalars, jnp.asarray(seeds, jnp.int32), pos, sigma, wind)
+    )(*inputs)
 
 
 def pack_particles(pos: np.ndarray, sigma: np.ndarray,

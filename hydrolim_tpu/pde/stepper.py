@@ -195,8 +195,13 @@ class PDESolveResult(NamedTuple):
 
 
 def _tracer_update(config: PDEConfig, params: PDEParams, m_field,
-                   tr: TracerState, key, n: jnp.ndarray):
+                   tr: TracerState, key, n: jnp.ndarray, _inject=None):
     """CW spin flips + Euler–Maruyama advance + windowed v/D (:256-287).
+
+    ``_inject``: optional ``(flip_u, z)`` — (n_tracers,) float32 flip
+    uniforms and standard-normal draws replacing the internal sampling,
+    used by the CPU kernel-logic suite to compare this path against the
+    fused Pallas PDE kernel at matched draws (VERDICT r3 #3).
 
     ``m_field`` is the per-iteration magnetization shared with the recorder
     and the IMEX step (one smoothing per iteration instead of three).
@@ -216,12 +221,15 @@ def _tracer_update(config: PDEConfig, params: PDEParams, m_field,
     idx = (tr.pos / dx).astype(jnp.int32) % L
     m_loc = m_field[idx]
     rate = cw_rate(tr.spin.astype(jnp.float32), m_loc, params.beta)
-    flip = jax.random.uniform(k_flip, tr.spin.shape) < rate * dt
+    flip_u = jax.random.uniform(k_flip, tr.spin.shape) \
+        if _inject is None else _inject[0]
+    flip = flip_u < rate * dt
     spin = jnp.where(flip, -tr.spin, tr.spin)
 
     v_loc = params.lam * spin.astype(jnp.float32)
-    noise = jnp.sqrt(2.0 * params.gamma * dt) * jax.random.normal(
-        k_noise, tr.pos.shape)
+    z = jax.random.normal(k_noise, tr.pos.shape) \
+        if _inject is None else _inject[1]
+    noise = jnp.sqrt(2.0 * params.gamma * dt) * z
     unwrapped = tr.unwrapped + v_loc * dt + noise
     pos = unwrapped % config.xlim
 

@@ -1,0 +1,349 @@
+"""CPU-exercisable validation of the fused Pallas kernel logic (VERDICT r3
+#3).
+
+``pltpu.prng_*`` has no interpreter lowering, so the Mosaic kernels could
+previously only be validated on a live TPU (the 17-skip blind spot).  Each
+kernel now accepts pre-drawn random bits (``noise=``) consumed instead of
+the on-core PRNG; with that, the ENTIRE kernel body — thresholds, admission,
+compaction, tracer SDE, ring buffer, record rows — runs under
+``interpret=True`` in the default CPU suite, and the XLA engines accept the
+same draws through their injection hooks, so the two implementations are
+compared at MATCHED randomness rather than statistically.  What remains
+TPU-only is exactly the Mosaic lowering + the hardware PRNG
+(tests/test_pallas_tpu.py).
+
+All tests run on fixed seeds: the comparisons are exact (integer state) or
+deterministic, not flaky-statistical.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hydrolim_tpu.core.config import ParticleConfig, PDEConfig, make_particle_params, make_pde_params
+
+_MASK24 = np.uint32(0x00FFFFFF)
+
+
+def _bits_to_u(bits):
+    """The kernels' bits→uniform map (low-24-bit mask; exact in f32)."""
+    return (np.asarray(bits, np.uint32) & _MASK24).astype(np.float32) * \
+        np.float32(2.0 ** -24)
+
+
+# ---------------------------------------------------------------------------
+# mean-field kernel (ops/pallas_stepper.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bidirectional", [True, False])
+def test_meanfield_kernel_interpret_matches_xla_engine(bidirectional):
+    """Fused mean-field kernel under interpret=True vs the XLA fast path
+    (_step_meanfield_global) at matched uniforms: pos/σ/wind must be EQUAL
+    after every step — same thresholds, same wrap, same winding number."""
+    from hydrolim_tpu.ops.pallas_stepper import (
+        meanfield_multi_step,
+        pack_particles,
+        unpack_particles,
+    )
+    from hydrolim_tpu.particles.init import init_particles
+    from hydrolim_tpu.particles.stepper import (
+        _is_meanfield_fast_path,
+        _step_meanfield_global,
+    )
+
+    L, N, k_steps, dt = 64, 96, 48, 2e-3
+    model = "bidirectional" if bidirectional else "plus_forward"
+    config = ParticleConfig(L=L, N=N, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.0, periodic=True,
+                            site_capacity=None, active_model=model)
+    assert _is_meanfield_fast_path(config)
+    params = make_particle_params(config, beta=1.2, rate_diffusion=0.5,
+                                  rate_active=2.0)
+
+    state = init_particles(config, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    bits = rng.integers(0, 2 ** 32, size=(1, k_steps, 1, 128),
+                        dtype=np.uint32)
+    u_all = _bits_to_u(bits)                     # (1, k_steps, 1, 128)
+
+    # XLA engine, one eager step at a time with the kernel's uniforms
+    st = state
+    for s in range(k_steps):
+        st = _step_meanfield_global(
+            config, params, st, dt,
+            u_override=jnp.asarray(u_all[0, s, 0, :N]))
+
+    # fused kernel, the whole chain in one interpret=True invocation
+    pos0 = np.asarray(state.pos)[None]
+    sig0 = np.asarray(state.sigma)[None]
+    wnd0 = np.asarray(state.wind)[None]
+    p, sg, w = pack_particles(pos0, sig0, wnd0)
+    scal = np.array([[1.2, 0.5, 2.0]], np.float32)
+    p2, s2, w2 = meanfield_multi_step(
+        jnp.asarray(scal), jnp.zeros((1,), jnp.int32), p, sg, w,
+        L=L, k_steps=k_steps, dt=dt, bidirectional=bidirectional,
+        n_active=N, interpret=True, noise=jnp.asarray(bits))
+    pos_k, sig_k, wnd_k = unpack_particles(p2, s2, w2, N)
+
+    np.testing.assert_array_equal(pos_k[0], np.asarray(st.pos))
+    np.testing.assert_array_equal(sig_k[0], np.asarray(st.sigma))
+    np.testing.assert_array_equal(wnd_k[0], np.asarray(st.wind))
+    # and the dynamics actually did something
+    assert (pos_k[0] != pos0[0]).any() and (sig_k[0] != sig0[0]).any()
+
+
+def test_meanfield_kernel_padding_lanes_inert():
+    """σ=0 padding lanes must not contribute to m: a replica padded
+    128−N lanes and an exactly-full one evolve identically when fed the
+    same per-particle uniforms."""
+    from hydrolim_tpu.ops.pallas_stepper import (
+        meanfield_multi_step,
+        pack_particles,
+        unpack_particles,
+    )
+
+    L, N, k_steps, dt = 32, 100, 16, 2e-3
+    rng = np.random.default_rng(3)
+    pos = rng.integers(0, L, (1, N))
+    sig = rng.choice([-1, 1], (1, N))
+    wnd = np.zeros((1, N), int)
+    bits = rng.integers(0, 2 ** 32, size=(1, k_steps, 1, 128),
+                        dtype=np.uint32)
+    # force padding-lane draws to 0xFFFFFF (u≈1): if padding was live it
+    # would hop every step and corrupt nothing *visible* — the real check
+    # is m: copy the state into lanes with u drawn freely and compare
+    scal = np.array([[1.0, 0.5, 2.0]], np.float32)
+    p, sg, w = pack_particles(pos, sig, wnd)
+    out1 = meanfield_multi_step(
+        jnp.asarray(scal), jnp.zeros((1,), jnp.int32), p, sg, w,
+        L=L, k_steps=k_steps, dt=dt, bidirectional=True, n_active=N,
+        interpret=True, noise=jnp.asarray(bits))
+    bits2 = bits.copy()
+    bits2[..., N:] = rng.integers(0, 2 ** 32, bits2[..., N:].shape,
+                                  dtype=np.uint32)
+    out2 = meanfield_multi_step(
+        jnp.asarray(scal), jnp.zeros((1,), jnp.int32), p, sg, w,
+        L=L, k_steps=k_steps, dt=dt, bidirectional=True, n_active=N,
+        interpret=True, noise=jnp.asarray(bits2))
+    for a, b in zip(unpack_particles(*out1, N), unpack_particles(*out2, N)):
+        np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# exclusion kernel (ops/pallas_exclusion.py)
+# ---------------------------------------------------------------------------
+
+def _exclusion_pair_step(config, params, mf_op, slots_xla, sl_pack, conv,
+                         scal, dt, rng, *, use_local_m, n_steps):
+    """Advance both engines n_steps with matched draws; assert slot-field
+    equality after every step.  Returns the final (K, L) field."""
+    from hydrolim_tpu.ops.pallas_exclusion import (
+        exclusion_multi_step,
+        unpack_slots,
+    )
+    from hydrolim_tpu.particles.lattice_gas_k import lgk_step
+
+    K, L = config.K, config.L
+    Kp = -(-K // 4) * 4
+    Lp = -(-L // 128) * 128
+    for s in range(n_steps):
+        u_bits = rng.integers(0, 2 ** 32, (Kp, Lp), dtype=np.uint32)
+        u = _bits_to_u(u_bits)
+        # shared strict priority order: a distinct random rank per slot,
+        # encoded for each engine's packing (kernel: rand_hi = (bits>>1) &
+        # 0x7FFFFFF0 | row; XLA: (bits & 0xFFFE0000) | slot_id).  Distinct
+        # ranks → no ties → identical admission decisions.
+        rank = rng.permutation(K * L).astype(np.uint32)       # < 2^15
+        rank2d = rank.reshape(K, L)
+        prio_xla = (rank2d << np.uint32(17)) | \
+            np.arange(K * L, dtype=np.uint32).reshape(K, L)
+        pr_bits = np.zeros((Kp, Lp), np.uint32)
+        pr_bits[:K, :L] = rank2d << np.uint32(6)     # (>>1)&MASK → rank<<5
+        noise = np.zeros((1, 1, 2, 1, Kp, Lp), np.uint32)
+        noise[0, 0, 0, 0] = u_bits
+        noise[0, 0, 1, 0] = pr_bits
+
+        slots_xla, _aux, _ex = lgk_step(
+            config, params, mf_op, slots_xla, jax.random.PRNGKey(s), dt,
+            _inject=(jnp.asarray(u[:K, :L]), jnp.asarray(prio_xla)))
+        sl_pack = exclusion_multi_step(
+            jnp.asarray(scal), jnp.zeros((1,), np.int32), sl_pack, conv,
+            L=L, K=K, k_steps=1, dt=dt, periodic=config.periodic,
+            bidirectional=config.active_model == "bidirectional",
+            use_local_m=use_local_m, interpret=True,
+            noise=jnp.asarray(noise))
+        got = unpack_slots(sl_pack, K, L)[0]
+        np.testing.assert_array_equal(
+            got, np.asarray(slots_xla),
+            err_msg=f"slot fields diverged at step {s}")
+    return np.asarray(slots_xla)
+
+
+@pytest.mark.parametrize("use_local_m", [False, True])
+def test_exclusion_kernel_interpret_matches_slot_engine(use_local_m):
+    """Fused exclusion kernel under interpret=True vs the XLA slot engine
+    (lgk_step) at matched event draws AND matched admission priorities:
+    the signed slot fields must be EQUAL after every step — rates,
+    admission rounds, and stable compaction all agree."""
+    from hydrolim_tpu.fields.magnetization import build_mfield_op
+    from hydrolim_tpu.ops.pallas_exclusion import build_conv_matrix, pack_slots
+    from hydrolim_tpu.particles.lattice_gas_k import lgk_init
+
+    L, K, dt = 64, 3, 2e-3
+    sigma = 0.02 if use_local_m else 0.0
+    config = ParticleConfig(L=L, N=80, init="fixed", scale_rates=False,
+                            local_kernel_sigma=sigma, periodic=True,
+                            site_capacity=K, active_model="plus_forward")
+    params = make_particle_params(config, beta=1.5, rate_diffusion=1.0,
+                                  rate_active=3.0)
+    mf_op = build_mfield_op(L, config.dx, sigma, True)
+    slots0 = lgk_init(config, jax.random.PRNGKey(11))
+    conv = build_conv_matrix(config) if use_local_m else np.zeros((0, 0))
+    scal = np.array([[1.5, 1.0, 3.0]], np.float32)
+    rng = np.random.default_rng(5)
+
+    final = _exclusion_pair_step(
+        config, params, mf_op, slots0, pack_slots(np.asarray(slots0)[None]),
+        conv, scal, dt, rng, use_local_m=use_local_m, n_steps=25)
+    # physics invariants on the shared trajectory
+    assert np.abs(np.sign(final)).sum() == 80            # mass conserved
+    assert (final != 0).sum(0).max() <= K                # capacity respected
+
+
+def test_exclusion_kernel_interpret_nonperiodic_walls():
+    """Non-periodic boundaries: matched-draw equality plus no leakage
+    through the walls (payload ids conserved, occupancy within K)."""
+    from hydrolim_tpu.fields.magnetization import build_mfield_op
+    from hydrolim_tpu.ops.pallas_exclusion import build_conv_matrix, pack_slots
+    from hydrolim_tpu.particles.lattice_gas_k import lgk_init
+
+    L, K, dt = 48, 2, 2e-3
+    config = ParticleConfig(L=L, N=40, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.015, periodic=False,
+                            site_capacity=K, active_model="plus_forward")
+    params = make_particle_params(config, beta=0.8, rate_diffusion=1.0,
+                                  rate_active=4.0)
+    mf_op = build_mfield_op(L, config.dx, 0.015, False)
+    slots0 = lgk_init(config, jax.random.PRNGKey(2))
+    conv = build_conv_matrix(config)
+    scal = np.array([[0.8, 1.0, 4.0]], np.float32)
+    rng = np.random.default_rng(9)
+
+    final = _exclusion_pair_step(
+        config, params, mf_op, slots0, pack_slots(np.asarray(slots0)[None]),
+        conv, scal, dt, rng, use_local_m=True, n_steps=25)
+    assert np.abs(np.sign(final)).sum() == 40
+    assert (final != 0).sum(0).max() <= K
+
+
+# ---------------------------------------------------------------------------
+# fused PDE kernel (ops/pallas_pde.py)
+# ---------------------------------------------------------------------------
+
+def test_pde_kernel_interpret_matches_xla_stepper():
+    """Fused PDE kernel under interpret=True vs the XLA IMEX stepper +
+    tracer update at matched draws: fields track to f32 roundoff, tracer
+    trajectories and windowed v/D records agree, ring-buffer slots line up
+    across chunk boundaries (two invocations with a step0 offset)."""
+    from hydrolim_tpu.ops.pallas_pde import _pad, pde_multi_step
+    from hydrolim_tpu.pde.fast_solve import _m_mode, build_kernel_mats
+    from hydrolim_tpu.pde.init import pde_initialize
+    from hydrolim_tpu.pde.stepper import (
+        TracerState,
+        _tracer_update,
+        build_pde_ops,
+        magnetization,
+        pde_step,
+    )
+
+    L, n_t, dt, gamma, lam, beta = 128, 48, 5e-5, 0.2, 0.6, 1.4
+    k_steps, window = 14, 6
+    config = PDEConfig(L=L, T=2 * k_steps * dt, dt=dt, bc="periodic",
+                       gaussian_kernel=True, kernel_sigma=2e5,
+                       snapshot_interval=k_steps, n_tracers=n_t,
+                       tracer_window_time=window * dt,
+                       diffusion_solver="dense", fft_kmax=8)
+    assert config.tracer_window == window
+    assert _m_mode(config) == "global"
+    params = make_pde_params(gamma=gamma, lam=lam, beta=beta)
+    ops = build_pde_ops(config, params)
+    Lp, Ntp = _pad(L), _pad(n_t)
+
+    rho_p, rho_m, tr = pde_initialize(config, jax.random.PRNGKey(1),
+                                      mode="homogeneous", noise=0.3,
+                                      n_tracers=n_t)
+    rng = np.random.default_rng(13)
+    n_total = 2 * k_steps
+    bits = rng.integers(0, 2 ** 32, (1, n_total, 3, 1, Ntp),
+                        dtype=np.uint32)
+    flip_u = _bits_to_u(bits[0, :, 0, 0])                 # (n_total, Ntp)
+    u2 = np.maximum(_bits_to_u(bits[0, :, 1, 0]), np.float32(1e-12))
+    u3 = _bits_to_u(bits[0, :, 2, 0])
+    # the kernel's Box–Muller, reproduced with the same f32 jnp ops
+    z = np.asarray(jnp.sqrt(-2.0 * jnp.log(jnp.asarray(u2))) *
+                   jnp.cos(jnp.float32(2.0 * np.pi) * jnp.asarray(u3)))
+
+    # ---- XLA reference loop ----
+    rp_x, rm_x, tr_x = rho_p, rho_m, tr
+    v_hist, d_hist = [], []
+    for n in range(n_total):
+        m_field = magnetization(config, ops, rp_x, rm_x)
+        tr_x, v_eff, D_eff = _tracer_update(
+            config, params, m_field, tr_x, jax.random.PRNGKey(n),
+            jnp.int32(n),
+            _inject=(jnp.asarray(flip_u[n, :n_t]), jnp.asarray(z[n, :n_t])))
+        v_hist.append(float(v_eff))
+        d_hist.append(float(D_eff))
+        rp_x, rm_x = pde_step(config, params, ops, rp_x, rm_x, m=m_field)
+
+    # ---- fused kernel, two chained invocations (ring buffer continuity) --
+    solve_mat, smooth_mat, solve_mode, solve_r, solve_wts = \
+        build_kernel_mats(config, gamma, Lp)
+    assert solve_mode == "dense"
+    pad_to = lambda a, n: np.pad(np.asarray(a, np.float32),
+                                 ((0, 0), (0, n - a.shape[-1])))
+    rp_k = jnp.asarray(pad_to(np.asarray(rho_p)[None], Lp))
+    rm_k = jnp.asarray(pad_to(np.asarray(rho_m)[None], Lp))
+    pos_k = jnp.asarray(pad_to(np.asarray(tr.unwrapped)[None], Ntp))
+    spin_k = jnp.asarray(pad_to(np.asarray(tr.spin, np.float32)[None], Ntp))
+    Wp = _pad(window, 8)
+    hist_k = jnp.zeros((1, Wp, Ntp), jnp.float32)
+    scal = np.zeros((1, 4), np.float32)
+    scal[0, 0], scal[0, 1] = beta, lam
+    scal[0, 2] = np.float32(np.sqrt(2.0 * gamma * dt))
+
+    recs_all = []
+    for chunk in range(2):
+        sl = slice(chunk * k_steps, (chunk + 1) * k_steps)
+        rp_k, rm_k, pos_k, spin_k, hist_k, recs = pde_multi_step(
+            jnp.asarray(scal), jnp.zeros((1,), jnp.int32),
+            jnp.asarray([chunk * k_steps], jnp.int32),
+            rp_k, rm_k, pos_k, spin_k, hist_k,
+            jnp.asarray(solve_mat), jnp.asarray(smooth_mat),
+            wts=None, solve_wts=jnp.asarray(solve_wts),
+            L=L, n_t=n_t, window=window, k_steps=k_steps, dt=dt,
+            dx=config.dx, xlim=config.xlim, periodic=True, m_mode="global",
+            solve_mode=solve_mode, solve_r=solve_r, bidirectional=True,
+            has_noise=True, kmax_rec=0, interpret=True,
+            noise=jnp.asarray(bits[:, sl]))
+        recs_all.append(np.asarray(recs[0]))
+    recs = np.concatenate(recs_all, axis=0)               # (n_total, 128)
+
+    # fields to f32 roundoff (different matmul shapes/orders, same math)
+    np.testing.assert_allclose(np.asarray(rp_k)[0, :L], np.asarray(rp_x),
+                               rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(rm_k)[0, :L], np.asarray(rm_x),
+                               rtol=2e-4, atol=1e-7)
+    # tracer ensemble: same flips, same noise → trajectories track
+    np.testing.assert_allclose(np.asarray(pos_k)[0, :n_t],
+                               np.asarray(tr_x.unwrapped),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(spin_k)[0, :n_t],
+                                  np.asarray(tr_x.spin, np.float32))
+    # windowed v/D records, incl. the NaN warmup prefix
+    v_k, d_k = recs[:, 2], recs[:, 3]
+    assert np.isnan(v_k[:window]).all() and np.isnan(v_hist[0])
+    np.testing.assert_allclose(v_k[window:], np.asarray(v_hist[window:]),
+                               rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(d_k[window:], np.asarray(d_hist[window:]),
+                               rtol=5e-4, atol=1e-6)
