@@ -35,11 +35,13 @@ from hydrolim_tpu.theory.meanfield import m_fixed_point
 # VALIDATION.md round-3 section for the measurement runs.
 # ---------------------------------------------------------------------------
 _GOLDEN = {
-    # slot engine, K=3 shrunk flagship, seed 21, 6 runs (2026-08-17 r3):
-    # per-run p_block [0.630, 0.634, 0.580, 0.504, 0.629, 0.688]
-    "p_block_k3": {"mean": 0.6108, "se": 0.0255, "tol": 0.102},
-    # anchored slot engine, seed 33, 6 runs: exits [9, 6, 9, 10, 9, 5]
-    "anchored_exits": {"mean": 8.0, "se": 0.816, "tol": 3.3},
+    # slot engine, K=3 shrunk flagship, seed 21, 64 runs (2026-08-18 r4;
+    # per-run sd 0.0558): tol = 4·SE ≈ 4.7% of the mean (VERDICT r3 #4
+    # asked ≤5%; the r3 6-run golden allowed ±17%)
+    "p_block_k3": {"mean": 0.5964, "se": 0.0070, "tol": 0.028},
+    # anchored slot engine, seed 33, 96 runs (2026-08-18 r4; per-run sd
+    # 2.73): tol = 4·SE ≈ 12.9% of the mean (was ±41% at 6 runs)
+    "anchored_exits": {"mean": 8.667, "se": 0.279, "tol": 1.12},
 }
 
 
@@ -183,7 +185,7 @@ def test_golden_p_block_k3_flagship():
     from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_k
     from hydrolim_tpu.sweeps.beta_sweep import make_exp_gradient
 
-    L, N, n_runs, T, obs_dt = 128, 96, 6, 6.0, 0.25
+    L, N, n_runs, T, obs_dt = 128, 96, 64, 6.0, 0.25
     config = ParticleConfig(L=L, xlim=1, N=N, init="poisson",
                             scale_rates=False, local_kernel_sigma=0.0,
                             periodic=False, site_capacity=3,
@@ -214,7 +216,7 @@ def test_golden_anchored_exit_totals():
     from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_anchored
     from hydrolim_tpu.sweeps.beta_sweep import make_exp_gradient
 
-    L, N, n_runs, T = 128, 64, 6, 6.0
+    L, N, n_runs, T = 128, 64, 96, 6.0
     anchors = (0.25, 0.60, 0.80)
     config = ParticleConfig(L=L, xlim=1, N=N, init="poisson",
                             scale_rates=False, local_kernel_sigma=0.02,
@@ -240,6 +242,57 @@ def test_golden_anchored_exit_totals():
     assert abs(mean - g["mean"]) < max(4.0 * se, g["tol"]), (mean, se, g)
     # physics invariant: exits happened at all, and not everyone exited
     assert 0 < mean < N
+
+
+def test_golden_critical_region_cross_engine_v():
+    """β = 0.9 (sub-critical, m_β = 0): particle and PDE tracer velocities
+    must BOTH be statistically zero and agree within an SE-derived bound
+    (VERDICT r3 weak #6 — the cross-engine table showed 0.0131 vs 0.0026
+    at β = 0.9 with no test bounding the discrepancy)."""
+    from hydrolim_tpu.core.config import PDEConfig, make_pde_params
+    from hydrolim_tpu.pde.init import pde_initialize
+    from hydrolim_tpu.pde.stepper import build_pde_ops, pde_solve
+
+    beta, n_runs = 0.9, 24
+    config = _exclusion_cfg(site_capacity=None, N=96)   # mean-field path
+    rd, ra = 0.5, 0.6
+    params = broadcast_params(config, beta=[beta], rate_diffusion=rd,
+                              rate_active=ra, n_runs=n_runs)
+    dt = ensemble_dt(config, beta_max=beta, rate_diffusion=rd, rate_active=ra)
+    T, obs_dt = 8.0, 0.5
+    res = jax.device_get(run_particle_ensemble(
+        config, params, jax.random.PRNGKey(40), T=T, obs_dt=obs_dt, dt=dt))
+    times = np.arange(0.0, T, obs_dt)
+    s = len(times) // 2
+    pos = np.asarray(res.frames.pos, float)             # unwrapped (B, M, n)
+    disp = pos[:, -1] - pos[:, s]
+    v_p = disp.mean(1) * config.dx / (times[-1] - times[s])
+    se_p = v_p.std(ddof=1) / np.sqrt(n_runs)
+
+    n_rep = 8
+    config_p = PDEConfig(L=128, T=4.0, dt=1e-3, bc="periodic",
+                         gaussian_kernel=True, kernel_sigma=1e5 - 10,
+                         snapshot_interval=500, n_tracers=256,
+                         tracer_window_time=0.05)
+    params_p = make_pde_params(gamma=0.2, lam=ra, beta=beta)
+    ops = build_pde_ops(config_p, params_p)
+
+    def one(k):
+        k1, k2 = jax.random.split(k)
+        rp, rm, tr = pde_initialize(config_p, k1, mode="homogeneous",
+                                    noise=0.3, n_tracers=256)
+        return pde_solve(config_p, params_p, ops, rp, rm, tr, k2).records.v_eff
+
+    v = np.asarray(jax.device_get(
+        jax.vmap(one)(jax.random.split(jax.random.PRNGKey(9), n_rep))))
+    v_pde = np.nanmean(v[:, -2000:], axis=1)
+    se_pde = v_pde.std(ddof=1) / np.sqrt(n_rep)
+
+    # measured 2026-08-18: v_p ≈ 0.00009 ± 0.0002, v_pde ≈ −0.00025 ± 0.011
+    assert abs(v_p.mean()) < 4.0 * se_p + 1e-3, (v_p.mean(), se_p)
+    assert abs(v_pde.mean()) < 4.0 * se_pde + 1e-3, (v_pde.mean(), se_pde)
+    assert abs(v_p.mean() - v_pde.mean()) < 4.0 * (se_p + se_pde) + 1e-3, (
+        v_p.mean(), v_pde.mean(), se_p, se_pde)
 
 
 def test_pde_fixed_seed_golden():
