@@ -353,7 +353,15 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     from hydrolim_tpu.sweeps.fast_exclusion import default_device_is_tpu
 
     if engine == "auto":
-        engine = "pallas" if default_device_is_tpu() else "xla"
+        # cadence contract (VERDICT r3 #6): 'auto' picks the fused kernel
+        # only when it can match the XLA path's PER-STEP spectra (kmax ≤ 62
+        # rides the record rows).  Wider kmax (e.g. the facade's default
+        # full rfft) routes to XLA so no user config silently drops from
+        # per-step to chunk-start fft cadence; opting into the fused speed
+        # at wide kmax requires an explicit engine='pallas' (warned below).
+        engine = ("pallas" if default_device_is_tpu()
+                  and is_fused_pde_path(config, params_b.gamma)
+                  and _kmax_rec(config) == config.kmax else "xla")
     if engine == "xla":
         solve = jax.vmap(
             lambda p, rp, rm, tr, k: pde_solve(config, p, ops, rp, rm, tr, k))
@@ -371,6 +379,16 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
         return res
 
     gamma = float(np.asarray(params_b.gamma).flat[0])
+    if _kmax_rec(config) != config.kmax:
+        import warnings
+
+        warnings.warn(
+            f"engine='pallas' with kmax={config.kmax} > 62: per-step "
+            "spectra don't fit the kernel record rows, so records.fft_ri "
+            "is populated at chunk-start cadence only (NaN between — "
+            "select rows via isfinite).  Set fft_kmax <= 62 for full "
+            "per-step spectra on the fused path, or engine='xla'.",
+            stacklevel=2)
     assert is_fused_pde_path(config, params_b.gamma), (
         "pde_solve_fused requires the fused-kernel configuration class "
         "(VMEM-resident working set, uniform gamma, tracers, "

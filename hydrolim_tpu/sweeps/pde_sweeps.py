@@ -41,11 +41,14 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
     the flattened β array.
 
     ``engine='pallas'`` (or 'auto') runs the fused multi-step IMEX kernel
-    (pde/fast_solve.py) when the configuration qualifies — same records
-    (``fft_ri`` at full per-step cadence when ``fft_kmax ≤ 62``, the case
-    for every sweep driver here; wider kmax falls back to chunk-start rows
-    with NaN between — select via ``isfinite``) and a
-    statistically-equivalent tracer RNG stream.
+    (pde/fast_solve.py) when the configuration qualifies — same records and
+    a statistically-equivalent tracer RNG stream.  Spectra cadence contract:
+    'auto' picks the fused kernel only when ``fft_kmax ≤ 62`` (per-step
+    ``fft_ri`` rides the kernel record rows — the case for every sweep
+    driver here); wider kmax stays on the XLA path at full per-step
+    cadence.  An explicit ``engine='pallas'`` at wide kmax opts into
+    chunk-start-cadence ``fft_ri`` (NaN between; select via ``isfinite``)
+    with a warning.
 
     ``fetch_snapshots=False`` skips materializing/transferring the
     per-interval ρ snapshot blocks (empty (B, 0, L) arrays in the result) —
@@ -76,11 +79,22 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
     ops = build_pde_ops(config, make_pde_params(gamma=gamma, lam=lam,
                                                 beta=0.0))
     if engine != "xla":
-        from hydrolim_tpu.pde.fast_solve import is_fused_pde_path, pde_solve_fused
+        from hydrolim_tpu.pde.fast_solve import (
+            _kmax_rec,
+            is_fused_pde_path,
+            pde_solve_fused,
+        )
 
         cfg = config if config.n_tracers == n_tracers else \
             dataclasses.replace(config, n_tracers=n_tracers)
-        if is_fused_pde_path(cfg, params_b.gamma):
+        # cadence contract (VERDICT r3 #6): 'auto' takes the fused branch
+        # only when the kernel can stream PER-STEP spectra (kmax ≤ 62);
+        # wider kmax stays on the XLA path below (full per-step fft_ri,
+        # mesh sharding honored).  engine='pallas' is the explicit opt-in
+        # to chunk-cadence spectra (pde_solve_fused warns).
+        take_fused = is_fused_pde_path(cfg, params_b.gamma) and (
+            engine == "pallas" or _kmax_rec(cfg) == cfg.kmax)
+        if take_fused:
             keys = jax.random.split(jax.random.PRNGKey(seed), B)
             init_fn = functools.partial(pde_initialize, config, mode=mode,
                                         rho0=rho0, noise=noise,

@@ -318,3 +318,66 @@ def test_gamma_zero_ensemble_promotes_to_identity_solver():
     np.testing.assert_allclose(np.asarray(res_fft.rho_p),
                                np.asarray(res_id.rho_p), rtol=2e-4,
                                atol=2e-6)
+
+
+def test_wide_kmax_auto_routes_to_xla_full_cadence(monkeypatch):
+    """Cadence contract (VERDICT r3 #6): engine='auto' with kmax > 62 (the
+    facade's default full rfft) must route to the XLA solve — full per-step
+    fft_ri, no silent drop to chunk-start cadence — even when the default
+    device is a TPU (mocked here; the fused branch would crash on CPU, so
+    this test is discriminating)."""
+    import hydrolim_tpu.sweeps.fast_exclusion as fx
+    from hydrolim_tpu.pde.fast_solve import (
+        _kmax_rec,
+        is_fused_pde_path,
+        pde_solve_fused,
+    )
+    from hydrolim_tpu.pde.init import pde_initialize
+
+    monkeypatch.setattr(fx, "default_device_is_tpu", lambda: True)
+    config = PDEConfig(L=256, T=0.04, dt=1e-3, bc="periodic",
+                       gaussian_kernel=True, kernel_sigma=1e5 - 10,
+                       snapshot_interval=20, n_tracers=16,
+                       tracer_window_time=5e-3)   # fft_kmax=None: full rfft
+    assert config.kmax == 129 and _kmax_rec(config) == 0
+    B = 2
+    params_b = PDEParams(gamma=jnp.full(B, 0.2), lam=jnp.full(B, 0.6),
+                         beta=jnp.asarray([0.5, 1.5]))
+    assert is_fused_pde_path(config, params_b.gamma)   # fused-eligible...
+    ops = build_pde_ops(config, make_pde_params(gamma=0.2, lam=0.6, beta=0.0))
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    rp, rm, tr = jax.vmap(lambda k: pde_initialize(
+        config, k, mode="homogeneous", noise=0.3, n_tracers=16))(keys)
+    res = pde_solve_fused(config, params_b, ops, rp, rm, tr,
+                          jax.random.PRNGKey(1), engine="auto")
+    fft = np.asarray(res.records.fft_ri)
+    assert fft.shape[1] == config.nsteps + 1
+    assert np.isfinite(fft).all()                      # ...but full cadence
+
+
+def test_explicit_pallas_wide_kmax_warns():
+    """engine='pallas' at wide kmax is an explicit opt-in to chunk-cadence
+    spectra — it must WARN so the change is never silent (the kernel itself
+    needs a TPU; off-TPU the call fails after the warning)."""
+    import pytest
+
+    from hydrolim_tpu.pde.fast_solve import pde_solve_fused
+    from hydrolim_tpu.pde.init import pde_initialize
+
+    config = PDEConfig(L=256, T=0.04, dt=1e-3, bc="periodic",
+                       gaussian_kernel=True, kernel_sigma=1e5 - 10,
+                       snapshot_interval=20, n_tracers=16,
+                       tracer_window_time=5e-3)
+    B = 2
+    params_b = PDEParams(gamma=jnp.full(B, 0.2), lam=jnp.full(B, 0.6),
+                         beta=jnp.asarray([0.5, 1.5]))
+    ops = build_pde_ops(config, make_pde_params(gamma=0.2, lam=0.6, beta=0.0))
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    rp, rm, tr = jax.vmap(lambda k: pde_initialize(
+        config, k, mode="homogeneous", noise=0.3, n_tracers=16))(keys)
+    with pytest.warns(UserWarning, match="chunk-start cadence"):
+        try:
+            pde_solve_fused(config, params_b, ops, rp, rm, tr,
+                            jax.random.PRNGKey(1), engine="pallas")
+        except Exception:
+            pass        # Mosaic lowering needs a TPU; the warning is the contract
