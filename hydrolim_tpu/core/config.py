@@ -183,11 +183,18 @@ def auto_dt(config: ParticleConfig, params: ParticleParams,
     if config.flip_rate_fn is not None:
         import jax.numpy as jnp
 
+        # probe over the batch's ACTUAL β values, not just the maximum
+        # (ADVICE r3): a custom rate maximized at a smaller β (e.g. one
+        # decreasing in β) would otherwise be under-bounded, making dt too
+        # large for the low-β replicas
+        betas = np.unique(np.abs(np.asarray(params.beta, np.float64)).ravel())
+        if beta_max is not None:
+            betas = np.union1d(betas, [abs(float(beta_max))])
         m_grid = jnp.linspace(-1.0, 1.0, 201)
         flip_max = max(
             float(np.max(np.asarray(config.flip_rate_fn(
-                jnp.full_like(m_grid, s), m_grid, jnp.float32(abs(b))))))
-            for s in (-1.0, 1.0))
+                jnp.full_like(m_grid, s), m_grid, jnp.float32(bb)))))
+            for s in (-1.0, 1.0) for bb in betas)
     else:
         flip_max = float(np.exp(abs(b)))
     r_max = (2.0 * get(params.rate_diffusion)

@@ -73,7 +73,13 @@ def _solve_mode_of(config: PDEConfig, gamma: float):
         return "none", 0
     Lp = _pad(config.L)
     fixed_smooth = 4 * Lp * Lp if _m_mode(config) == "smooth" else 0
-    if 4 * Lp * Lp + fixed_smooth + 4 * 2 ** 20 <= _VMEM_BUDGET:
+    # an EXPLICIT diffusion_solver='banded' is honored even when the dense
+    # inverse would fit VMEM (ADVICE r3): the XLA engine applies the
+    # truncated banded kernel for that config, and upgrading the fused path
+    # to the exact dense solve would give the two engines slightly
+    # different numerics for the same user request
+    if config.diffusion_solver != "banded" and \
+            4 * Lp * Lp + fixed_smooth + 4 * 2 ** 20 <= _VMEM_BUDGET:
         return "dense", 0
     if config.bc != "periodic":
         return "unsupported", 0

@@ -533,6 +533,14 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
         arrays = {k: np.asarray(v) for k, v in per_beta.items()}
         save_dict = {"beta_values": beta_values, **arrays,
                      "ps_kwargs": ps_kwargs, "dt": dt}
+        from hydrolim_tpu.sweeps.fast_exclusion import last_run_info
+
+        if last_run_info.get("engine") == "pallas":
+            # reproducibility record (ADVICE r3): fused-kernel trajectories
+            # at a fixed seed depend on the replica-row batch R; persist it
+            # so a reload can replay with an explicit r_batch= even if the
+            # VMEM heuristic changes
+            save_dict["r_batch"] = np.int32(last_run_info["r_batch"])
         Path(npz_path).parent.mkdir(parents=True, exist_ok=True)
         np.savez(npz_path, **{k: v for k, v in save_dict.items()
                               if k != "ps_kwargs"},

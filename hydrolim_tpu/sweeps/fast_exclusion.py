@@ -155,12 +155,22 @@ def _pick_r_batch(config: ParticleConfig, B: int) -> int:
     return 1
 
 
+#: reproducibility record of the most recent fused run (ADVICE r3): with
+#: r_batch > 1 one PRNG seed is consumed per grid PROGRAM and replicas
+#: within a program share (R, Kp, Lp) draw blocks, so trajectories at a
+#: fixed seed depend on the chosen R.  Callers that persist results should
+#: save this alongside (sweeps/beta_sweep stores it in the npz) and replay
+#: with an explicit ``r_batch=`` to reproduce across heuristic changes.
+last_run_info: dict = {}
+
+
 def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
                         key: jnp.ndarray, *, T: float, obs_dt: float,
                         dt: float, engine: str = "auto", rho0_plus=None,
                         rho0_minus=None, record_fft: bool = True,
                         n_tracers: int = 0, mesh=None,
-                        b_real: Optional[int] = None
+                        b_real: Optional[int] = None,
+                        r_batch: Optional[int] = None
                         ) -> Tuple[LatticeGasFrames, np.ndarray]:
     """Fused-kernel exclusion sweep over the batch of ``params_b``.
 
@@ -180,7 +190,12 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     ``params_b`` to a mesh multiple: the replica-row batch R must derive
     from a mesh-INVARIANT size, or a padded call would pick a different R
     than the unsharded call and every PRNG draw shape would change
-    (breaking the bit-identity contract).  Defaults to the params batch."""
+    (breaking the bit-identity contract).  Defaults to the params batch.
+
+    ``r_batch=`` overrides the VMEM-heuristic replica-row batch (ADVICE
+    r3): trajectories at a fixed seed depend on R (replicas in a program
+    share draw blocks), so pass the R recorded in ``last_run_info`` /
+    the sweep npz to reproduce a run across heuristic changes."""
     from hydrolim_tpu.particles.lattice_gas_k import lgk_init, run_lattice_gas_k
 
     assert is_pallas_exclusion_path(config), (
@@ -196,6 +211,8 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
         else:
             engine = "pallas" if default_device_is_tpu() else "xla"
 
+    last_run_info.clear()
+    last_run_info["engine"] = engine
     if engine == "xla":
         frames, slots = run_lattice_gas_k(
             config, params_b, key, T=T, obs_dt=obs_dt, dt=dt,
@@ -279,7 +296,9 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     assert B % n_sw == 0, (
         f"fused-kernel batch {B} must be a multiple of the sweep mesh "
         f"size {n_sw} (the sweep drivers pad; see parallel.mesh)")
-    R = _pick_r_batch(config, B if b_real is None else b_real)
+    R = (_pick_r_batch(config, B if b_real is None else b_real)
+         if r_batch is None else int(r_batch))
+    last_run_info.update(r_batch=R, b_real=B if b_real is None else b_real)
     Bp = -(-B // (R * n_sw)) * (R * n_sw)
     if Bp != B:
         # pad replicas so R divides every shard's local batch; pad rows

@@ -163,6 +163,20 @@ def test_banded_solve_mode_routing_and_weights():
     wide = PDEConfig(L=4096, T=1.0, dt=5e-4, snapshot_interval=50)
     assert _solve_mode_of(wide, gamma)[0] == "unsupported"
     assert not is_fused_pde_path(wide, np.full(2, gamma))
+    # an EXPLICIT diffusion_solver='banded' is honored even when the dense
+    # inverse fits VMEM (ADVICE r3) — the XLA engine applies the truncated
+    # banded kernel for that config, so the fused engine must too
+    small_banded = PDEConfig(L=512, T=1e-4, dt=1e-6, bc="periodic",
+                             snapshot_interval=10, gaussian_kernel=False,
+                             n_tracers=16, tracer_window_time=1e-5,
+                             fft_kmax=8, diffusion_solver="banded")
+    mode_sb, r_sb = _solve_mode_of(small_banded, gamma)
+    assert mode_sb == "banded" and r_sb >= 1, (mode_sb, r_sb)
+    auto_small = PDEConfig(L=512, T=1e-4, dt=1e-6, bc="periodic",
+                           snapshot_interval=10, gaussian_kernel=False,
+                           n_tracers=16, tracer_window_time=1e-5,
+                           fft_kmax=8)
+    assert _solve_mode_of(auto_small, gamma)[0] == "dense"
 
     w = build_banded_solve_weights(config, gamma, r)
     rng = np.random.default_rng(3)

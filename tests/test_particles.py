@@ -211,6 +211,34 @@ def test_auto_dt_bounds_custom_flip_rate():
     assert dt2 > ps.config.max_event_prob / big
 
 
+def test_auto_dt_probes_all_batch_betas():
+    """ADVICE r3: a custom rate maximized at a SMALLER beta (decreasing in
+    beta) must be bounded at the batch's low-beta replicas, not just at
+    beta_max — else dt comes out too large for them."""
+    import jax.numpy as jnp
+
+    from hydrolim_tpu.core.config import ParticleConfig, ParticleParams, auto_dt
+
+    # rate = exp(3 - beta): max over the batch is at the SMALLEST beta
+    config = ParticleConfig(L=32, N=8, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.0, periodic=True,
+                            site_capacity=None,
+                            flip_rate_fn=lambda s, m, b:
+                            jnp.exp(3.0 - b) + 0.0 * s * m)
+    mk = lambda betas: ParticleParams(
+        beta=jnp.asarray(betas, jnp.float32),
+        rate_diffusion=jnp.zeros(len(betas)),
+        rate_active=jnp.zeros(len(betas)),
+        k_on=jnp.zeros(len(betas)), k_off=jnp.zeros(len(betas)),
+        k_exit=jnp.zeros(len(betas)))
+    dt_batch = auto_dt(config, mk([0.5, 3.0]))
+    # the true bound at beta=0.5 is exp(2.5) ≈ 12.2; probing only
+    # beta_max=3 would bound by exp(0)=1 and give a ~12x too-large dt
+    assert dt_batch <= config.max_event_prob / float(np.exp(2.5)) * 1.001
+    dt_high = auto_dt(config, mk([3.0]))
+    assert dt_high > dt_batch * 5.0
+
+
 def test_run_zero_horizon_returns_empty_frames():
     """T<=0: frames must be consistently EMPTY (leading dim 0) against the
     empty times_obs — not a single spurious frame0."""
