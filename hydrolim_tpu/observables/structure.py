@@ -19,39 +19,59 @@ from typing import Dict, Optional
 import numpy as np
 
 
+#: steady-state window convention shared by every metric below: statistics
+#: are taken over frames [start_fraction·T, T).  The k-space cuts follow the
+#: reference's k_cut = 25 with the k = 0 (mean-density) bin excluded.
+_K_CUT = 25
+
+
+def structure_observables(var_ts: np.ndarray, fft_amp: np.ndarray,
+                          m_local: np.ndarray, *, start: int,
+                          k_cut: int = _K_CUT) -> Dict:
+    """Array-first core of the structure-observable extraction (observable
+    DEFINITIONS per PARTICLE_solver_BIOLOGY_local_structure.py:55-103; the
+    values are the correctness spec, pinned by
+    tests/test_aux.py::test_structure_observables_golden):
+
+    - density-variance mean/std over the steady-state window,
+    - mean spectrum ± std (per k), dominant mode k* = argmax over k ≥ 1,
+    - low-k power Σ_{1≤k<k_cut} ⟨|A_k|⟩ and the windowed mean of the
+      per-frame low-k energy Σ |A_k|²,
+    - local-magnetization variance over the window.
+    """
+    win = slice(start, None)
+    spec = np.asarray(fft_amp, float)[win]
+    fft_mean = spec.mean(axis=0)
+    fft_std = spec.std(axis=0, ddof=1)
+    var_win = np.asarray(var_ts, float)[win]
+    cut_mean = min(k_cut, fft_mean.shape[0])
+    cut_frame = min(k_cut, spec.shape[1])
+    return {
+        "var_mean": float(var_win.mean()),
+        "var_std": float(var_win.std(ddof=1)),
+        "fft_mean": fft_mean,
+        "fft_std": fft_std,
+        "dominant_k": int(np.argmax(fft_mean[1:]) + 1),
+        "low_k_power": float(fft_mean[1:cut_mean].sum()),
+        "m_local_var": float(np.var(np.asarray(m_local, float)[win])),
+        "lowk_variance": float(
+            (spec[:, 1:cut_frame] ** 2).sum(axis=1).mean()),
+    }
+
+
 def extract_structure_observables_from_out(out: Dict,
                                            start_fraction: float = 0.5,
                                            k_max: Optional[int] = None) -> Dict:
+    """Reference-schema ``out``-dict adapter over
+    :func:`structure_observables`."""
     T = len(out["times_obs"])
-    start = int(start_fraction * T)
-
-    var_ts = np.asarray(out["var_list"], dtype=float)
     fft_amp = np.asarray(out["fft_amp_list"], dtype=float)
     if k_max is not None:
         fft_amp = fft_amp[:, :k_max]
-
-    fft_mean = fft_amp[start:].mean(axis=0)
-    fft_std = fft_amp[start:].std(axis=0, ddof=1)
-    dominant_k = int(np.argmax(fft_mean[1:]) + 1)
-    k_cut = min(25, fft_mean.shape[0])
-    low_k_power = float(np.sum(fft_mean[1:k_cut]))
-
-    m_local = np.asarray(out["m_local_list"], dtype=float)
-    m_local_var = float(np.var(m_local[start:]))
-
-    k_cut2 = min(25, fft_amp.shape[1])
-    lowk_variance = float(np.mean(np.sum(fft_amp[start:, 1:k_cut2] ** 2,
-                                         axis=1)))
-    return {
-        "var_mean": float(var_ts[start:].mean()),
-        "var_std": float(var_ts[start:].std(ddof=1)),
-        "fft_mean": fft_mean,
-        "fft_std": fft_std,
-        "dominant_k": dominant_k,
-        "low_k_power": low_k_power,
-        "m_local_var": m_local_var,
-        "lowk_variance": lowk_variance,
-    }
+    return structure_observables(
+        np.asarray(out["var_list"], dtype=float), fft_amp,
+        np.asarray(out["m_local_list"], dtype=float),
+        start=int(start_fraction * T))
 
 
 def time_to_pattern(out: Dict, threshold: float = 0.05, k: int = 1) -> float:

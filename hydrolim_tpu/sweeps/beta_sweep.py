@@ -42,6 +42,19 @@ from hydrolim_tpu.fit.veff_fit import fit_and_plot_v_eff
 # IC factory
 # ---------------------------------------------------------------------------
 
+def _profile_lookup(profile: np.ndarray, L: int):
+    """x ∈ [0, 1] → nearest-site profile value; vectorized over array x
+    (scalar in → scalar float out, preserving the reference callables'
+    contract)."""
+
+    def f(x):
+        idx = np.clip(np.rint(np.asarray(x) * L).astype(int), 0, L - 1)
+        val = profile[idx]
+        return float(val) if np.ndim(x) == 0 else val
+
+    return f
+
+
 def make_exp_gradient(
     L: int,
     N: int,
@@ -51,30 +64,28 @@ def make_exp_gradient(
     anchor_peak_width: float = 0.01,
     anchor_peak_mass: float = 0.03,
 ):
-    """ρ₀± profile factory: exponential + profile, flat − profile with
-    optional Gaussian anchor peaks, mass split by frac_plus (:16-53).
-    Returns [ρ₀₊ callable, ρ₀₋ callable, ρ₊ array, ρ₋ array]."""
+    """ρ₀± profile factory (spec: PARTICLE_solver_BIOLOGY_EXCLUSION.py
+    :16-53): the + species decays exponentially from x = 0 with scale
+    ``decay_length``; the − species is flat (baseline 0.05) plus one
+    Gaussian bump of mass weight ``anchor_peak_mass`` per anchor; each
+    shape is normalized to unit mass and scaled to ``N·frac_plus`` /
+    ``N·(1−frac_plus)`` particles.  Returns
+    ``[ρ₀₊ callable, ρ₀₋ callable, ρ₊ array, ρ₋ array]`` — the callables
+    evaluate the nearest lattice site and accept scalars or arrays.
+    Numeric identity with the reference factory is pinned by
+    tests/test_sweeps.py::test_make_exp_gradient_golden."""
     xs = np.arange(L) / float(L)
     plus_shape = np.exp(-xs / decay_length)
-    minus_shape = 0.05 * np.ones_like(xs)
-    if anchor_positions is not None:
-        for a in anchor_positions:
-            minus_shape = minus_shape + anchor_peak_mass * np.exp(
-                -0.5 * ((xs - a) / anchor_peak_width) ** 2)
-    plus_shape = plus_shape / plus_shape.sum()
-    minus_shape = minus_shape / minus_shape.sum()
-    rho_plus = N * frac_plus * plus_shape
-    rho_minus = N * (1.0 - frac_plus) * minus_shape
-
-    def rho0_plus(x):
-        idx = int(np.clip(np.round(x * L), 0, L - 1))
-        return float(rho_plus[idx])
-
-    def rho0_minus(x):
-        idx = int(np.clip(np.round(x * L), 0, L - 1))
-        return float(rho_minus[idx])
-
-    return [rho0_plus, rho0_minus, rho_plus, rho_minus]
+    minus_shape = np.full(L, 0.05)
+    if anchor_positions is not None and len(tuple(anchor_positions)):
+        centers = np.asarray(tuple(anchor_positions), float)[:, None]
+        minus_shape = minus_shape + anchor_peak_mass * np.exp(
+            -0.5 * ((xs[None, :] - centers) / anchor_peak_width) ** 2
+        ).sum(axis=0)
+    rho_plus = N * frac_plus * plus_shape / plus_shape.sum()
+    rho_minus = N * (1.0 - frac_plus) * minus_shape / minus_shape.sum()
+    return [_profile_lookup(rho_plus, L), _profile_lookup(rho_minus, L),
+            rho_plus, rho_minus]
 
 
 # ---------------------------------------------------------------------------

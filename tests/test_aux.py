@@ -148,3 +148,44 @@ def test_graft_entry_importable():
     spec.loader.exec_module(mod)
     fn, args = mod.entry()
     assert callable(fn) and len(args) == 2
+
+
+def test_structure_observables_golden():
+    """VERDICT r3 #8: the array-first structure-observable core must be
+    numerically identical to the transcribed original (values frozen
+    2026-08-18 from the pre-refactor implementation on a seeded random
+    out dict)."""
+    from hydrolim_tpu.observables.structure import (
+        extract_structure_observables_from_out,
+    )
+
+    rng = np.random.default_rng(42)
+    T, L = 40, 64
+    out = {
+        "times_obs": np.linspace(0, 10, T),
+        "var_list": rng.random(T),
+        "fft_amp_list": rng.random((T, L)),
+        "m_local_list": rng.random((T, L)),
+        "total_list": rng.random((T, L)),
+    }
+    obs = extract_structure_observables_from_out(out)
+    np.testing.assert_allclose(obs["var_mean"], 0.4933626085926138, rtol=1e-13)
+    np.testing.assert_allclose(obs["var_std"], 0.2955716730356283, rtol=1e-13)
+    np.testing.assert_allclose(
+        obs["fft_mean"][:4],
+        [0.58096115, 0.48804449, 0.51914759, 0.50094049], rtol=1e-7)
+    np.testing.assert_allclose(np.sum(obs["fft_mean"]), 32.03036639781793,
+                               rtol=1e-13)
+    np.testing.assert_allclose(np.sum(obs["fft_std"]), 18.662809545174056,
+                               rtol=1e-13)
+    assert obs["dominant_k"] == 51
+    np.testing.assert_allclose(obs["low_k_power"], 11.740632802594671,
+                               rtol=1e-13)
+    np.testing.assert_allclose(obs["m_local_var"], 0.07951160879050322,
+                               rtol=1e-13)
+    np.testing.assert_allclose(obs["lowk_variance"], 7.798250552556494,
+                               rtol=1e-13)
+    # k_max truncation flows through to every k-space statistic
+    obs8 = extract_structure_observables_from_out(out, k_max=8)
+    assert obs8["fft_mean"].shape == (8,)
+    assert obs8["dominant_k"] < 8

@@ -214,3 +214,36 @@ def test_fast_meanfield_pallas_rejects_non_fixed_init():
     finally:
         fx.default_device_is_tpu = orig
     assert resolve_meanfield_engine("auto", config) == "xla"   # CPU default
+
+
+def test_make_exp_gradient_golden():
+    """VERDICT r3 #8: the vectorized IC factory must be numerically
+    identical to the transcribed original (values frozen 2026-08-18 from
+    the pre-refactor implementation; f64 ulp tolerance covers the
+    reassociated anchor-peak sum)."""
+    from hydrolim_tpu.sweeps.beta_sweep import make_exp_gradient
+
+    g = make_exp_gradient(L=1000, N=500, frac_plus=0.75, decay_length=0.35,
+                          anchor_positions=(0.25, 0.60),
+                          anchor_peak_width=0.01, anchor_peak_mass=0.03)
+    rp, rm = g[2], g[3]
+    np.testing.assert_allclose(
+        rp[::250], [1.1350906447002889, 0.5556741579541512,
+                    0.27202564945778773, 0.1331678878776234], rtol=1e-13)
+    np.testing.assert_allclose(
+        rm[::250], [0.12134985234779269, 0.1941597637564683,
+                    0.12134985234779269, 0.12134985234779269], rtol=1e-13)
+    np.testing.assert_allclose([rp.sum(), rm.sum()], [375.0, 125.0],
+                               rtol=1e-12)
+    # callable contract: scalar -> float (nearest site), arrays vectorize
+    np.testing.assert_allclose(g[0](0.3337), 0.43710877432143214, rtol=1e-13)
+    np.testing.assert_allclose(g[1](0.6004), 0.1941597637564683, rtol=1e-13)
+    np.testing.assert_allclose(g[0](0.0), rp[0], rtol=0)
+    np.testing.assert_allclose(g[1](1.0), rm[-1], rtol=0)
+    arr = g[0](np.array([0.0, 0.3337]))
+    assert arr.shape == (2,)
+    np.testing.assert_allclose(arr, [rp[0], 0.43710877432143214], rtol=1e-13)
+    # no anchors: flat minus profile
+    g2 = make_exp_gradient(L=100, N=10, frac_plus=0.5, decay_length=0.2,
+                           anchor_positions=None)
+    assert np.ptp(g2[3]) == 0.0
