@@ -179,8 +179,13 @@ def _exclusion_pair_step(config, params, mf_op, slots_xla, sl_pack, conv,
     return np.asarray(slots_xla)
 
 
-@pytest.mark.parametrize("use_local_m", [False, True])
-def test_exclusion_kernel_interpret_matches_slot_engine(use_local_m):
+@pytest.mark.parametrize("use_local_m,active_model", [
+    (False, "plus_forward"),
+    (True, "plus_forward"),
+    (False, "bidirectional"),
+])
+def test_exclusion_kernel_interpret_matches_slot_engine(use_local_m,
+                                                        active_model):
     """Fused exclusion kernel under interpret=True vs the XLA slot engine
     (lgk_step) at matched event draws AND matched admission priorities:
     the signed slot fields must be EQUAL after every step — rates,
@@ -193,7 +198,7 @@ def test_exclusion_kernel_interpret_matches_slot_engine(use_local_m):
     sigma = 0.02 if use_local_m else 0.0
     config = ParticleConfig(L=L, N=80, init="fixed", scale_rates=False,
                             local_kernel_sigma=sigma, periodic=True,
-                            site_capacity=K, active_model="plus_forward")
+                            site_capacity=K, active_model=active_model)
     params = make_particle_params(config, beta=1.5, rate_diffusion=1.0,
                                   rate_active=3.0)
     mf_op = build_mfield_op(L, config.dx, sigma, True)
@@ -240,13 +245,26 @@ def test_exclusion_kernel_interpret_nonperiodic_walls():
 # fused PDE kernel (ops/pallas_pde.py)
 # ---------------------------------------------------------------------------
 
-def test_pde_kernel_interpret_matches_xla_stepper():
+@pytest.mark.parametrize("m_expect,sigma,bc,active_model", [
+    ("global", 2e5, "periodic", "bidirectional"),
+    ("smooth", 0.15, "neumann", "anchored_minus"),
+    ("narrow", 0.05, "periodic", "bidirectional"),
+])
+def test_pde_kernel_interpret_matches_xla_stepper(m_expect, sigma, bc,
+                                                  active_model):
     """Fused PDE kernel under interpret=True vs the XLA IMEX stepper +
     tracer update at matched draws: fields track to f32 roundoff, tracer
     trajectories and windowed v/D records agree, ring-buffer slots line up
-    across chunk boundaries (two invocations with a step0 offset)."""
+    across chunk boundaries (two invocations with a step0 offset).
+    Parametrized over the kernel's magnetization modes (global reduction /
+    smoothing matmul / narrow rolls), both IMEX branches and both BCs."""
     from hydrolim_tpu.ops.pallas_pde import _pad, pde_multi_step
-    from hydrolim_tpu.pde.fast_solve import _m_mode, build_kernel_mats
+    from hydrolim_tpu.pde.fast_solve import (
+        _m_mode,
+        _narrow_radius,
+        build_kernel_mats,
+        build_narrow_weights,
+    )
     from hydrolim_tpu.pde.init import pde_initialize
     from hydrolim_tpu.pde.stepper import (
         TracerState,
@@ -258,13 +276,14 @@ def test_pde_kernel_interpret_matches_xla_stepper():
 
     L, n_t, dt, gamma, lam, beta = 128, 48, 5e-5, 0.2, 0.6, 1.4
     k_steps, window = 14, 6
-    config = PDEConfig(L=L, T=2 * k_steps * dt, dt=dt, bc="periodic",
-                       gaussian_kernel=True, kernel_sigma=2e5,
+    config = PDEConfig(L=L, T=2 * k_steps * dt, dt=dt, bc=bc,
+                       active_model=active_model,
+                       gaussian_kernel=True, kernel_sigma=sigma,
                        snapshot_interval=k_steps, n_tracers=n_t,
                        tracer_window_time=window * dt,
                        diffusion_solver="dense", fft_kmax=8)
     assert config.tracer_window == window
-    assert _m_mode(config) == "global"
+    assert _m_mode(config) == m_expect
     params = make_pde_params(gamma=gamma, lam=lam, beta=beta)
     ops = build_pde_ops(config, params)
     Lp, Ntp = _pad(L), _pad(n_t)
@@ -300,6 +319,11 @@ def test_pde_kernel_interpret_matches_xla_stepper():
     solve_mat, smooth_mat, solve_mode, solve_r, solve_wts = \
         build_kernel_mats(config, gamma, Lp)
     assert solve_mode == "dense"
+    if m_expect == "narrow":
+        narrow_r = _narrow_radius(config)
+        wts = jnp.asarray(build_narrow_weights(config))
+    else:
+        narrow_r, wts = 0, None
     pad_to = lambda a, n: np.pad(np.asarray(a, np.float32),
                                  ((0, 0), (0, n - a.shape[-1])))
     rp_k = jnp.asarray(pad_to(np.asarray(rho_p)[None], Lp))
@@ -320,10 +344,12 @@ def test_pde_kernel_interpret_matches_xla_stepper():
             jnp.asarray([chunk * k_steps], jnp.int32),
             rp_k, rm_k, pos_k, spin_k, hist_k,
             jnp.asarray(solve_mat), jnp.asarray(smooth_mat),
-            wts=None, solve_wts=jnp.asarray(solve_wts),
+            wts=wts, solve_wts=jnp.asarray(solve_wts),
             L=L, n_t=n_t, window=window, k_steps=k_steps, dt=dt,
-            dx=config.dx, xlim=config.xlim, periodic=True, m_mode="global",
-            solve_mode=solve_mode, solve_r=solve_r, bidirectional=True,
+            dx=config.dx, xlim=config.xlim, periodic=bc == "periodic",
+            m_mode=m_expect, narrow_r=narrow_r,
+            solve_mode=solve_mode, solve_r=solve_r,
+            bidirectional=active_model == "bidirectional",
             has_noise=True, kmax_rec=0, interpret=True,
             noise=jnp.asarray(bits[:, sl]))
         recs_all.append(np.asarray(recs[0]))
