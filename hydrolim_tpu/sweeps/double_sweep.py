@@ -251,17 +251,20 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
     f_errs = np.where(np.asarray(f_err) > 0, f_err, 1e-3)
     g_vals = np.asarray(g_fit)
     g_errs = np.where(np.asarray(g_err) > 0, g_err, 1e-3)
-    (C0, C1), _ = curve_fit(f_model, x_vals, f_vals, sigma=f_errs,
-                            absolute_sigma=True)
-    (C2,), _ = curve_fit(g_model, x_vals, g_vals, sigma=g_errs,
-                         absolute_sigma=True)
+    (C0, C1), pcov_f = curve_fit(f_model, x_vals, f_vals, sigma=f_errs,
+                                 absolute_sigma=True)
+    (C2,), pcov_g = curve_fit(g_model, x_vals, g_vals, sigma=g_errs,
+                              absolute_sigma=True)
+    C0_err, C1_err = np.sqrt(np.diag(pcov_f))
+    C2_err = float(np.sqrt(pcov_g[0, 0]))
     if plot_result:
         _plot_fg(out, x_vals, f_vals, f_errs, g_vals, g_errs,
                  float(C0), float(C1), float(C2))
     return {"N_values": list_N_part, "f_fit": f_vals,
             "f_err": np.asarray(f_err), "g_fit": g_vals,
             "g_err": np.asarray(g_err), "C0": float(C0), "C1": float(C1),
-            "C2": float(C2), "per_N": per_N}
+            "C2": float(C2), "C0_err": float(C0_err),
+            "C1_err": float(C1_err), "C2_err": C2_err, "per_N": per_N}
 
 
 def double_sweep(beta_values, list_N_part: Sequence[float],
@@ -315,10 +318,12 @@ def double_sweep(beta_values, list_N_part: Sequence[float],
     g_vals = np.asarray(g_fit)
     g_errs = np.where(np.asarray(g_err) > 0, g_err, 1e-3)
 
-    (C0, C1), _ = curve_fit(f_model, x_vals, f_vals, sigma=f_errs,
-                            absolute_sigma=True)
-    (C2,), _ = curve_fit(g_model, x_vals, g_vals, sigma=g_errs,
-                         absolute_sigma=True)
+    (C0, C1), pcov_f = curve_fit(f_model, x_vals, f_vals, sigma=f_errs,
+                                 absolute_sigma=True)
+    (C2,), pcov_g = curve_fit(g_model, x_vals, g_vals, sigma=g_errs,
+                              absolute_sigma=True)
+    C0_err, C1_err = np.sqrt(np.diag(pcov_f))
+    C2_err = float(np.sqrt(pcov_g[0, 0]))
 
     if plot_result:
         _plot_fg(out, x_vals, f_vals, f_errs, g_vals, g_errs,
@@ -327,4 +332,5 @@ def double_sweep(beta_values, list_N_part: Sequence[float],
     return {"N_values": list_N_part, "f_fit": f_vals, "f_err": np.asarray(f_err),
             "g_fit": g_vals, "g_err": np.asarray(g_err),
             "C0": float(C0), "C1": float(C1), "C2": float(C2),
-            "per_N": per_N}
+            "C0_err": float(C0_err), "C1_err": float(C1_err),
+            "C2_err": C2_err, "per_N": per_N}
