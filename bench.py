@@ -493,7 +493,10 @@ def main():
                    "metric": "particle-steps/sec/chip "
                              "(N=1e5, 64-point beta sweep)",
                    "value": None, "unit": "particle-steps/s",
-                   "vs_baseline": None})
+                   "vs_baseline": None,
+                   # keep the record schema uniform with success records
+                   # so round-over-round diff tools never KeyError
+                   "timing": "pipelined-mean", "engines": {}})
             return
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
@@ -649,5 +652,6 @@ if __name__ == "__main__":
                "metric": "particle-steps/sec/chip "
                          "(N=1e5, 64-point beta sweep)",
                "value": None, "unit": "particle-steps/s",
-               "vs_baseline": None})
+               "vs_baseline": None,
+               "timing": "pipelined-mean", "engines": {}})
         sys.exit(0)

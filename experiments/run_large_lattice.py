@@ -78,9 +78,9 @@ def main():
 
     L = 4096 if a.small else 65536
     N = L // 2
-    # T = 4: the ordered branch needs ~2 time units to grow out of the
-    # 1/sqrt(N) initial fluctuation and saturate at m_beta (measured)
-    T, obs_dt = (4.0, 0.5) if a.small else (4.0, 0.5)
+    # T = 4 (both modes): the ordered branch needs ~2 time units to grow
+    # out of the 1/sqrt(N) initial fluctuation and saturate at m_beta
+    T, obs_dt = 4.0, 0.5
     betas = np.array([0.5, 2.5], np.float32)
     _os.makedirs(a.outdir, exist_ok=True)
     record = {"L": L, "N": N, "n_devices": a.n_devices}
@@ -108,7 +108,10 @@ def main():
                                   occ_sharding=shard)
     frames, occ = jax.device_get((frames, occ))
     wall_p = time.time() - t0
-    n_steps = int(round(obs_dt / dt)) * (len(np.arange(0.0, T, obs_dt)) - 1)
+    from hydrolim_tpu.particles.run import substeps_for
+
+    # the engine's own substep rule (ceil), not a re-derived round()
+    n_steps = substeps_for(obs_dt, dt) * (len(np.arange(0.0, T, obs_dt)) - 1)
     record["particle"] = {
         "wall_s": wall_p, "dt": dt, "steps": n_steps,
         "site_updates_per_s": 2 * L * n_steps / wall_p,

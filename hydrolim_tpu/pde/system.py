@@ -122,15 +122,17 @@ class IMEXPDE:
     def solve(self, engine: str = "xla") -> None:
         """Advance the full T horizon.
 
-        ``engine='pallas'`` (or ``'auto'``) runs the fused multi-step
-        Pallas kernel (pde/fast_solve.py) when the configuration qualifies
-        — identical fields and m/Var/v_eff/D_eff records; the rfft series
-        is per-step when ``fft_kmax ≤ 62`` and at SNAPSHOT cadence
-        otherwise (chunk starts + final state; intermediate steps NaN),
-        and the tracer RNG stream is statistically equivalent, not
-        bitwise.  ``'xla'`` (default) keeps the complete per-step spectral
-        record at any kmax.  ``'auto'`` falls back to XLA off-TPU or for
-        non-qualifying configs."""
+        ``engine='pallas'`` runs the fused multi-step Pallas kernel
+        (pde/fast_solve.py) when the configuration qualifies — identical
+        fields and m/Var/v_eff/D_eff records; the rfft series is per-step
+        when ``fft_kmax ≤ 62`` and at SNAPSHOT cadence otherwise (chunk
+        starts + final state, intermediate steps NaN — pde_solve_fused
+        warns), and the tracer RNG stream is statistically equivalent,
+        not bitwise.  ``'auto'`` picks the fused kernel only when it also
+        keeps the per-step spectra cadence (``fft_kmax ≤ 62``); wider
+        kmax — including this facade's full-rfft default — routes to XLA,
+        so 'auto' never changes the fft cadence.  ``'xla'`` (default)
+        keeps the complete per-step spectral record at any kmax."""
         self.key, sub = jax.random.split(self.key)
         if engine != "xla":
             from hydrolim_tpu.pde.fast_solve import (

@@ -454,6 +454,12 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
         init_kwargs = dict(rho0_plus=grad[0], rho0_minus=grad[1])
 
     if run:
+        from hydrolim_tpu.sweeps.fast_exclusion import last_run_info
+
+        # the record is per-RUN, not per-process: clear it up front so a
+        # non-fused sweep never inherits a previous fused run's r_batch
+        # into its npz (the fused runner repopulates it below)
+        last_run_info.clear()
         lg_frames = None
         if engine in ("lattice_gas", "pallas"):
             config, out_for, dt, lg_frames = run_sweep_grid_lattice_gas(
@@ -544,8 +550,6 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
         arrays = {k: np.asarray(v) for k, v in per_beta.items()}
         save_dict = {"beta_values": beta_values, **arrays,
                      "ps_kwargs": ps_kwargs, "dt": dt}
-        from hydrolim_tpu.sweeps.fast_exclusion import last_run_info
-
         if last_run_info.get("engine") == "pallas":
             # reproducibility record (ADVICE r3): fused-kernel trajectories
             # at a fixed seed depend on the replica-row batch R; persist it

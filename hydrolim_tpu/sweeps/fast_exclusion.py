@@ -296,6 +296,8 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     assert B % n_sw == 0, (
         f"fused-kernel batch {B} must be a multiple of the sweep mesh "
         f"size {n_sw} (the sweep drivers pad; see parallel.mesh)")
+    if r_batch is not None and int(r_batch) < 1:
+        raise ValueError(f"r_batch must be >= 1, got {r_batch}")
     R = (_pick_r_batch(config, B if b_real is None else b_real)
          if r_batch is None else int(r_batch))
     last_run_info.update(r_batch=R, b_real=B if b_real is None else b_real)

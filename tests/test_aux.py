@@ -136,6 +136,8 @@ def test_bench_outage_emits_one_json_line():
     rec = json.loads(lines[0])
     assert rec["error"] == "backend down"
     assert rec["value"] is None and rec["vs_baseline"] is None
+    # schema uniform with success records (machine-diffable either way)
+    assert rec["engines"] == {} and rec["timing"] == "pipelined-mean"
 
 
 def test_graft_entry_importable():
