@@ -342,6 +342,13 @@ class ParticleSystem:
         from hydrolim_tpu.viz.particle_plots import animate_profiles
         return animate_profiles(self, out, **kw)
 
+    def show_realtime(self, out, **kw):
+        """Interactive looping playback of the profile series — the
+        reference's vispy realtime canvas (PARTICLE_solver_CLASS.py:980-
+        1093); see viz/realtime.py for the backend ladder."""
+        from hydrolim_tpu.viz.realtime import show_profiles
+        return show_profiles(out, xlim=self.config.xlim, **kw)
+
     @staticmethod
     def empirical_densities_from_particles(pos, sigma, L, dx, total_norm=None):
         """Static-method parity shim (PARTICLE_solver_CLASS.py:197-214)."""

@@ -42,3 +42,47 @@ def test_animation_writer(small_out, tmp_path):
     if path:
         import os
         assert os.path.getsize(path) > 0
+
+
+def test_realtime_viewer_headless_loop(small_out):
+    from hydrolim_tpu.viz.realtime import RealtimeProfileViewer
+    ps, out = small_out
+    v = RealtimeProfileViewer(out, backend="headless", smoothing_sigma=1.0)
+    n = v.n_frames
+    assert n == len(out["times_obs"]) and v.L == ps.L
+    # one full pass + one extra step: index wraps, loop counter ticks
+    shown = [v.step() for _ in range(n + 1)]
+    assert shown == list(range(n)) + [0]
+    assert v.loops_completed == 1 and v.index == 1
+    # the drawn line reflects the smoothed current frame
+    lp = v._lines[0]
+    np.testing.assert_allclose(lp.get_ydata(), v.rho_p[0])
+
+
+def test_realtime_viewer_smoothing_and_guards(small_out):
+    from hydrolim_tpu.viz.realtime import RealtimeProfileViewer
+    ps, out = small_out
+    # sigma=0 is the identity (reference special-case), m_local never smoothed
+    v0 = RealtimeProfileViewer(out, backend="headless", smoothing_sigma=0)
+    np.testing.assert_array_equal(v0.rho_p, np.asarray(out["rho_p_list"]))
+    v1 = RealtimeProfileViewer(out, backend="headless", smoothing_sigma=2.0)
+    assert not np.allclose(v1.rho_p, v0.rho_p)
+    np.testing.assert_array_equal(v1.m_local, np.asarray(out["m_local_list"]))
+    # interactive backends refuse politely without a display
+    import os
+    if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
+        with pytest.raises(RuntimeError, match="display"):
+            RealtimeProfileViewer(out, backend="mpl")
+    # batched series must be indexed down to one replica first
+    bad = dict(out, rho_p_list=np.asarray(out["rho_p_list"])[None])
+    with pytest.raises(ValueError, match="replica"):
+        RealtimeProfileViewer(bad, backend="headless")
+
+
+def test_realtime_viewer_movie_capture(small_out, tmp_path):
+    ps, out = small_out
+    path = ps.show_realtime(out, backend="headless", fps=10,
+                            save_path=str(tmp_path / "rt.gif"))
+    import os
+    assert path is not None and path.endswith(".gif")
+    assert os.path.getsize(path) > 0
