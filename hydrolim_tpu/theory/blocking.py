@@ -101,7 +101,11 @@ def p_block_prediction(beta_dense, rho_bar, K):
 
 
 # ---------------------------------------------------------------------------
-# D_eff prediction family (:528-560)
+# D_eff prediction family — the canonical v1 copy
+# (PARTICLE_solver_BIOLOGY_EXCLUSION_sweep_beta.py:528-560).  The _2 file
+# carries divergent variants (a /2 in global/theory, a different theory_4);
+# the v1 forms are the ones the β-sweep figures plot.  Pinned numerically
+# by tests/test_theory_pins.py.
 # ---------------------------------------------------------------------------
 
 def D_eff_global(beta, m_beta, gamma_eff, lambda_eff):

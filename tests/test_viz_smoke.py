@@ -44,6 +44,14 @@ def test_animation_writer(small_out, tmp_path):
         assert os.path.getsize(path) > 0
 
 
+def test_plot_cluster_distribution(small_out, tmp_path):
+    from hydrolim_tpu.viz.structure_plots import plot_cluster_distribution
+    ps, out = small_out
+    plot_cluster_distribution(out, threshold=1.0, label="smoke",
+                              outdir=str(tmp_path))
+    assert (tmp_path / "cluster_distribution.png").stat().st_size > 0
+
+
 def test_realtime_viewer_headless_loop(small_out):
     from hydrolim_tpu.viz.realtime import RealtimeProfileViewer
     ps, out = small_out
