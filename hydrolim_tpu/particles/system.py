@@ -347,7 +347,8 @@ class ParticleSystem:
         reference's vispy realtime canvas (PARTICLE_solver_CLASS.py:980-
         1093); see viz/realtime.py for the backend ladder."""
         from hydrolim_tpu.viz.realtime import show_profiles
-        return show_profiles(out, xlim=self.config.xlim, **kw)
+        kw.setdefault("xlim", self.config.xlim)
+        return show_profiles(out, **kw)
 
     @staticmethod
     def empirical_densities_from_particles(pos, sigma, L, dx, total_norm=None):
