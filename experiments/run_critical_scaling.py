@@ -78,6 +78,10 @@ def main():
     p.add_argument("--small", action="store_true", help="quick CPU smoke")
     p.add_argument("--outdir", default="critical_scaling_out")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--replot", action="store_true",
+                   help="redraw the figure from an existing "
+                        "critical_scaling.json (the reference's run=False "
+                        "pattern) — no simulation")
     a = p.parse_args()
 
     import numpy as np
@@ -87,15 +91,23 @@ def main():
     else:
         Ns, n_runs, tau_mult = [1024, 4096, 16384], 32, 8.0
 
-    res = measure(Ns, n_runs, tau_mult, seed=a.seed)
-
-    slopes, amps = {}, {}
     stats = {b: {"mean": [], "se": []} for b in BETAS}
+    slopes = {}
+    if a.replot:
+        with open(_os.path.join(a.outdir, "critical_scaling.json")) as f:
+            old = json.load(f)
+        Ns, n_runs, tau_mult = old["Ns"], old["n_runs"], old["tau_mult"]
+        for b in BETAS:
+            stats[b]["mean"] = old["rms_mean"][str(b)]
+            stats[b]["se"] = old["rms_se"][str(b)]
+    else:
+        res = measure(Ns, n_runs, tau_mult, seed=a.seed)
+        for b in BETAS:
+            for N in Ns:
+                r = res[N][b]
+                stats[b]["mean"].append(r.mean())
+                stats[b]["se"].append(r.std(ddof=1) / np.sqrt(len(r)))
     for b in BETAS:
-        for N in Ns:
-            r = res[N][b]
-            stats[b]["mean"].append(r.mean())
-            stats[b]["se"].append(r.std(ddof=1) / np.sqrt(len(r)))
         slopes[b] = float(np.polyfit(np.log(Ns),
                                      np.log(stats[b]["mean"]), 1)[0])
     amps = {b: [m * N ** -slopes[b] for m, N in zip(stats[b]["mean"], Ns)]
@@ -117,6 +129,8 @@ def main():
     import matplotlib.pyplot as plt
 
     plt.figure(figsize=(6.5, 4.5))
+    plt.xscale("log")
+    plt.yscale("log")
     for b, color, law, lab in ((0.5, "royalblue", -0.5, r"$N^{-1/2}$"),
                                (1.0, "crimson", -0.25, r"$N^{-1/4}$")):
         mean = np.asarray(stats[b]["mean"])
@@ -124,7 +138,8 @@ def main():
         plt.errorbar(Ns, mean, yerr=se, fmt="o", capsize=4, color=color,
                      label=rf"$\beta$={b} (fit {slopes[b]:.2f})")
         guide = mean[0] * (np.asarray(Ns, float) / Ns[0]) ** law
-        plt.loglog(Ns, guide, "--", color=color, alpha=0.5, label=lab)
+        plt.plot(Ns, guide, "--", color=color, alpha=0.5, label=lab)
+    plt.xlim(Ns[0] * 0.7, Ns[-1] * 1.45)
     plt.xlabel("N")
     plt.ylabel(r"stationary RMS $m$")
     plt.title("Critical vs subcritical magnetization fluctuations")
