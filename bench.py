@@ -642,16 +642,67 @@ def main():
     })
 
 
+def _error_record(error: str, **extra):
+    rec = {"error": error,
+           "metric": "particle-steps/sec/chip (N=1e5, 64-point beta sweep)",
+           "value": None, "unit": "particle-steps/s", "vs_baseline": None,
+           "timing": "pipelined-mean", "engines": {}}
+    rec.update(extra)
+    return rec
+
+
+def _watchdog() -> None:
+    """Run the bench body in a CHILD process under a hard deadline.
+
+    The probe (_wait_for_backend) only covers a worker that is down at
+    START; the axon worker also faults MID-session, and a jax call that
+    blocks inside backend C++ holds the GIL, so no in-process signal or
+    timer can recover — the driver then kills the whole bench at its
+    ~1800 s budget and records an unparseable rc=124 null (BENCH_r03).
+    The parent therefore does no jax work at all: it re-execs this script
+    with HYDROLIM_BENCH_CHILD=1, relays the child's one JSON line, and on
+    a blown deadline kills the child and emits the error record itself."""
+    deadline = float(os.environ.get("HYDROLIM_BENCH_DEADLINE", 1680.0))
+    env = dict(os.environ, HYDROLIM_BENCH_CHILD="1")
+    proc = subprocess.Popen(
+        [sys.executable, "-u", os.path.abspath(__file__)],
+        stdout=subprocess.PIPE, text=True, env=env)  # stderr: inherited
+    timed_out = False
+    try:
+        out, _ = proc.communicate(timeout=deadline)
+    except subprocess.TimeoutExpired:
+        timed_out = True
+        proc.kill()
+        out = proc.communicate()[0] or ""
+    for line in reversed([l for l in out.splitlines() if l.strip()]):
+        try:
+            json.loads(line)
+        except ValueError:
+            continue
+        print(line)
+        return
+    if timed_out:
+        _emit(_error_record(
+            "bench timed out mid-run",
+            detail=f"child still running at the {deadline:.0f} s deadline "
+                   "(axon worker faulted mid-bench?) — killed by the "
+                   "bench watchdog, not the driver"))
+    else:
+        _emit(_error_record(
+            "bench child died without a record",
+            detail=f"child exited rc={proc.returncode} with no parseable "
+                   "JSON line on stdout"))
+
+
 if __name__ == "__main__":
+    if (os.environ.get("HYDROLIM_BENCH_CHILD", "") != "1"
+            and os.environ.get("HYDROLIM_BENCH_NO_WATCHDOG", "") != "1"):
+        _watchdog()
+        sys.exit(0)
     try:
         main()
     except Exception as exc:  # one parseable line, no matter what broke
         import traceback
         traceback.print_exc(file=sys.stderr)
-        _emit({"error": f"{type(exc).__name__}: {exc}",
-               "metric": "particle-steps/sec/chip "
-                         "(N=1e5, 64-point beta sweep)",
-               "value": None, "unit": "particle-steps/s",
-               "vs_baseline": None,
-               "timing": "pipelined-mean", "engines": {}})
+        _emit(_error_record(f"{type(exc).__name__}: {exc}"))
         sys.exit(0)

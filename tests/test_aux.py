@@ -140,6 +140,36 @@ def test_bench_outage_emits_one_json_line():
     assert rec["engines"] == {} and rec["timing"] == "pipelined-mean"
 
 
+def test_bench_watchdog_kills_midrun_hang():
+    """The probe only covers a worker down at START; a mid-bench fault
+    blocks inside backend C++ holding the GIL, so bench.py runs its body
+    in a child under a parent deadline.  Simulate the hang by giving the
+    child a long probe budget against a poisoned backend and the parent a
+    2 s deadline: the parent must kill the child and still emit exactly
+    one parseable JSON error line, rc 0."""
+    import json
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    path = pathlib.Path(__file__).parent.parent / "bench.py"
+    env = dict(os.environ)
+    env["HYDROLIM_BENCH_DEADLINE"] = "2"
+    env["HYDROLIM_BENCH_PROBE_BUDGET"] = "600"  # child stays in the probe
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "nonexistent-platform"
+    out = subprocess.run([sys.executable, str(path)], env=env,
+                         capture_output=True, text=True, timeout=300,
+                         cwd=str(path.parent))
+    assert out.returncode == 0, out.stderr[-1000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l]
+    assert len(lines) == 1, out.stdout
+    rec = json.loads(lines[0])
+    assert rec["error"] == "bench timed out mid-run"
+    assert rec["value"] is None and rec["engines"] == {}
+
+
 def test_graft_entry_importable():
     import importlib.util
     import pathlib
