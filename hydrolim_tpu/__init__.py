@@ -26,7 +26,7 @@ Interactions` (see SURVEY.md):
 - ``viz``: matplotlib re-creation of the reference figure inventory.
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 import os as _os
 
