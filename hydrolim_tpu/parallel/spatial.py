@@ -18,8 +18,10 @@ Usage::
         config, params, key, T=..., obs_dt=..., dt=...,
         occ_sharding=space_sharding(mesh))      # (B, L): L sharded 8-way
 
-Observables are bit-identical to the unsharded run except the matmul-DFT
-spectrum, whose f32 summation order differs across shards (≤1e-5).
+Observables are bit-identical to the unsharded run except the float
+lattice-axis reductions — the matmul-DFT spectrum and the density
+variance — whose f32 summation association depends on the shard shape
+(≤1e-5 rel; integer-count sums like m_global stay exact in any order).
 """
 from __future__ import annotations
 
@@ -53,3 +55,35 @@ def space_sharding(mesh: Mesh, *, batched: bool = True, slots: bool = False,
     """
     lead = ([None] if batched else []) + ([None] if slots else [])
     return NamedSharding(mesh, P(*lead, axis_name))
+
+
+def grid_mesh(n_sweep: int, n_space: int, devices=None) -> Mesh:
+    """2-D ('sweep', 'space') mesh: replica-axis data parallelism composed
+    with lattice-axis spatial sharding — the scaling recipe for workloads
+    that are both ensemble-wide AND too long for one chip's share of the
+    lattice.  Device order is row-major: lattice-neighbour shards sit on
+    adjacent devices (ICI neighbours on a pod), replica groups stride."""
+    from hydrolim_tpu.parallel.mesh import select_devices
+
+    n = n_sweep * n_space
+    if devices is None:
+        devices = select_devices(n)
+    if len(devices) < n:
+        raise ValueError(
+            f"grid_mesh({n_sweep}, {n_space}) needs {n} devices, "
+            f"have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]).reshape(n_sweep, n_space),
+                ("sweep", "space"))
+
+
+def grid_sharding(mesh: Mesh, *, slots: bool = False) -> NamedSharding:
+    """State sharding on a :func:`grid_mesh`: batch axis over 'sweep',
+    lattice axis over 'space' — ``P('sweep', 'space')`` for (B, L)
+    occupancy, ``P('sweep', None, 'space')`` for (B, K, L) slot fields.
+    Pass as ``occ_sharding=`` to the lattice-gas runners; trajectories are
+    bit-identical to the unsharded run (the DFT spectrum and density
+    variance reassociate to ~1e-5, as for the 1-D shardings).  n_sweep
+    must divide the batch (the sweep drivers' padding rule,
+    parallel.mesh)."""
+    mid = (None,) if slots else ()
+    return NamedSharding(mesh, P("sweep", *mid, "space"))
