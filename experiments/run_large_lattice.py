@@ -43,6 +43,12 @@ def _parse():
     p.add_argument("--small", action="store_true",
                    help="L=4096 quick CPU smoke")
     p.add_argument("--n-devices", type=int, default=8)
+    p.add_argument("--grid", action="store_true",
+                   help="2-D mesh for the particle run: the two β replicas "
+                        "ride a 'sweep' axis of 2 while 'space' shards the "
+                        "lattice over n_devices/2 (parallel.spatial."
+                        "grid_mesh) — replica DP composed with spatial "
+                        "sharding; physics identical")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -70,7 +76,12 @@ def main():
         PDEConfig,
         make_pde_params,
     )
-    from hydrolim_tpu.parallel.spatial import space_mesh, space_sharding
+    from hydrolim_tpu.parallel.spatial import (
+        grid_mesh,
+        grid_sharding,
+        space_mesh,
+        space_sharding,
+    )
     from hydrolim_tpu.particles.lattice_gas import run_lattice_gas
     from hydrolim_tpu.pde.stepper import build_pde_ops, magnetization, pde_step
     from hydrolim_tpu.sweeps.ensemble import broadcast_params, ensemble_dt
@@ -83,12 +94,17 @@ def main():
     T, obs_dt = 4.0, 0.5
     betas = np.array([0.5, 2.5], np.float32)
     _os.makedirs(a.outdir, exist_ok=True)
-    record = {"L": L, "N": N, "n_devices": a.n_devices}
+    record = {"L": L, "N": N, "n_devices": a.n_devices,
+              "particle_mesh": "2d-grid" if a.grid else "1d-space"}
 
     mesh = space_mesh(a.n_devices)
     n_dev = mesh.devices.size
+    axes = "'space' axis"
+    if a.grid:
+        pmesh = grid_mesh(2, max(a.n_devices // 2, 1))
+        axes = f"(2 'sweep' x {pmesh.devices.shape[1]} 'space') grid"
     print(f"# mesh: {n_dev} x {mesh.devices.flat[0].platform} "
-          f"('space' axis), L={L}")
+          f"({axes}), L={L}")
 
     # ---- particle engine: K=1 lattice gas, global m -----------------------
     config = ParticleConfig(L=L, xlim=1, N=N, init="fixed",
@@ -100,7 +116,7 @@ def main():
                               rate_active=ra)
     dt = ensemble_dt(config, beta_max=float(betas.max()), rate_diffusion=rd,
                      rate_active=ra)
-    shard = space_sharding(mesh)
+    shard = grid_sharding(pmesh) if a.grid else space_sharding(mesh)
     t0 = time.time()
     frames, occ = run_lattice_gas(config, params,
                                   jax.random.PRNGKey(a.seed), T=T,
