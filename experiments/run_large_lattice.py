@@ -258,7 +258,7 @@ def main():
     axes[1, 1].set_title("PDE |m|(t)")
     for ax in axes.flat:
         ax.legend(fontsize=8)
-    fig.suptitle(f"L={L} lattice sharded over {n_dev} devices ('space')")
+    fig.suptitle(f"L={L} lattice sharded over {n_dev} devices ({axes})")
     fig.tight_layout()
     fig.savefig(_os.path.join(a.outdir, "large_lattice_overview.png"),
                 dpi=120)
