@@ -107,6 +107,70 @@ def _check_invariants(out, kw, T):
                 "site capacity violated", occ.max())
 
 
+N_PDE_DRAWS = 8
+
+
+def _draw_pde_config(rng: np.random.Generator):
+    gaussian = bool(rng.random() < 0.6)
+    kernel_sigma = float(rng.choice([0.005, 0.02, 2e5])) if gaussian else 0.02
+    return dict(
+        L=int(rng.choice([64, 96, 128])),
+        T=0.02, dt=1e-3,
+        gamma=float(rng.choice([0.0, 0.05, 0.2])),
+        lam=float(rng.uniform(0.2, 1.0)),
+        beta=float(rng.uniform(0.0, 2.5)),
+        bc=str(rng.choice(["periodic", "neumann"])),
+        active_model=str(rng.choice(["bidirectional", "anchored_minus"])),
+        gaussian_kernel=gaussian,
+        kernel_sigma=kernel_sigma,
+        diffusion_solver=str(rng.choice(["auto", "auto", "dense", "banded"])),
+        n_tracers=int(rng.choice([0, 16])),
+        snapshot_interval=5,
+        seed=int(rng.integers(0, 2 ** 31)),
+    ), str(rng.choice(["homogeneous", "poisson"])), float(rng.uniform(0, 0.3))
+
+
+@pytest.mark.parametrize("idx", range(N_PDE_DRAWS))
+def test_fuzzed_pde_config_invariants(idx):
+    """PDE-side fuzz: random valid IMEXPDE configs, one short solve each;
+    mass renormalization, boundedness and schema invariants asserted."""
+    from hydrolim_tpu import IMEXPDE
+
+    rng = np.random.default_rng(24680 + idx)
+    kw, init_mode, noise = _draw_pde_config(rng)
+    if kw["diffusion_solver"] == "banded" and (
+            kw["bc"] != "periodic" or kw["gamma"] == 0.0):
+        kw["diffusion_solver"] = "auto"   # banded is the periodic γ>0 path
+    n_tracers = kw.pop("n_tracers")       # initialize()'s kwarg, not ctor's
+    pde = IMEXPDE(**kw)
+    pde.initialize(init_mode, noise=noise, n_tracers=n_tracers)
+    mass0 = float(np.sum(pde.rho_p + pde.rho_m))
+    pde.solve()
+    out = pde.get_output()
+
+    mass1 = float(np.sum(out["rho_p"] + out["rho_m"]))
+    # periodic: the spectral/banded solves preserve the k=0 mode and the
+    # per-step renormalization pins everything else — roundoff only.
+    # neumann: NOT mass-conserving by reference semantics — the ghost-point
+    # Neumann Laplacian (IMEX_PDE_solver_class.py:76-78) has nonzero column
+    # sums, so the implicit solve drifts ~5e-5/step and the renormalization
+    # deliberately rescales to the POST-diffusion mass (stepper :229-233).
+    tol = 1e-5 if kw["bc"] == "periodic" else 2e-4 * (kw["T"] / kw["dt"])
+    assert abs(mass1 - mass0) / mass0 < tol, ("mass drift", mass0, mass1)
+    for key in ("rho_p", "rho_m", "m_series", "var_series", "fft_amp"):
+        assert np.isfinite(np.asarray(out[key])).all(), key
+    # v/D series are NaN until the tracer window fills (T here is shorter
+    # than the default 0.05 window) — just require no spurious inf/garbage
+    for key in ("v_eff_series", "D_eff_series"):
+        arr = np.asarray(out[key])
+        assert not np.isinf(arr).any(), key
+    assert np.all(np.abs(out["m_series"]) <= 1.0 + 1e-3)
+    assert np.all(np.asarray(out["var_series"]) >= 0.0)
+    n_snap = len(out["times"])
+    assert out["snapshots"].shape == (n_snap, kw["L"])
+    assert out["m_snapshots"].shape == (n_snap, kw["L"])
+
+
 @pytest.mark.parametrize("idx", range(N_DRAWS))
 def test_fuzzed_config_invariants(idx):
     rng = np.random.default_rng(987654321 + idx)
