@@ -221,3 +221,22 @@ def test_structure_observables_golden():
     obs8 = extract_structure_observables_from_out(out, k_max=8)
     assert obs8["fft_mean"].shape == (8,)
     assert obs8["dominant_k"] < 8
+
+
+def test_every_experiment_driver_cli_wires_up():
+    """Each experiments/run_*.py must at least parse --help: the underlying
+    sweep/fit functions are covered elsewhere, but a broken CLI wrapper
+    (bad import, argparse typo) would otherwise only surface when a user
+    runs it."""
+    import pathlib
+    import subprocess
+    import sys
+
+    drivers = sorted((pathlib.Path(__file__).parent.parent /
+                      "experiments").glob("run_*.py"))
+    assert len(drivers) >= 12
+    for d in drivers:
+        out = subprocess.run([sys.executable, str(d), "--help"],
+                             capture_output=True, text=True, timeout=120,
+                             cwd=str(d.parent.parent))
+        assert out.returncode == 0, (d.name, out.stderr[-500:])
