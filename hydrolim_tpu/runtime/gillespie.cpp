@@ -286,6 +286,18 @@ long long run_gillespie(
     double tau = rng.exponential(R);
     t += tau;
     if (t > T) break;
+    // frames due at times <= t record the PRE-event state: the event
+    // happens AT t, so the state at any earlier due time is the current
+    // one.  (Recording after the switch instead — as this loop originally
+    // did — stamps every frame with the state just after the first event
+    // FOLLOWING its due time, i.e. a one-jump-ahead bias: the sampled
+    // distribution becomes the one-step jump-chain evolution of the
+    // occupancy law, not the occupancy law.  Invisible at large N — one
+    // jump shifts m by 2/N — but exactly wrong; caught by
+    // tests/test_native_gillespie.py::test_oracle_matches_exact_
+    // stationary_distribution on a 2-particle state space.)
+    while (frame < n_frames && (double)frame * obs_dt <= t)
+      record(frame++);
     // categorical over particles × channels by a single threshold scan
     double u = rng.uniform() * R;
     double acc = 0.0;
@@ -309,13 +321,8 @@ long long run_gillespie(
       for (long long j = N - 1; j >= 0; --j) {
         if (e.alive[j] && rf[j] > 0.0) { i = j; channel = 3; break; }
       }
-      if (channel < 0) {  // no eligible flip: drop the event (state
-        // unchanged), but catch up the frame clock first so frames due at
-        // times <= t record the CURRENT state, not a later event's
-        while (frame < n_frames && (double)frame * obs_dt <= t)
-          record(frame++);
-        continue;
-      }
+      if (channel < 0)  // no eligible flip: drop the event (state
+        continue;       // unchanged; frames due <= t already recorded)
     }
 
     int64_t x = e.pos[i];
@@ -354,7 +361,6 @@ long long run_gillespie(
       }
     }
     events++;
-    while (frame < n_frames && (double)frame * obs_dt <= t) record(frame++);
   }
   // fill remaining frames with the final state (run ended / absorbed)
   while (frame < n_frames) record(frame++);
