@@ -252,3 +252,50 @@ def test_oracle_matches_exact_stationary_distribution(case):
     tv = 0.5 * np.abs(p - q).sum()
     assert tv < 0.02, (case, tv)
     assert np.max(np.abs(p - q)) < 0.01, (case, np.max(np.abs(p - q)))
+
+
+def test_tauleap_engine_matches_exact_stationary_distribution():
+    """The FULL τ-leap engine against the exact stationary law (the same
+    πQ = 0 solve as the oracle test): TV distance at dt=0.01 must sit at
+    the sampling-noise floor (~0.02 at 8k correlated frames; measured
+    0.016-0.018 at dt ∈ {0.005, 0.02}).  Pins the engine's O(dt)
+    stationary bias as unresolvable at these dt — a complement to the
+    trajectory-law agreement tests above."""
+    import jax
+
+    from hydrolim_tpu.sweeps.ensemble import (
+        broadcast_params,
+        run_particle_ensemble,
+    )
+
+    L, K, am, rd, ra, beta = 4, 1, "bidirectional", 0.3, 0.7, 1.2
+    pi_obs, _ = _exact_pi_and_empirical(L, K, am, rd, ra, beta, 4.0, 2.0,
+                                        [0, 2], [1, -1], 1)
+    config = ParticleConfig(L=L, N=2, n_pad=8, init="fixed",
+                            scale_rates=False, local_kernel_sigma=0.0,
+                            periodic=True, site_capacity=K, active_model=am)
+    B = 64
+    params = broadcast_params(config, beta=[beta], rate_diffusion=rd,
+                              rate_active=ra, n_runs=B)
+    res = jax.device_get(run_particle_ensemble(
+        config, params, jax.random.PRNGKey(0), T=320.0, obs_dt=2.0, dt=0.01,
+        record_pos=False))
+    f = res.frames
+    # rho = counts / (n_alive * dx) with n_alive=2, dx=1/L -> counts = 2ρ/L
+    cp = np.rint(np.asarray(f.rho_p) * 2 / L).astype(int)
+    cm = np.rint(np.asarray(f.rho_m) * 2 / L).astype(int)
+    M = cp.shape[1]
+    burn = M // 5
+    emp, n = {}, 0
+    for b in range(B):
+        for k in range(burn, M):
+            key = tuple(cp[b, k]) + tuple(cm[b, k])
+            emp[key] = emp.get(key, 0) + 1
+            n += 1
+    keys = sorted(pi_obs)
+    p = np.array([pi_obs[k] for k in keys])
+    q = np.array([emp.get(k, 0) / n for k in keys])
+    unseen = 1.0 - q.sum()           # mass on states outside the exact space
+    tv = 0.5 * np.abs(p - q).sum() + 0.5 * unseen
+    assert unseen < 1e-12, unseen    # no invalid states ever recorded
+    assert tv < 0.035, tv
