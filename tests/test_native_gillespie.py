@@ -254,15 +254,19 @@ def test_oracle_matches_exact_stationary_distribution(case):
     assert np.max(np.abs(p - q)) < 0.01, (case, np.max(np.abs(p - q)))
 
 
-def test_tauleap_engine_matches_exact_stationary_distribution():
-    """The FULL τ-leap engine against the exact stationary law (the same
+@pytest.mark.parametrize("engine", ["tau_leap", "lattice_gas",
+                                    "lattice_gas_k"])
+def test_every_engine_matches_exact_stationary_distribution(engine):
+    """Every production engine against the exact stationary law (the same
     πQ = 0 solve as the oracle test): TV distance at dt=0.01 must sit at
     the sampling-noise floor (~0.02 at 8k correlated frames; measured
-    0.016-0.018 at dt ∈ {0.005, 0.02}).  Pins the engine's O(dt)
-    stationary bias as unresolvable at these dt — a complement to the
-    trajectory-law agreement tests above."""
+    0.016-0.018 for all three engines, dt-insensitive over dt ∈
+    {0.005, 0.02} — the O(dt) stationary bias is unresolvable here).
+    A complement to the trajectory-law agreement tests above."""
     import jax
 
+    from hydrolim_tpu.particles.lattice_gas import run_lattice_gas
+    from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_k
     from hydrolim_tpu.sweeps.ensemble import (
         broadcast_params,
         run_particle_ensemble,
@@ -277,10 +281,17 @@ def test_tauleap_engine_matches_exact_stationary_distribution():
     B = 64
     params = broadcast_params(config, beta=[beta], rate_diffusion=rd,
                               rate_active=ra, n_runs=B)
-    res = jax.device_get(run_particle_ensemble(
-        config, params, jax.random.PRNGKey(0), T=320.0, obs_dt=2.0, dt=0.01,
-        record_pos=False))
-    f = res.frames
+    kw = dict(T=320.0, obs_dt=2.0, dt=0.01)
+    if engine == "tau_leap":
+        f = jax.device_get(run_particle_ensemble(
+            config, params, jax.random.PRNGKey(0), record_pos=False,
+            **kw)).frames
+    elif engine == "lattice_gas":
+        f, _ = jax.device_get(run_lattice_gas(
+            config, params, jax.random.PRNGKey(1), record_fft=False, **kw))
+    else:
+        f, _ = jax.device_get(run_lattice_gas_k(
+            config, params, jax.random.PRNGKey(1), record_fft=False, **kw))
     # rho = counts / (n_alive * dx) with n_alive=2, dx=1/L -> counts = 2ρ/L
     cp = np.rint(np.asarray(f.rho_p) * 2 / L).astype(int)
     cm = np.rint(np.asarray(f.rho_m) * 2 / L).astype(int)
@@ -297,5 +308,5 @@ def test_tauleap_engine_matches_exact_stationary_distribution():
     q = np.array([emp.get(k, 0) / n for k in keys])
     unseen = 1.0 - q.sum()           # mass on states outside the exact space
     tv = 0.5 * np.abs(p - q).sum() + 0.5 * unseen
-    assert unseen < 1e-12, unseen    # no invalid states ever recorded
-    assert tv < 0.035, tv
+    assert unseen < 1e-12, (engine, unseen)  # no invalid states recorded
+    assert tv < 0.035, (engine, tv)
