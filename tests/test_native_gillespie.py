@@ -310,3 +310,134 @@ def test_every_engine_matches_exact_stationary_distribution(engine):
     tv = 0.5 * np.abs(p - q).sum() + 0.5 * unseen
     assert unseen < 1e-12, (engine, unseen)  # no invalid states recorded
     assert tv < 0.035, (engine, tv)
+
+
+def _exact_pi_anchored(L, K, rd, ra, beta, k_on, k_off, anchor):
+    """πQ = 0 for the ANCHORED 2-particle generator (bidirectional active,
+    suppress_flip_when_bound, immobilize_when_anchored, k_exit = 0).
+    Single-particle states are (x, s, b); binding requires σ = −1, an
+    anchor site and the reference's SELF-INCLUDING capacity gate
+    occ[x] < K (stepper.py:141-153 quirk).  Returns the stationary law
+    projected onto the (counts_p, counts_m) observable."""
+    import itertools
+
+    singles = [(x, s, 0) for x in range(L) for s in (-1, 1)]
+    singles += [(x, -1, 1) for x in range(L) if anchor[x]]
+    states = []
+    for p in itertools.product(singles, singles):
+        occ = [0] * L
+        for (x, _, _) in p:
+            occ[x] += 1
+        if max(occ) <= K:
+            states.append(p)
+    index = {st: i for i, st in enumerate(states)}
+    Q = np.zeros((len(states), len(states)))
+
+    for st, i in index.items():
+        occ = [0] * L
+        for (x, _, _) in st:
+            occ[x] += 1
+        m = (st[0][1] + st[1][1]) / 2.0
+        for pi_ in (0, 1):
+            (x, s, b) = st[pi_]
+            other = st[1 - pi_]
+            moves = []
+            if b:
+                moves.append(((x, s, 0), k_off))        # unbind only
+            else:
+                moves.append(((x, -s, 0), np.exp(-beta * s * m)))   # flip
+                for d in (-1, +1):                      # diffusion
+                    t = (x + d) % L
+                    if occ[t] < K:
+                        moves.append(((t, s, 0), rd))
+                t = (x + s) % L                         # active (bidir)
+                if occ[t] < K:
+                    moves.append(((t, s, 0), ra))
+                if s == -1 and anchor[x] and occ[x] < K:   # self-including!
+                    moves.append(((x, s, 1), k_on))
+            for new_single, rate in moves:
+                new = (new_single, other) if pi_ == 0 else (other, new_single)
+                j = index[new]
+                Q[i, j] += rate
+                Q[i, i] -= rate
+
+    w, v = np.linalg.eig(Q.T)
+    k = int(np.argmin(np.abs(w)))
+    pi_vec = np.real(v[:, k])
+    pi_vec = np.abs(pi_vec) / np.abs(pi_vec).sum()
+    pi_obs = {}
+    for st, i in index.items():
+        cp = [0] * L
+        cm = [0] * L
+        for (x, s, _) in st:
+            (cp if s == 1 else cm)[x] += 1
+        key = tuple(cp) + tuple(cm)
+        pi_obs[key] = pi_obs.get(key, 0.0) + pi_vec[i]
+    return pi_obs
+
+
+def test_anchored_channels_match_exact_stationary_distribution():
+    """Exact-law pin of the bind/unbind channels (oracle + τ-leap engine):
+    K = 2, two anchor sites, k_exit = 0 so the chain is ergodic.  The
+    self-including bind gate occ[x] < K is part of the exact model — a
+    self-EXCLUDING gate (occ−1 < K) shifts the shared-anchor-site weights
+    by O(10%), so this discriminates the reference quirk exactly."""
+    import jax
+
+    from hydrolim_tpu.runtime.native import run_exact_gillespie
+    from hydrolim_tpu.sweeps.ensemble import (
+        broadcast_params,
+        run_particle_ensemble,
+    )
+
+    L, K, rd, ra, beta = 4, 2, 0.3, 0.5, 0.9
+    k_on, k_off = 1.5, 0.7
+    config = ParticleConfig(L=L, N=2, n_pad=8, init="fixed",
+                            scale_rates=False, local_kernel_sigma=0.0,
+                            periodic=True, site_capacity=K,
+                            active_model="bidirectional",
+                            anchor_positions=(0.0,), anchor_radius=0.005)
+    anchor = config.anchor_mask()
+    assert anchor.sum() == 2                 # sites {0, 1} (radius ceil)
+    pi_obs = _exact_pi_anchored(L, K, rd, ra, beta, k_on, k_off, anchor)
+
+    params = make_particle_params(config, beta=beta, rate_diffusion=rd,
+                                  rate_active=ra, k_on=k_on, k_off=k_off,
+                                  k_exit=0.0)
+    out = run_exact_gillespie(config, params, np.array([0, 2]),
+                              np.array([1, -1], np.int8), T=44000.0,
+                              obs_dt=2.0, seed=11)
+    cp, cm = out["counts_p"], out["counts_m"]
+    burn = cp.shape[0] // 10
+    emp, n = {}, 0
+    for k_ in range(burn, cp.shape[0]):
+        key = tuple(int(c) for c in cp[k_]) + tuple(int(c) for c in cm[k_])
+        emp[key] = emp.get(key, 0) + 1
+        n += 1
+    keys = sorted(pi_obs)
+    p = np.array([pi_obs[k] for k in keys])
+    q = np.array([emp.get(k, 0) / n for k in keys])
+    assert abs(q.sum() - 1.0) < 1e-9
+    tv = 0.5 * np.abs(p - q).sum()
+    assert tv < 0.02, ("oracle", tv)
+
+    params_b = broadcast_params(config, beta=[beta], rate_diffusion=rd,
+                                rate_active=ra, k_on=k_on, k_off=k_off,
+                                k_exit=0.0, n_runs=48)
+    f = jax.device_get(run_particle_ensemble(
+        config, params_b, jax.random.PRNGKey(0), T=320.0, obs_dt=2.0,
+        dt=0.01, record_pos=False)).frames
+    cp = np.rint(np.asarray(f.rho_p) * 2 / L).astype(int)
+    cm = np.rint(np.asarray(f.rho_m) * 2 / L).astype(int)
+    M = cp.shape[1]
+    emp, n = {}, 0
+    for b in range(48):
+        for k_ in range(M // 5, M):
+            key = tuple(cp[b, k_]) + tuple(cm[b, k_])
+            emp[key] = emp.get(key, 0) + 1
+            n += 1
+    q = np.array([emp.get(k, 0) / n for k in keys])
+    unseen = 1.0 - q.sum()
+    tv = 0.5 * np.abs(p - q).sum() + 0.5 * unseen
+    assert unseen < 1e-12, unseen
+    assert tv < 0.04, ("tau_leap", tv)
