@@ -441,3 +441,131 @@ def test_anchored_channels_match_exact_stationary_distribution():
     tv = 0.5 * np.abs(p - q).sum() + 0.5 * unseen
     assert unseen < 1e-12, unseen
     assert tv < 0.04, ("tau_leap", tv)
+
+def _exact_absorption_law(L, K, rd, ra, beta, k_on, k_off, k_exit, anchor,
+                          obs_dt, n_frames):
+    """Exact absorption law of the SINGLE-particle anchored chain with
+    k_exit > 0: transient generator over (x, σ, b) states (exit fires only
+    from bound states, stepper.py:122-127), uniform (x, σ, b=0) initial law
+    matching ``init='fixed'`` at N=1.  Returns (survival S(t_k) at the
+    frame grid, per-site exit-location law, E[τ])."""
+    from scipy.linalg import expm
+
+    states = [(x, s, 0) for x in range(L) for s in (-1, 1)]
+    states += [(x, -1, 1) for x in range(L) if anchor[x]]
+    idx = {st: i for i, st in enumerate(states)}
+    n = len(states)
+    Q = np.zeros((n, n))
+    R = np.zeros((n, L))
+    for st, i in idx.items():
+        x, s, b = st
+        if b:
+            Q[i, idx[(x, s, 0)]] += k_off
+            Q[i, i] -= k_off
+            R[i, x] += k_exit                    # absorb at the anchor site
+            Q[i, i] -= k_exit
+        else:
+            m = s                                # N=1 ⇒ m_global = own spin
+            Q[i, idx[(x, -s, 0)]] += np.exp(-beta * s * m)
+            Q[i, i] -= np.exp(-beta * s * m)
+            for d in (-1, 1):
+                t = (x + d) % L
+                Q[i, idx[(t, s, 0)]] += rd
+                Q[i, i] -= rd
+            t = (x + s) % L                      # bidirectional active hop
+            Q[i, idx[(t, s, 0)]] += ra
+            Q[i, i] -= ra
+            if s == -1 and anchor[x]:            # self-including occ<K gate
+                Q[i, idx[(x, s, 1)]] += k_on
+                Q[i, i] -= k_on
+    pi0 = np.zeros(n)
+    for x in range(L):
+        for s in (-1, 1):
+            pi0[idx[(x, s, 0)]] = 1.0 / (2 * L)
+    step = expm(Q.T * obs_dt)
+    v = pi0.copy()
+    S = np.empty(n_frames)
+    for k in range(n_frames):
+        S[k] = v.sum()
+        v = step @ v
+    fund = np.linalg.inv(-Q)
+    site_law = pi0 @ fund @ R                    # unconditional exit sites
+    e_tau = float((pi0 @ fund).sum())
+    return S, site_law, e_tau
+
+
+def test_exit_channel_matches_exact_absorption_law():
+    """Exact pin of the EXIT channel (the one channel the stationary-law
+    tests cannot reach — it kills ergodicity): survival curve, mean exit
+    time and the exit-SITE law from the transient generator, vs the C++
+    oracle (survival via per-frame n_alive) and the τ-leap engine (exact
+    exit_times/exit_pos log).  The 0.471/0.529 site asymmetry (active
+    drift toward the downstream anchor) discriminates directional bugs."""
+    import jax
+
+    from hydrolim_tpu.runtime.native import run_exact_gillespie
+    from hydrolim_tpu.sweeps.ensemble import (
+        broadcast_params,
+        run_particle_ensemble,
+    )
+
+    L, K, rd, ra, beta = 4, 2, 0.4, 0.6, 1.0
+    k_on, k_off, k_exit = 2.0, 1.0, 0.8
+    T, obs_dt = 60.0, 1.0
+    config = ParticleConfig(L=L, N=1, n_pad=8, init="fixed",
+                            scale_rates=False, local_kernel_sigma=0.0,
+                            periodic=True, site_capacity=K,
+                            active_model="bidirectional",
+                            anchor_positions=(0.0,), anchor_radius=0.005)
+    anchor = config.anchor_mask()
+    M = int(T / obs_dt)
+    S, site_law, e_tau = _exact_absorption_law(
+        L, K, rd, ra, beta, k_on, k_off, k_exit, anchor, obs_dt, M)
+    assert S[-1] < 2e-3          # censoring at T is negligible vs tolerances
+    assert abs(site_law.sum() - 1.0) < 1e-9
+
+    # --- oracle: empirical survival from per-frame n_alive --------------
+    params = make_particle_params(config, beta=beta, rate_diffusion=rd,
+                                  rate_active=ra, k_on=k_on, k_off=k_off,
+                                  k_exit=k_exit)
+    n_runs = 1500
+    rng = np.random.default_rng(7)
+    alive_acc = np.zeros(M)
+    for r in range(n_runs):
+        pos0 = rng.integers(0, L, size=1)
+        sig0 = np.where(rng.random(1) < 0.5, 1, -1).astype(np.int8)
+        out = run_exact_gillespie(config, params, pos0, sig0, T=T,
+                                  obs_dt=obs_dt, seed=1000 + r)
+        alive_acc += out["n_alive"][:M]
+    S_oracle = alive_acc / n_runs
+    # ~100 correlated points from the same runs; max binomial SE ≈ 0.0129
+    assert np.max(np.abs(S_oracle - S)) < 0.05, np.max(np.abs(S_oracle - S))
+    # E[min(τ, T)] ≈ obs_dt · Σ_k 1[alive at t_k] has expectation
+    # obs_dt · Σ_k S(t_k) exactly — compare at frame resolution
+    assert abs(obs_dt * S_oracle.sum() - obs_dt * S.sum()) < 0.8
+
+    # --- τ-leap: exact exit log ------------------------------------------
+    B = 4096
+    params_b = broadcast_params(config, beta=[beta], rate_diffusion=rd,
+                                rate_active=ra, k_on=k_on, k_off=k_off,
+                                k_exit=k_exit, n_runs=B)
+    res = jax.device_get(run_particle_ensemble(
+        config, params_b, jax.random.PRNGKey(3), T=T, obs_dt=obs_dt,
+        dt=0.01, record_pos=False))
+    n_exit = np.asarray(res.final_state.exit_count)
+    assert np.all(n_exit <= 1)                    # single particle
+    exited = n_exit == 1
+    assert exited.mean() > 1.0 - 5e-3             # S(60) ≈ 5e-4 + binomial
+    t_exit = np.asarray(res.final_state.exit_times)[exited, 0]
+    x_exit = np.asarray(res.final_state.exit_pos)[exited, 0]
+    # survival curve from the exit-time log (non-exited runs censor at T)
+    tgrid = np.arange(M) * obs_dt
+    S_tau = 1.0 - (np.searchsorted(np.sort(t_exit), tgrid, side="right")
+                   / B)
+    # max SE ≈ 0.0078; τ-leap holding-time bias O(r·dt) ≈ 2% of slope
+    assert np.max(np.abs(S_tau - S)) < 0.035, np.max(np.abs(S_tau - S))
+    assert abs(t_exit.mean() - e_tau) < 0.6, (t_exit.mean(), e_tau)
+    # exit-site law (anchor sites only, drift-asymmetric)
+    for a in range(L):
+        frac = (x_exit == a).mean()
+        assert abs(frac - site_law[a]) < 0.03, (a, frac, site_law[a])
