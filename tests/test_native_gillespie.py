@@ -141,7 +141,7 @@ def test_tauleap_matches_exact_ctmc_exclusion():
 
 
 def _exact_pi_and_empirical(L, K, active_model, rd, ra, beta, T, obs_dt,
-                            pos0, sigma0, seed):
+                            pos0, sigma0, seed, crowding=False):
     """Exact stationary law of the 2-particle generator vs the oracle.
 
     Enumerates the ORDERED 2-particle state space ((x1,s1),(x2,s2)),
@@ -156,13 +156,23 @@ def _exact_pi_and_empirical(L, K, active_model, rd, ra, beta, T, obs_dt,
     excl = K is not None
     singles = [(x, s) for x in range(L) for s in (-1, 1)]
     states = [p for p in itertools.product(singles, singles)
-              if not (excl and p[0][0] == p[1][0])]
+              if not (excl and K < 2 and p[0][0] == p[1][0])]
     index = {st: i for i, st in enumerate(states)}
     n = len(states)
     Q = np.zeros((n, n))
 
     def occupied(st, x):
         return sum(1 for (xx, _) in st if xx == x)
+
+    def hop_rate(base, st, t):
+        """Capacity gate + optional crowding suppression ×(1−occ(t)/K)
+        (stepper.py:129-136, gillespie.cpp crowding block)."""
+        if not excl:
+            return base
+        occ = occupied(st, t)
+        if occ >= K:
+            return 0.0
+        return base * (1.0 - occ / K) if crowding else base
 
     for st, i in index.items():
         for pi_ in (0, 1):
@@ -173,14 +183,16 @@ def _exact_pi_and_empirical(L, K, active_model, rd, ra, beta, T, obs_dt,
             # diffusion ±1
             for d in (-1, +1):
                 t = (x + d) % L
-                if not excl or occupied(st, t) < K:
-                    moves.append(((t, s), rd))
+                r = hop_rate(rd, st, t)
+                if r > 0:
+                    moves.append(((t, s), r))
             # active hop
             fstep = s if active_model == "bidirectional" else (1 if s == 1 else None)
             if fstep is not None:
                 t = (x + fstep) % L
-                if not excl or occupied(st, t) < K:
-                    moves.append(((t, s), ra))
+                r = hop_rate(ra, st, t)
+                if r > 0:
+                    moves.append(((t, s), r))
             # CW flip
             moves.append(((x, -s), np.exp(-beta * s * m)))
             for new_single, rate in moves:
@@ -212,7 +224,8 @@ def _exact_pi_and_empirical(L, K, active_model, rd, ra, beta, T, obs_dt,
     config = ParticleConfig(L=L, N=2, n_pad=2, init="fixed",
                             scale_rates=False, local_kernel_sigma=0.0,
                             periodic=True, site_capacity=K,
-                            active_model=active_model)
+                            active_model=active_model,
+                            crowding_suppresses_rates=crowding)
     params = make_particle_params(config, beta=beta, rate_diffusion=rd,
                                   rate_active=ra, k_on=0, k_off=0, k_exit=0)
     out = run_exact_gillespie(config, params, np.asarray(pos0, np.int64),
@@ -228,7 +241,8 @@ def _exact_pi_and_empirical(L, K, active_model, rd, ra, beta, T, obs_dt,
     return pi_obs, emp
 
 
-@pytest.mark.parametrize("case", ["exclusion_bidir", "open_plusforward"])
+@pytest.mark.parametrize("case", ["exclusion_bidir", "open_plusforward",
+                                  "crowding_k2"])
 def test_oracle_matches_exact_stationary_distribution(case):
     """Closes the validation chain τ-leap ≈ oracle ≈ EXACT LAW: on a
     2-particle state space small enough to solve πQ = 0 directly, the
@@ -236,15 +250,22 @@ def test_oracle_matches_exact_stationary_distribution(case):
     stationary law of the intended generator.  A wrong blocking rule,
     flip normalization or hop direction shifts π by O(10%) here; the
     sampling noise at 21.6k frames is ~0.3%."""
+    crowding = False
     if case == "exclusion_bidir":
         L, K, am = 4, 1, "bidirectional"
+        pos0, sigma0 = [0, 2], [1, -1]
+    elif case == "crowding_k2":
+        # K=2 so both particles can share a site; crowding then HALVES the
+        # hop rate into the partner's site (frac = 1 − 1/2), depressing
+        # together-states in π — a law shift pure blocking cannot produce.
+        L, K, am, crowding = 4, 2, "bidirectional", True
         pos0, sigma0 = [0, 2], [1, -1]
     else:
         L, K, am = 3, None, "plus_forward"
         pos0, sigma0 = [0, 1], [1, -1]
     pi_obs, emp = _exact_pi_and_empirical(
         L, K, am, rd=0.3, ra=0.7, beta=1.2, T=48000.0, obs_dt=2.0,
-        pos0=pos0, sigma0=sigma0, seed=42)
+        pos0=pos0, sigma0=sigma0, seed=42, crowding=crowding)
     keys = sorted(pi_obs)
     p = np.array([pi_obs[k] for k in keys])
     q = np.array([emp.get(k, 0.0) for k in keys])
@@ -309,6 +330,64 @@ def test_every_engine_matches_exact_stationary_distribution(engine):
     unseen = 1.0 - q.sum()           # mass on states outside the exact space
     tv = 0.5 * np.abs(p - q).sum() + 0.5 * unseen
     assert unseen < 1e-12, (engine, unseen)  # no invalid states recorded
+    assert tv < 0.035, (engine, tv)
+
+
+@pytest.mark.parametrize("engine", ["tau_leap", "lattice_gas_k"])
+def test_crowding_engines_match_exact_stationary_distribution(engine):
+    """crowding_suppresses_rates=True exact-law pin for the two engines
+    that implement it (τ-leap stepper.py:129-136, lattice_gas_k): K=2,
+    hop rates ×(1−occ(target)/K).  The exact crowding law differs from
+    the plain-K2 law by TV ≈ 0.1 (asserted), so an ignored flag or a
+    wrong occupancy in the suppression factor fails loudly."""
+    import jax
+
+    from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_k
+    from hydrolim_tpu.sweeps.ensemble import (
+        broadcast_params,
+        run_particle_ensemble,
+    )
+
+    L, K, am, rd, ra, beta = 4, 2, "bidirectional", 0.3, 0.7, 1.2
+    pi_obs, _ = _exact_pi_and_empirical(L, K, am, rd, ra, beta, 4.0, 2.0,
+                                        [0, 2], [1, -1], 1, crowding=True)
+    pi_plain, _ = _exact_pi_and_empirical(L, K, am, rd, ra, beta, 4.0, 2.0,
+                                          [0, 2], [1, -1], 1, crowding=False)
+    keys = sorted(set(pi_obs) | set(pi_plain))
+    gap = 0.5 * sum(abs(pi_obs.get(k, 0.0) - pi_plain.get(k, 0.0))
+                    for k in keys)
+    assert gap > 0.05, gap               # the pin has discriminating power
+
+    config = ParticleConfig(L=L, N=2, n_pad=8, init="fixed",
+                            scale_rates=False, local_kernel_sigma=0.0,
+                            periodic=True, site_capacity=K, active_model=am,
+                            crowding_suppresses_rates=True)
+    B = 64
+    params = broadcast_params(config, beta=[beta], rate_diffusion=rd,
+                              rate_active=ra, n_runs=B)
+    kw = dict(T=320.0, obs_dt=2.0, dt=0.01)
+    if engine == "tau_leap":
+        f = jax.device_get(run_particle_ensemble(
+            config, params, jax.random.PRNGKey(0), record_pos=False,
+            **kw)).frames
+    else:
+        f, _ = jax.device_get(run_lattice_gas_k(
+            config, params, jax.random.PRNGKey(1), record_fft=False, **kw))
+    cp = np.rint(np.asarray(f.rho_p) * 2 / L).astype(int)
+    cm = np.rint(np.asarray(f.rho_m) * 2 / L).astype(int)
+    M = cp.shape[1]
+    emp, n = {}, 0
+    for b in range(B):
+        for k in range(M // 5, M):
+            key = tuple(cp[b, k]) + tuple(cm[b, k])
+            emp[key] = emp.get(key, 0) + 1
+            n += 1
+    keys = sorted(pi_obs)
+    p = np.array([pi_obs[k] for k in keys])
+    q = np.array([emp.get(k, 0) / n for k in keys])
+    unseen = 1.0 - q.sum()
+    tv = 0.5 * np.abs(p - q).sum() + 0.5 * unseen
+    assert unseen < 1e-12, (engine, unseen)
     assert tv < 0.035, (engine, tv)
 
 
