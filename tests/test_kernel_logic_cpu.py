@@ -242,6 +242,126 @@ def test_exclusion_kernel_interpret_nonperiodic_walls():
 
 
 # ---------------------------------------------------------------------------
+# replica-banked exclusion kernel (ops/pallas_exclusion_rb.py)
+# ---------------------------------------------------------------------------
+
+def _exclusion_rb_pair_step(config, params, mf_op, slots_xla_b, sl_pack,
+                            conv, scal, dt, rng, *, use_local_m, n_steps):
+    """Advance the (K, R, Lp) replica-banked kernel and R independent XLA
+    slot-engine replicas with matched draws; assert slot-field equality
+    after every step.  Returns the final (R, K, L) fields."""
+    from hydrolim_tpu.ops.pallas_exclusion_rb import (
+        exclusion_multi_step_rb,
+        unpack_slots_rb,
+    )
+    from hydrolim_tpu.particles.lattice_gas_k import lgk_step
+
+    K, L = config.K, config.L
+    R = len(slots_xla_b)
+    Lp = -(-L // 128) * 128
+    for s in range(n_steps):
+        noise = np.zeros((1, 1, 2, K, R, Lp), np.uint32)
+        for r in range(R):
+            u_bits = rng.integers(0, 2 ** 32, (K, Lp), dtype=np.uint32)
+            u = _bits_to_u(u_bits)
+            rank = rng.permutation(K * L).astype(np.uint32)   # < 2^15
+            rank2d = rank.reshape(K, L)
+            prio_xla = (rank2d << np.uint32(17)) | \
+                np.arange(K * L, dtype=np.uint32).reshape(K, L)
+            pr_bits = np.zeros((K, Lp), np.uint32)
+            pr_bits[:, :L] = rank2d << np.uint32(6)
+            noise[0, 0, 0, :, r, :] = u_bits
+            noise[0, 0, 1, :, r, :] = pr_bits
+            slots_xla_b[r], _aux, _ex = lgk_step(
+                config, params, mf_op, slots_xla_b[r],
+                jax.random.PRNGKey(s * R + r), dt,
+                _inject=(jnp.asarray(u[:, :L]), jnp.asarray(prio_xla)))
+        sl_pack = exclusion_multi_step_rb(
+            jnp.asarray(scal), jnp.zeros((R,), np.int32), sl_pack, conv,
+            L=L, K=K, k_steps=1, dt=dt, periodic=config.periodic,
+            bidirectional=config.active_model == "bidirectional",
+            use_local_m=use_local_m, r_batch=R, interpret=True,
+            noise=jnp.asarray(noise))
+        got = unpack_slots_rb(sl_pack, K, L)
+        for r in range(R):
+            np.testing.assert_array_equal(
+                got[r], np.asarray(slots_xla_b[r]),
+                err_msg=f"replica {r} slot fields diverged at step {s}")
+    return [np.asarray(x) for x in slots_xla_b]
+
+
+@pytest.mark.parametrize("use_local_m,active_model", [
+    (False, "bidirectional"),
+    (True, "plus_forward"),
+])
+def test_exclusion_rb_kernel_interpret_matches_slot_engine(use_local_m,
+                                                           active_model):
+    """Replica-banked fused exclusion kernel under interpret=True vs TWO
+    independent XLA slot-engine replicas at matched draws: the banked
+    (K, R, Lp) layout must reproduce each replica's trajectory exactly —
+    rates, admission rounds, stable compaction AND the replica banking
+    (transpose + per-sublane scalars) all agree."""
+    from hydrolim_tpu.fields.magnetization import build_mfield_op
+    from hydrolim_tpu.ops.pallas_exclusion_rb import (
+        build_conv_matrix,
+        pack_slots_rb,
+    )
+    from hydrolim_tpu.particles.lattice_gas_k import lgk_init
+
+    L, K, dt = 64, 3, 2e-3
+    sigma = 0.02 if use_local_m else 0.0
+    config = ParticleConfig(L=L, N=80, init="fixed", scale_rates=False,
+                            local_kernel_sigma=sigma, periodic=True,
+                            site_capacity=K, active_model=active_model)
+    params = make_particle_params(config, beta=1.5, rate_diffusion=1.0,
+                                  rate_active=3.0)
+    mf_op = build_mfield_op(L, config.dx, sigma, True)
+    slots_b = [lgk_init(config, jax.random.PRNGKey(11)),
+               lgk_init(config, jax.random.PRNGKey(12))]
+    conv = build_conv_matrix(config) if use_local_m else np.zeros((0, 0))
+    scal = np.array([[1.5, 1.0, 3.0]] * 2, np.float32)
+    rng = np.random.default_rng(5)
+
+    finals = _exclusion_rb_pair_step(
+        config, params, mf_op, slots_b,
+        pack_slots_rb(np.stack([np.asarray(s) for s in slots_b])),
+        conv, scal, dt, rng, use_local_m=use_local_m, n_steps=25)
+    for final in finals:
+        assert np.abs(np.sign(final)).sum() == 80        # mass conserved
+        assert (final != 0).sum(0).max() <= K            # capacity respected
+
+
+def test_exclusion_rb_kernel_interpret_nonperiodic_walls():
+    """Non-periodic boundaries in the banked layout: matched-draw equality
+    plus no leakage through the walls."""
+    from hydrolim_tpu.fields.magnetization import build_mfield_op
+    from hydrolim_tpu.ops.pallas_exclusion_rb import (
+        build_conv_matrix,
+        pack_slots_rb,
+    )
+    from hydrolim_tpu.particles.lattice_gas_k import lgk_init
+
+    L, K, dt = 48, 2, 2e-3
+    config = ParticleConfig(L=L, N=40, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.015, periodic=False,
+                            site_capacity=K, active_model="plus_forward")
+    params = make_particle_params(config, beta=0.8, rate_diffusion=1.0,
+                                  rate_active=4.0)
+    mf_op = build_mfield_op(L, config.dx, 0.015, False)
+    slots_b = [lgk_init(config, jax.random.PRNGKey(2))]
+    conv = build_conv_matrix(config)
+    scal = np.array([[0.8, 1.0, 4.0]], np.float32)
+    rng = np.random.default_rng(9)
+
+    finals = _exclusion_rb_pair_step(
+        config, params, mf_op, slots_b,
+        pack_slots_rb(np.stack([np.asarray(s) for s in slots_b])),
+        conv, scal, dt, rng, use_local_m=True, n_steps=25)
+    assert np.abs(np.sign(finals[0])).sum() == 40
+    assert (finals[0] != 0).sum(0).max() <= K
+
+
+# ---------------------------------------------------------------------------
 # fused PDE kernel (ops/pallas_pde.py)
 # ---------------------------------------------------------------------------
 
