@@ -298,6 +298,48 @@ def bench_k3_pallas(B=16, reps=2):
     return run_once(1), run_once(B)
 
 
+def bench_k3_rb(B=16, reps=2):
+    """Replica-banked fused exclusion kernel (ops/pallas_exclusion_rb.py):
+    (K, R, Lp) layout with replicas on the sublane axis — 100% sublane
+    occupancy at any K.  Same flagship config as bench_k3_pallas."""
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.ops.pallas_exclusion_rb import (
+        build_conv_matrix,
+        exclusion_multi_step_rb,
+        pack_slots_rb,
+    )
+    from hydrolim_tpu.particles.lattice_gas_k import lgk_init
+
+    config = ParticleConfig(L=1000, N=750, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.002, periodic=False,
+                            site_capacity=3, active_model="plus_forward")
+    conv = build_conv_matrix(config)
+    ksteps = 10_000
+
+    def run_once(nb):
+        R = nb if nb <= 32 else 32          # one grid program up to R=32
+        keys = jax.random.split(jax.random.PRNGKey(0), nb)
+        slots0 = np.stack([np.asarray(lgk_init(config, k)) for k in keys])
+        sl = pack_slots_rb(slots0)
+        scal = np.zeros((nb, 3), np.float32)
+        scal[:, 0], scal[:, 2] = 0.7, 5.0
+        seeds = np.arange(nb, dtype=np.int32)
+        run = lambda f, s: exclusion_multi_step_rb(
+            jnp.asarray(scal), seeds + f, s, conv, L=1000, K=3,
+            k_steps=ksteps, dt=2e-3, periodic=False, bidirectional=False,
+            use_local_m=True, r_batch=R)
+        sl = run(0, sl)
+        jax.block_until_ready(sl)
+        t0 = time.perf_counter()
+        for r in range(reps):
+            sl = run(r + 1, sl)
+        jax.block_until_ready(sl)
+        wall = (time.perf_counter() - t0) / reps
+        return nb * 750 * ksteps / wall
+
+    return run_once(1), run_once(B)
+
+
 def bench_pde_sweep_fused(T=10.0, n_runs=3, reps=2):
     """Reference β-sweep scale (11 β × n_runs, L=1000, dt=5e-4, 1000
     tracers, near-global kernel — IMEX_PDE_solver_run_sweep.py:26-40) on the
@@ -538,6 +580,16 @@ def main():
     except Exception as e:
         engines["k3_fused_single"] = engines["k3_fused_b16"] = None
         print(f"# K=3 pallas bench unavailable: {e}", file=sys.stderr)
+    try:
+        k3r_1, k3r_b = bench_k3_rb()
+        engines["k3_rb_single"] = k3r_1
+        engines["k3_rb_b16"] = k3r_b
+        print(f"# K=3 flagship (replica-banked fused kernel): "
+              f"{k3r_1:.3e} single replica, {k3r_b:.3e} at B=16 "
+              f"((K, R, Lp) sublane-packed layout)", file=sys.stderr)
+    except Exception as e:
+        engines["k3_rb_single"] = engines["k3_rb_b16"] = None
+        print(f"# K=3 replica-banked bench unavailable: {e}", file=sys.stderr)
     pps, step_time = bench_particle_steps()
     engines["meanfield_xla"] = pps
     print(f"# particle bench (XLA path): {pps:.3e} particle-steps/sec/chip "

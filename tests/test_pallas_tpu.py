@@ -218,6 +218,114 @@ def test_pallas_exclusion_kernel_matches_slot_engine(r_batch):
     assert np.all(np.abs(h_x - h_p) < 0.05), (h_x, h_p)
 
 
+def test_pallas_exclusion_rb_mosaic_matches_interpret():
+    """Replica-banked exclusion kernel: Mosaic lowering vs the interpreter
+    at INJECTED noise — the compiled (K, R, Lp) program must be bit-equal
+    to the interpret=True execution (which the CPU suite has already pinned
+    to the XLA slot engine at matched draws).  This isolates exactly the
+    Mosaic lowering of the banked layout (leading-axis reductions, sublane
+    broadcasts, transposed packing)."""
+    if not _tpu_is_default():
+        pytest.skip("needs a TPU device as default")
+    import jax.numpy as jnp
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.ops.pallas_exclusion_rb import (
+        build_conv_matrix,
+        exclusion_multi_step_rb,
+        pack_slots_rb,
+    )
+    from hydrolim_tpu.particles.lattice_gas_k import lgk_init
+
+    L, K, R, k_steps, dt = 128, 3, 8, 20, 2e-3
+    Lp = 128
+    config = ParticleConfig(L=L, N=120, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.01, periodic=True,
+                            site_capacity=K, active_model="bidirectional")
+    keys = jax.random.split(jax.random.PRNGKey(3), R)
+    slots0 = np.stack([np.asarray(lgk_init(config, k)) for k in keys])
+    sl = pack_slots_rb(slots0)
+    conv = build_conv_matrix(config)
+    scal = np.zeros((R, 3), np.float32)
+    scal[:, 0], scal[:, 1], scal[:, 2] = 1.5, 1.0, 3.0
+    rng = np.random.default_rng(12)
+    noise = rng.integers(0, 2 ** 32, (1, k_steps, 2, K, R, Lp),
+                         dtype=np.uint32)
+    kw = dict(L=L, K=K, k_steps=k_steps, dt=dt, periodic=True,
+              bidirectional=True, use_local_m=True, r_batch=R,
+              noise=jnp.asarray(noise))
+    out_hw = exclusion_multi_step_rb(
+        jnp.asarray(scal), np.zeros(R, np.int32), sl, conv, **kw)
+    out_it = exclusion_multi_step_rb(
+        jnp.asarray(scal), np.zeros(R, np.int32), sl, conv,
+        interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(out_hw), np.asarray(out_it))
+
+
+def test_pallas_exclusion_rb_matches_slot_engine():
+    """Replica-banked kernel with the HW PRNG vs the XLA slot engine at
+    matched (K=3, local-m, periodic) parameters: ensemble |m|(t) within
+    error bars and occupancy histograms within 0.05 — the same acceptance
+    as the original fused kernel's test, now at 100% sublane occupancy
+    (R=16 replicas banked in one grid program)."""
+    if not _tpu_is_default():
+        pytest.skip("needs a TPU device as default")
+    import jax.numpy as jnp
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.ops.pallas_exclusion_rb import (
+        build_conv_matrix,
+        exclusion_multi_step_rb,
+        pack_slots_rb,
+        unpack_slots_rb,
+    )
+    from hydrolim_tpu.particles.lattice_gas_k import lgk_init, run_lattice_gas_k
+    from hydrolim_tpu.sweeps.ensemble import broadcast_params
+
+    L, K, nrep, T, obs_dt, dt = 200, 3, 16, 2.0, 0.5, 1.5e-3
+    beta, rd, ra = 1.5, 1.0, 3.0
+    config = ParticleConfig(L=L, N=150, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.01, periodic=True,
+                            site_capacity=3, active_model="plus_forward")
+    params = broadcast_params(config, beta=[beta], rate_diffusion=rd,
+                              rate_active=ra, n_runs=nrep)
+    frames, slots_x = run_lattice_gas_k(config, params, jax.random.PRNGKey(4),
+                                        T=T, obs_dt=obs_dt, dt=dt)
+    m_x = np.abs(np.asarray(frames.m_global))
+    occ_x = np.abs(np.asarray(slots_x)).sum(-2)
+
+    keys = jax.random.split(jax.random.PRNGKey(5), nrep)
+    slots0 = np.stack([np.asarray(lgk_init(config, k)) for k in keys])
+    sl = pack_slots_rb(slots0)
+    conv = build_conv_matrix(config)
+    scal = np.zeros((nrep, 3), np.float32)
+    scal[:, 0], scal[:, 1], scal[:, 2] = beta, rd, ra
+    n_sub = int(round(obs_dt / dt))
+    M = len(np.arange(0.0, T, obs_dt))
+    seeds0 = np.arange(nrep, dtype=np.int32) * 9973 + 17
+
+    def m_of(s):
+        return s.sum((1, 2)) / np.maximum(np.abs(s).sum((1, 2)), 1)
+
+    m_p = [m_of(unpack_slots_rb(sl, K, L))]
+    for f in range(1, M):
+        sl = exclusion_multi_step_rb(jnp.asarray(scal), seeds0 + f, sl, conv,
+                                     L=L, K=K, k_steps=n_sub, dt=dt,
+                                     periodic=True, bidirectional=False,
+                                     use_local_m=True, r_batch=nrep)
+        m_p.append(m_of(unpack_slots_rb(sl, K, L)))
+    m_p = np.abs(np.asarray(m_p).T)
+    s_final = unpack_slots_rb(sl, K, L)
+    assert np.abs(s_final).sum() == nrep * 150          # mass conserved
+    occ_p = np.abs(s_final).sum(1)
+    assert occ_p.max() <= K
+
+    me, mt = m_x.mean(0), m_p.mean(0)
+    se = (m_x.std(0, ddof=1) + m_p.std(0, ddof=1)) / np.sqrt(nrep)
+    assert np.all(np.abs(me - mt) < 4 * se + 0.06), (me, mt, se)
+    h_x = np.array([(occ_x == v).mean() for v in range(K + 1)])
+    h_p = np.array([(occ_p == v).mean() for v in range(K + 1)])
+    assert np.all(np.abs(h_x - h_p) < 0.05), (h_x, h_p)
+
+
 def test_pallas_exclusion_payload_ids_survive():
     """Signed slot payloads (sign = spin, magnitude = particle id) must move
     and compact intact: the id multiset is invariant and every id keeps
