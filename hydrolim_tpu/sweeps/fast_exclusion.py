@@ -155,6 +155,16 @@ def _pick_r_batch(config: ParticleConfig, B: int) -> int:
     return 1
 
 
+def _pick_r_batch_rb(B: int) -> int:
+    """Replicas per grid program for the replica-banked kernel: fill the
+    sublane axis (multiples of 8) up to 32 rows (4 tiles) per program,
+    preferring an exact divisor of the true batch to avoid padding."""
+    for cand in (32, 16, 8):
+        if B % cand == 0:
+            return cand
+    return min(32, -(-B // 8) * 8)
+
+
 #: reproducibility record of the most recent fused run (ADVICE r3): with
 #: r_batch > 1 one PRNG seed is consumed per grid PROGRAM and replicas
 #: within a program share (R, Kp, Lp) draw blocks, so trajectories at a
@@ -195,7 +205,12 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     ``r_batch=`` overrides the VMEM-heuristic replica-row batch (ADVICE
     r3): trajectories at a fixed seed depend on R (replicas in a program
     share draw blocks), so pass the R recorded in ``last_run_info`` /
-    the sweep npz to reproduce a run across heuristic changes."""
+    the sweep npz to reproduce a run across heuristic changes.
+
+    ``engine='pallas_rb'`` routes through the replica-banked kernel
+    (ops/pallas_exclusion_rb.py, (K, R, Lp) layout — 100% sublane
+    occupancy); same contract, different PRNG draw shapes, so
+    trajectories at a fixed seed differ from ``'pallas'``/``'xla'``."""
     from hydrolim_tpu.particles.lattice_gas_k import lgk_init, run_lattice_gas_k
 
     assert is_pallas_exclusion_path(config), (
@@ -210,6 +225,11 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
                                       for d in mesh.devices.flat) else "xla")
         else:
             engine = "pallas" if default_device_is_tpu() else "xla"
+    if engine in ("pallas", "pallas_rb") and not default_device_is_tpu() \
+            and mesh is None:
+        # explicit pallas off-TPU cannot run (no Mosaic interpreter on the
+        # production path) — keep the documented automatic XLA fallback
+        engine = "xla"
 
     last_run_info.clear()
     last_run_info["engine"] = engine
@@ -220,10 +240,18 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
             record_fft=record_fft, n_tracers=n_tracers)
         return jax.device_get(frames), np.asarray(slots)
 
+    if engine == "pallas_rb":
+        from hydrolim_tpu.ops.pallas_exclusion_rb import (
+            exclusion_multi_step_rb as kernel_fn,
+            pack_slots_rb as pack_fn,
+        )
+    else:
+        from hydrolim_tpu.ops.pallas_exclusion import (
+            exclusion_multi_step as kernel_fn,
+            pack_slots as pack_fn,
+        )
     from hydrolim_tpu.ops.pallas_exclusion import (
         build_conv_matrix,
-        exclusion_multi_step,
-        pack_slots,
         unpack_slots,
     )
 
@@ -284,7 +312,7 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     bidi = config.active_model == "bidirectional"
     rec = _record_fn(config, record_fft)
 
-    sl0 = pack_slots(slots0)
+    sl0 = pack_fn(slots0)
     conv_j = jnp.asarray(conv, jnp.float32)
     # replica-row batch per kernel program, chosen from the GLOBAL batch so
     # the grid layout (and hence every program's PRNG stream) is identical
@@ -298,8 +326,12 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
         f"size {n_sw} (the sweep drivers pad; see parallel.mesh)")
     if r_batch is not None and int(r_batch) < 1:
         raise ValueError(f"r_batch must be >= 1, got {r_batch}")
-    R = (_pick_r_batch(config, B if b_real is None else b_real)
-         if r_batch is None else int(r_batch))
+    if r_batch is not None:
+        R = int(r_batch)
+    elif engine == "pallas_rb":
+        R = _pick_r_batch_rb(B if b_real is None else b_real)
+    else:
+        R = _pick_r_batch(config, B if b_real is None else b_real)
     last_run_info.update(r_batch=R, b_real=B if b_real is None else b_real)
     Bp = -(-B // (R * n_sw)) * (R * n_sw)
     if Bp != B:
@@ -339,7 +371,7 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
         prog_ids = pid0 + jnp.arange(G_local, dtype=jnp.int32)
 
         def frame_body(sl, f):
-            sl = exclusion_multi_step(
+            sl = kernel_fn(
                 scal, seeds0 + f, sl, conv_j, L=L, K=K, k_steps=n_sub,
                 dt=dt_eff, periodic=config.periodic, bidirectional=bidi,
                 use_local_m=use_local_m, r_batch=R, prog_ids=prog_ids)

@@ -115,3 +115,39 @@ def test_sweep_over_betas_engine_pallas_falls_back_on_cpu():
     assert res["means"].shape == (2,)
     assert np.isfinite(res["means"]).all()
     assert np.isfinite(res["m_means"]).all()
+
+
+def test_run_exclusion_sweep_engine_rb_falls_back_on_cpu():
+    """engine='pallas_rb' (the replica-banked kernel) must degrade to the
+    XLA slot engine when the default device is CPU, exactly like 'pallas'
+    — same return contract, finite observables, engine recorded."""
+    import jax
+
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.sweeps.ensemble import broadcast_params
+    from hydrolim_tpu.sweeps.fast_exclusion import (
+        last_run_info,
+        run_exclusion_sweep,
+    )
+
+    config = ParticleConfig(L=64, N=40, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.01, periodic=False,
+                            site_capacity=3, active_model="plus_forward")
+    params = broadcast_params(config, beta=[1.0], rate_diffusion=0.5,
+                              rate_active=3.0, n_runs=2)
+    frames, spins = run_exclusion_sweep(
+        config, params, jax.random.PRNGKey(0), T=1.0, obs_dt=0.25,
+        dt=2e-3, engine="pallas_rb", n_tracers=8)
+    assert last_run_info["engine"] == "xla"
+    assert np.isfinite(np.asarray(frames.m_global)).all()
+    assert np.abs(spins).sum() == 2 * config.N
+
+
+def test_pick_r_batch_rb_prefers_divisors():
+    from hydrolim_tpu.sweeps.fast_exclusion import _pick_r_batch_rb
+
+    assert _pick_r_batch_rb(16) == 16
+    assert _pick_r_batch_rb(64) == 32
+    assert _pick_r_batch_rb(24) == 8
+    assert _pick_r_batch_rb(10) == 16   # pads 10 -> 16
+    assert _pick_r_batch_rb(4) == 8     # pads 4 -> 8 (fills one tile)

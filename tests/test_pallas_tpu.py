@@ -369,11 +369,13 @@ def test_pallas_exclusion_payload_ids_survive():
     assert occ.max() <= K
 
 
-def test_run_exclusion_sweep_pallas_matches_xla():
+@pytest.mark.parametrize("fused_engine", ["pallas", "pallas_rb"])
+def test_run_exclusion_sweep_pallas_matches_xla(fused_engine):
     """User-facing fused sweep vs the XLA slot engine at the reference
     flagship shape (K=3, non-periodic, local m): ensemble |m|(t) within
     error bars, occupancy histogram within 0.05, and tracer drift
-    (displacement-based v) agreeing between engines."""
+    (displacement-based v) agreeing between engines.  Parametrized over
+    both fused layouts (original and replica-banked)."""
     if not _tpu_is_default():
         pytest.skip("needs a TPU device as default")
     from hydrolim_tpu.core.config import ParticleConfig
@@ -388,7 +390,7 @@ def test_run_exclusion_sweep_pallas_matches_xla():
                               rate_active=3.0, n_runs=nrep)
 
     out = {}
-    for eng in ("pallas", "xla"):
+    for eng in (fused_engine, "xla"):
         frames, spins = run_exclusion_sweep(
             config, params, jax.random.PRNGKey(3), T=T, obs_dt=obs_dt,
             dt=dt, engine=eng, n_tracers=64)
@@ -404,7 +406,7 @@ def test_run_exclusion_sweep_pallas_matches_xla():
         out[eng] = (np.abs(np.asarray(frames.m_global)),
                     np.abs(spins).sum(1), np.nanmean(drift))
 
-    m_p, occ_p, v_p = out["pallas"]
+    m_p, occ_p, v_p = out[fused_engine]
     m_x, occ_x, v_x = out["xla"]
     se = (m_p.std(0, ddof=1) + m_x.std(0, ddof=1)) / np.sqrt(nrep)
     assert np.all(np.abs(m_p.mean(0) - m_x.mean(0)) < 4 * se + 0.06), (
