@@ -493,3 +493,48 @@ def test_pde_kernel_interpret_matches_xla_stepper(m_expect, sigma, bc,
                                rtol=5e-4, atol=1e-6)
     np.testing.assert_allclose(d_k[window:], np.asarray(d_hist[window:]),
                                rtol=5e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("idx", range(6))
+def test_exclusion_rb_kernel_fuzzed_configs_match_slot_engine(idx):
+    """Config-space fuzz of the replica-banked kernel: seeded random draws
+    over (K, L, periodicity, active model, local/global m, R, rates) —
+    matched-draw exact slot-field equality with the XLA engine for 8 steps
+    each.  Deterministic (seed = idx), so failures reproduce exactly."""
+    from hydrolim_tpu.fields.magnetization import build_mfield_op
+    from hydrolim_tpu.ops.pallas_exclusion_rb import (
+        build_conv_matrix,
+        pack_slots_rb,
+    )
+    from hydrolim_tpu.particles.lattice_gas_k import lgk_init
+
+    rng = np.random.default_rng(1000 + idx)
+    K = int(rng.integers(1, 5))
+    L = int(rng.choice([32, 48, 64, 100]))
+    periodic = bool(rng.integers(0, 2))
+    am = str(rng.choice(["plus_forward", "bidirectional"]))
+    use_local_m = bool(rng.integers(0, 2))
+    R = int(rng.choice([1, 2, 3]))
+    N = int(rng.integers(K * L // 4, K * L // 2))
+    beta = float(rng.uniform(0.0, 2.5))
+    rd = float(rng.uniform(0.1, 2.0))
+    ra = float(rng.uniform(0.0, 4.0))
+    sigma = float(rng.uniform(0.008, 0.05)) if use_local_m else 0.0
+    config = ParticleConfig(L=L, N=N, init="fixed", scale_rates=False,
+                            local_kernel_sigma=sigma, periodic=periodic,
+                            site_capacity=K, active_model=am)
+    params = make_particle_params(config, beta=beta, rate_diffusion=rd,
+                                  rate_active=ra)
+    mf_op = build_mfield_op(L, config.dx, sigma, periodic)
+    slots_b = [lgk_init(config, jax.random.PRNGKey(100 * idx + r))
+               for r in range(R)]
+    conv = build_conv_matrix(config) if use_local_m else np.zeros((0, 0))
+    scal = np.array([[beta, rd, ra]] * R, np.float32)
+
+    finals = _exclusion_rb_pair_step(
+        config, params, mf_op, slots_b,
+        pack_slots_rb(np.stack([np.asarray(s) for s in slots_b])),
+        conv, scal, 2e-3, rng, use_local_m=use_local_m, n_steps=8)
+    for final in finals:
+        assert np.abs(np.sign(final)).sum() == N
+        assert (final != 0).sum(0).max() <= K
