@@ -155,14 +155,29 @@ def _pick_r_batch(config: ParticleConfig, B: int) -> int:
     return 1
 
 
-def _pick_r_batch_rb(B: int) -> int:
+def _pick_r_batch_rb(B: int, config: Optional[ParticleConfig] = None) -> int:
     """Replicas per grid program for the replica-banked kernel: fill the
     sublane axis (multiples of 8) up to 32 rows (4 tiles) per program,
-    preferring an exact divisor of the true batch to avoid padding."""
+    preferring an exact divisor of the true batch to avoid padding.
+
+    VMEM gate: the step's working set is ~40 live K-row (R, Lp) tiles per
+    replica (the 3K-row compaction intermediates dominate, as in
+    ``_pick_r_batch``) plus the (Lp, Lp) conv matrix — keep R inside the
+    same ~14 MB budget so K=8 configs don't blow VMEM at R=32."""
+    r_max = 32
+    if config is not None:
+        from hydrolim_tpu.ops.pallas_exclusion import _pad_lanes
+
+        Lp = _pad_lanes(config.L)
+        budget = 14 * 2 ** 20
+        fixed = 4 * Lp * Lp if config.local_kernel_sigma > 0 else 0
+        per_rep = 40 * config.K * Lp * 4
+        while r_max > 8 and fixed + r_max * per_rep + 2 * 2 ** 20 > budget:
+            r_max //= 2
     for cand in (32, 16, 8):
-        if B % cand == 0:
+        if cand <= r_max and B % cand == 0:
             return cand
-    return min(32, -(-B // 8) * 8)
+    return min(r_max, -(-B // 8) * 8)
 
 
 #: reproducibility record of the most recent fused run (ADVICE r3): with
@@ -329,7 +344,7 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     if r_batch is not None:
         R = int(r_batch)
     elif engine == "pallas_rb":
-        R = _pick_r_batch_rb(B if b_real is None else b_real)
+        R = _pick_r_batch_rb(B if b_real is None else b_real, config)
     else:
         R = _pick_r_batch(config, B if b_real is None else b_real)
     last_run_info.update(r_batch=R, b_real=B if b_real is None else b_real)

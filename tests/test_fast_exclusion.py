@@ -151,3 +151,19 @@ def test_pick_r_batch_rb_prefers_divisors():
     assert _pick_r_batch_rb(24) == 8
     assert _pick_r_batch_rb(10) == 16   # pads 10 -> 16
     assert _pick_r_batch_rb(4) == 8     # pads 4 -> 8 (fills one tile)
+
+
+def test_pick_r_batch_rb_vmem_gate():
+    """K=8 large-L configs must shrink R to stay inside the VMEM budget;
+    the K=3 flagship keeps R=16 at B=16."""
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.sweeps.fast_exclusion import _pick_r_batch_rb
+
+    flag = ParticleConfig(L=1000, N=750, init="fixed", scale_rates=False,
+                          local_kernel_sigma=0.002, periodic=False,
+                          site_capacity=3, active_model="plus_forward")
+    assert _pick_r_batch_rb(16, flag) == 16
+    big = ParticleConfig(L=1000, N=750, init="fixed", scale_rates=False,
+                         local_kernel_sigma=0.002, periodic=False,
+                         site_capacity=8, active_model="plus_forward")
+    assert _pick_r_batch_rb(32, big) <= 8
