@@ -100,18 +100,12 @@ def substeps_for(obs_dt: float, dt_target: float) -> int:
     return n
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("config", "statics_builder", "n_frames", "n_sub",
-                     "obs_dt", "record_pos", "record_fft"))
-def _run_scan(config: ParticleConfig, params: ParticleParams,
-              state0: ParticleState, *, statics_builder, n_frames: int,
-              n_sub: int, obs_dt: float, record_pos: bool,
-              record_fft: bool = True) -> ParticleRunResult:
-    statics = statics_builder(config)
+def _make_frame_step(config, params, statics, n_sub: int, obs_dt: float,
+                     rec):
+    """Scan body shared by the full run and the checkpointed range run: a
+    frame at global index ``frame_idx`` is the state after ``n_sub`` Δt
+    sub-steps from frame ``frame_idx - 1``'s state."""
     dt_eff = obs_dt / n_sub
-    rec = lambda st: _record_frame(config, statics, st, record_pos,
-                                   record_fft)
 
     def frame_step(state, frame_idx):
         t0 = (frame_idx.astype(jnp.float32) - 1.0) * obs_dt
@@ -123,6 +117,22 @@ def _run_scan(config: ParticleConfig, params: ParticleParams,
         state = jax.lax.fori_loop(0, n_sub, body, state)
         return state, rec(state)
 
+    return frame_step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "statics_builder", "n_frames", "n_sub",
+                     "obs_dt", "record_pos", "record_fft"))
+def _run_scan(config: ParticleConfig, params: ParticleParams,
+              state0: ParticleState, *, statics_builder, n_frames: int,
+              n_sub: int, obs_dt: float, record_pos: bool,
+              record_fft: bool = True) -> ParticleRunResult:
+    statics = statics_builder(config)
+    rec = lambda st: _record_frame(config, statics, st, record_pos,
+                                   record_fft)
+    frame_step = _make_frame_step(config, params, statics, n_sub, obs_dt,
+                                  rec)
     frame0 = rec(state0)
     final_state, frames_rest = jax.lax.scan(
         frame_step, state0, jnp.arange(1, n_frames))
@@ -130,6 +140,43 @@ def _run_scan(config: ParticleConfig, params: ParticleParams,
         lambda a, b: jnp.concatenate([a[None], b], axis=0), frame0,
         frames_rest)
     return ParticleRunResult(frames=frames, final_state=final_state)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "statics_builder", "frame_lo", "frame_hi",
+                     "n_sub", "obs_dt", "record_pos", "record_fft"))
+def _run_scan_range(config: ParticleConfig, params: ParticleParams,
+                    state: ParticleState, *, statics_builder,
+                    frame_lo: int, frame_hi: int, n_sub: int, obs_dt: float,
+                    record_pos: bool, record_fft: bool = True
+                    ) -> ParticleRunResult:
+    """Frames ``[frame_lo, frame_hi)`` of the global frame grid
+    (``frame_lo >= 1``), stepping from the carry state at frame
+    ``frame_lo - 1``.  Identical scan body to :func:`_run_scan`, so a run
+    split into ranges reproduces the unsplit trajectory bit-for-bit — the
+    basis of the mid-run checkpoint driver (utils/checkpoint.py)."""
+    statics = statics_builder(config)
+    rec = lambda st: _record_frame(config, statics, st, record_pos,
+                                   record_fft)
+    frame_step = _make_frame_step(config, params, statics, n_sub, obs_dt,
+                                  rec)
+    final_state, frames = jax.lax.scan(
+        frame_step, state, jnp.arange(frame_lo, frame_hi))
+    return ParticleRunResult(frames=frames, final_state=final_state)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "statics_builder", "record_pos",
+                     "record_fft"))
+def _record_initial(config: ParticleConfig, state0: ParticleState, *,
+                    statics_builder, record_pos: bool,
+                    record_fft: bool = True) -> ParticleFrames:
+    """Frame 0 (the initial state's observables) as a (1, ...) stack."""
+    statics = statics_builder(config)
+    f = _record_frame(config, statics, state0, record_pos, record_fft)
+    return jax.tree.map(lambda a: a[None], f)
 
 
 def run_particles(config: ParticleConfig, params: ParticleParams,

@@ -215,6 +215,31 @@ class ParticleSystem:
         # variances whenever record_var is set.
         res = jax.device_get(self.run_raw(T=T, obs_dt=obs_dt,
                                           record_fft=record_fft))
+        return self._frames_to_out(res, T, obs_dt, record_fft, record_var)
+
+    def run_checkpointed(self, T: float = 10.0, obs_dt: float = 0.01,
+                         *, ckpt_dir, chunk_frames: int = 64,
+                         record_fft: bool = False, record_var: bool = False,
+                         resume: bool = True) -> Dict[str, Any]:
+        """Preemption-safe ``run``: the frame scan executes in chunks of
+        ``chunk_frames`` frames with an atomic checkpoint (frames + carry
+        state incl. the PRNG key) after each — a killed run resumes from
+        the newest complete chunk and the stitched ``out`` dict is
+        bit-identical to an uninterrupted :meth:`run`.  TPU-native
+        extension (the reference only caches completed sweeps); see
+        utils/checkpoint.py."""
+        from hydrolim_tpu.utils.checkpoint import run_particles_checkpointed
+
+        res = run_particles_checkpointed(
+            self.config, self.params, self.init_particles(), T=T,
+            obs_dt=obs_dt, dt=self._dt, ckpt_dir=ckpt_dir,
+            chunk_frames=chunk_frames, record_pos=self.record_pos,
+            record_fft=record_fft, resume=resume)
+        return self._frames_to_out(res, T, obs_dt, record_fft, record_var)
+
+    def _frames_to_out(self, res: ParticleRunResult, T: float,
+                       obs_dt: float, record_fft: bool,
+                       record_var: bool) -> Dict[str, Any]:
         f = res.frames
         L = self.config.L
         times_obs = np.arange(0.0, T, obs_dt)

@@ -1,0 +1,210 @@
+"""Mid-run checkpoint / resume for long particle runs (preemption-safe).
+
+The reference persists only *completed* sweep results (its ``run=True/False``
+npz flag pattern — covered by ``sweeps/persistence.py``).  On preemptible TPU
+fleets the unit of loss is the run **in flight**, so this module chunks the
+observation-frame scan and checkpoints the scan carry (the full
+:class:`~hydrolim_tpu.particles.init.ParticleState`, including the threefry
+key and the exit log) plus each chunk's frame stack.  A resumed run restores
+the carry of the newest complete chunk and continues on the same global
+frame grid, so the stitched result is **bit-identical** to an uninterrupted
+run: the per-frame time origin is derived from the global frame index and
+the randomness is carried in the state.
+
+Layout of ``ckpt_dir``::
+
+    manifest.json          {"run_hash", "n_frames", "chunk_frames", ...}
+    chunk_00000.npz        frames__<field> arrays + state__<field> carry
+    chunk_00001.npz        ...
+
+Chunk files are written atomically (tmp + ``os.replace``), so a kill at any
+point leaves a consistent prefix.  The manifest's ``run_hash`` covers the
+config, params, grid, and recording flags — resuming with any of them
+changed raises instead of silently stitching incompatible physics.
+"""
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from hydrolim_tpu.core.config import ParticleConfig, ParticleParams
+from hydrolim_tpu.particles.init import ParticleState
+from hydrolim_tpu.particles.run import (
+    ParticleFrames,
+    ParticleRunResult,
+    _record_initial,
+    _run_scan_range,
+    run_particles,
+    substeps_for,
+)
+from hydrolim_tpu.sweeps.persistence import config_hash
+
+__all__ = ["run_particles_checkpointed"]
+
+
+def _run_hash(config: ParticleConfig, params: ParticleParams, *, T: float,
+              obs_dt: float, dt: float, chunk_frames: int, record_pos: bool,
+              record_fft: bool) -> str:
+    """Hash of everything that determines the trajectory and frame schema.
+
+    ``flip_rate_fn`` is a callable (unhashable content); its *identity*
+    being absent from the hash is the documented limitation — swapping the
+    function between resume calls is on the user, as with any closure."""
+    cfg = {f: getattr(config, f) for f in config.__dataclass_fields__
+           if f != "flip_rate_fn"}
+    cfg["has_flip_rate_fn"] = config.flip_rate_fn is not None
+    par = {f: np.asarray(getattr(params, f)).tolist()
+           for f in params._fields}
+    return config_hash({"config": {k: repr(v) for k, v in cfg.items()},
+                        "params": par, "T": T, "obs_dt": obs_dt, "dt": dt,
+                        "chunk_frames": chunk_frames,
+                        "record_pos": record_pos, "record_fft": record_fft})
+
+
+def _atomic_savez(path: Path, **arrays) -> None:
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def _save_chunk(path: Path, frames: ParticleFrames,
+                state: ParticleState) -> None:
+    payload = {}
+    for f in ParticleFrames._fields:
+        payload[f"frames__{f}"] = np.asarray(getattr(frames, f))
+    for f in ParticleState._fields:
+        payload[f"state__{f}"] = np.asarray(getattr(state, f))
+    _atomic_savez(path, **payload)
+
+
+def _load_chunk(path: Path):
+    with np.load(path) as z:
+        frames = ParticleFrames(**{f: z[f"frames__{f}"]
+                                   for f in ParticleFrames._fields})
+        state = ParticleState(**{f: jax.numpy.asarray(z[f"state__{f}"])
+                                 for f in ParticleState._fields})
+    return frames, state
+
+
+def _chunk_path(ckpt_dir: Path, i: int) -> Path:
+    return ckpt_dir / f"chunk_{i:05d}.npz"
+
+
+def run_particles_checkpointed(
+        config: ParticleConfig, params: ParticleParams,
+        state0: ParticleState, *, T: float, obs_dt: float, dt: float,
+        ckpt_dir, chunk_frames: int = 64, record_pos: bool = True,
+        record_fft: bool = True, resume: bool = True,
+        stop_after_chunks: Optional[int] = None
+) -> Optional[ParticleRunResult]:
+    """Checkpointed equivalent of :func:`run_particles`.
+
+    Runs the frame grid in chunks of ``chunk_frames`` frames, writing an
+    atomic checkpoint (chunk frames + carry state) after each.  With
+    ``resume=True`` (default) an existing compatible checkpoint prefix is
+    reused — only the missing chunks execute; ``resume=False`` discards any
+    existing chunks and starts over.
+
+    ``stop_after_chunks=k`` executes at most ``k`` *new* chunks this call
+    and returns ``None`` if the run is still incomplete (the test hook for
+    simulated preemption; a real preemption is just a kill).
+
+    Returns the stitched :class:`ParticleRunResult` (frames on host) once
+    all chunks exist.  Frame values are bit-identical to
+    :func:`run_particles` on the same inputs (pinned in
+    ``tests/test_checkpoint_run.py``).
+    """
+    from hydrolim_tpu.particles.stepper import build_static_arrays
+
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+    times_obs = np.arange(0.0, T, obs_dt)
+    n_frames = len(times_obs)
+    if n_frames == 0:
+        return run_particles(config, params, state0, T=T, obs_dt=obs_dt,
+                             dt=dt, record_pos=record_pos,
+                             record_fft=record_fft)
+    assert chunk_frames >= 1
+    n_sub = substeps_for(obs_dt, dt)
+    n_chunks = -(-n_frames // chunk_frames)
+    run_hash = _run_hash(config, params, T=T, obs_dt=obs_dt, dt=dt,
+                         chunk_frames=chunk_frames, record_pos=record_pos,
+                         record_fft=record_fft)
+
+    manifest_path = ckpt_dir / "manifest.json"
+    done = 0
+    if manifest_path.exists():
+        manifest = json.loads(manifest_path.read_text())
+        if manifest.get("run_hash") != run_hash:
+            if resume:
+                raise ValueError(
+                    f"checkpoint at {ckpt_dir} belongs to a different run "
+                    f"(hash {manifest.get('run_hash')!r} != {run_hash!r}); "
+                    "pass resume=False to overwrite or use a fresh dir")
+        elif resume:
+            # longest consecutive prefix of complete chunk files
+            while done < n_chunks and _chunk_path(ckpt_dir, done).exists():
+                done += 1
+    if not resume:
+        for p in ckpt_dir.glob("chunk_*.npz"):
+            p.unlink()
+    manifest_path.write_text(json.dumps(
+        {"run_hash": run_hash, "n_frames": n_frames,
+         "chunk_frames": chunk_frames, "n_chunks": n_chunks,
+         "obs_dt": obs_dt, "T": T}))
+
+    if done > 0:
+        _, state = _load_chunk(_chunk_path(ckpt_dir, done - 1))
+    else:
+        state = state0
+
+    executed = 0
+    for c in range(done, n_chunks):
+        if stop_after_chunks is not None and executed >= stop_after_chunks:
+            return None
+        lo = c * chunk_frames
+        hi = min((c + 1) * chunk_frames, n_frames)
+        if lo == 0:
+            frame0 = _record_initial(config, state,
+                                     statics_builder=build_static_arrays,
+                                     record_pos=record_pos,
+                                     record_fft=record_fft)
+            if hi > 1:
+                res = _run_scan_range(config, params, state,
+                                      statics_builder=build_static_arrays,
+                                      frame_lo=1, frame_hi=hi, n_sub=n_sub,
+                                      obs_dt=obs_dt, record_pos=record_pos,
+                                      record_fft=record_fft)
+                frames = jax.tree.map(
+                    lambda a, b: np.concatenate([np.asarray(a),
+                                                 np.asarray(b)], axis=0),
+                    frame0, res.frames)
+                state = res.final_state
+            else:
+                frames = jax.tree.map(np.asarray, frame0)
+        else:
+            res = _run_scan_range(config, params, state,
+                                  statics_builder=build_static_arrays,
+                                  frame_lo=lo, frame_hi=hi, n_sub=n_sub,
+                                  obs_dt=obs_dt, record_pos=record_pos,
+                                  record_fft=record_fft)
+            frames = jax.tree.map(np.asarray, res.frames)
+            state = res.final_state
+        _save_chunk(_chunk_path(ckpt_dir, c), frames, state)
+        executed += 1
+
+    # stitch all chunks (read back from disk so the returned result is
+    # exactly what a resumed process would reconstruct)
+    chunk_frames_list = []
+    for c in range(n_chunks):
+        f, state = _load_chunk(_chunk_path(ckpt_dir, c))
+        chunk_frames_list.append(f)
+    frames = jax.tree.map(
+        lambda *xs: np.concatenate(xs, axis=0), *chunk_frames_list)
+    return ParticleRunResult(frames=frames, final_state=state)
