@@ -246,19 +246,13 @@ def _tracer_update(config: PDEConfig, params: PDEParams, m_field,
         v_eff, D_eff
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def pde_solve(config: PDEConfig, params: PDEParams, ops: PDEOps,
-              rho_p0: jnp.ndarray, rho_m0: jnp.ndarray,
-              tracers0: TracerState, key: jnp.ndarray) -> PDESolveResult:
-    """Scan over snapshot blocks; inner scan over `snapshot_interval` steps.
-
-    Iteration n ∈ [0, nsteps]: record observables at state n, update tracers,
-    then step (skipped for n = nsteps), mirroring the reference loop
-    (:242-290)."""
+def _make_block_fn(config: PDEConfig, params: PDEParams, ops: PDEOps):
+    """Snapshot-block scan body shared by the full solve and the
+    checkpointed range solve (utils/checkpoint.py) — iteration indices are
+    global (``n0 = b * interval``), so a run split into block ranges
+    reproduces the unsplit trajectory."""
     nsteps = config.nsteps
     interval = config.snapshot_interval
-    n_iters = nsteps + 1
-    n_blocks = math.ceil(n_iters / interval)
     kmax = config.kmax
     L = config.L
 
@@ -291,10 +285,15 @@ def pde_solve(config: PDEConfig, params: PDEParams, ops: PDEOps,
         return carry, (recs, snap_total, snap_m,
                        n0.astype(jnp.float32) * config.dt)
 
-    carry0 = PDECarry(rho_p0, rho_m0, tracers0, key)
-    carry, (recs, snaps, m_snaps, snap_times) = jax.lax.scan(
-        block, carry0, jnp.arange(n_blocks))
-    # flatten per-block records and truncate the padded tail
+    return block
+
+
+def _finalize_records(config: PDEConfig, recs, n_blocks: int):
+    """Flatten per-block records, truncate the padded tail, thin to the
+    record cadence.  Works on device arrays (inside pde_solve's jit) and on
+    stitched host arrays (the checkpoint driver) alike."""
+    n_iters = config.nsteps + 1
+    interval = config.snapshot_interval
     recs = jax.tree.map(
         lambda a: a.reshape((n_blocks * interval,) + a.shape[2:])[:n_iters],
         recs)
@@ -303,6 +302,38 @@ def pde_solve(config: PDEConfig, params: PDEParams, ops: PDEOps,
         # record_every-th iteration, starting at n = 0) — dynamics are
         # unchanged, only the returned record cadence
         recs = jax.tree.map(lambda a: a[::config.record_every], recs)
+    return recs
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def pde_solve(config: PDEConfig, params: PDEParams, ops: PDEOps,
+              rho_p0: jnp.ndarray, rho_m0: jnp.ndarray,
+              tracers0: TracerState, key: jnp.ndarray) -> PDESolveResult:
+    """Scan over snapshot blocks; inner scan over `snapshot_interval` steps.
+
+    Iteration n ∈ [0, nsteps]: record observables at state n, update tracers,
+    then step (skipped for n = nsteps), mirroring the reference loop
+    (:242-290)."""
+    n_blocks = math.ceil((config.nsteps + 1) / config.snapshot_interval)
+    block = _make_block_fn(config, params, ops)
+    carry0 = PDECarry(rho_p0, rho_m0, tracers0, key)
+    carry, (recs, snaps, m_snaps, snap_times) = jax.lax.scan(
+        block, carry0, jnp.arange(n_blocks))
+    recs = _finalize_records(config, recs, n_blocks)
     return PDESolveResult(
         rho_p=carry.rho_p, rho_m=carry.rho_m, records=recs,
         snapshots=snaps, m_snapshots=m_snaps, snap_times=snap_times)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "block_lo", "block_hi"))
+def _pde_solve_range(config: PDEConfig, params: PDEParams, ops: PDEOps,
+                     carry: PDECarry, *, block_lo: int, block_hi: int):
+    """Snapshot blocks ``[block_lo, block_hi)`` from a carry at block
+    ``block_lo`` — identical scan body to :func:`pde_solve`, so a solve
+    split into ranges reproduces the unsplit trajectory bit-for-bit (the
+    basis of the PDE mid-run checkpoint driver, utils/checkpoint.py).
+    Returns ``(carry, (recs, snaps, m_snaps, snap_times))`` with leading
+    block axes, un-flattened."""
+    block = _make_block_fn(config, params, ops)
+    return jax.lax.scan(block, carry, jnp.arange(block_lo, block_hi))

@@ -159,6 +159,22 @@ class IMEXPDE:
             self.config, self.params, self.ops, self.rho_p, self.rho_m,
             self.tracers, sub))
 
+    def solve_checkpointed(self, *, ckpt_dir, chunk_blocks: int = 8,
+                           resume: bool = True) -> None:
+        """Preemption-safe ``solve``: the snapshot-block scan executes in
+        chunks of ``chunk_blocks`` blocks with an atomic checkpoint (block
+        records + carry incl. tracer state and PRNG key) after each — a
+        killed solve resumes from the newest complete chunk, bit-identical
+        to an uninterrupted :meth:`solve`.  TPU-native extension; see
+        utils/checkpoint.py."""
+        from hydrolim_tpu.utils.checkpoint import pde_solve_checkpointed
+
+        self.key, sub = jax.random.split(self.key)
+        self._result = pde_solve_checkpointed(
+            self.config, self.params, self.ops, self.rho_p, self.rho_m,
+            self.tracers, sub, ckpt_dir=ckpt_dir, chunk_blocks=chunk_blocks,
+            resume=resume)
+
     def get_output(self) -> Dict[str, Any]:
         """Reference output schema (IMEX_PDE_solver_class.py:293-306)."""
         assert self._result is not None, "call solve() first"

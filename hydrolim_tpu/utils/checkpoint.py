@@ -44,7 +44,7 @@ from hydrolim_tpu.particles.run import (
 )
 from hydrolim_tpu.sweeps.persistence import config_hash
 
-__all__ = ["run_particles_checkpointed"]
+__all__ = ["run_particles_checkpointed", "pde_solve_checkpointed"]
 
 
 def _run_hash(config: ParticleConfig, params: ParticleParams, *, T: float,
@@ -208,3 +208,139 @@ def run_particles_checkpointed(
     frames = jax.tree.map(
         lambda *xs: np.concatenate(xs, axis=0), *chunk_frames_list)
     return ParticleRunResult(frames=frames, final_state=state)
+
+
+# ---------------------------------------------------------------------------
+# PDE engine
+# ---------------------------------------------------------------------------
+
+def _pde_run_hash(config, params, *, n_tracers: int,
+                  chunk_blocks: int) -> str:
+    cfg = {f: repr(getattr(config, f)) for f in config.__dataclass_fields__}
+    par = {f: np.asarray(getattr(params, f)).tolist()
+           for f in params._fields}
+    return config_hash({"pde_config": cfg, "params": par,
+                        "n_tracers": n_tracers,
+                        "chunk_blocks": chunk_blocks})
+
+
+def _flatten_named(prefix: str, tree):
+    """Flatten a (possibly nested) NamedTuple of arrays into npz keys."""
+    out = {}
+    for f in tree._fields:
+        v = getattr(tree, f)
+        if hasattr(v, "_fields"):
+            out.update(_flatten_named(f"{prefix}{f}__", v))
+        else:
+            out[f"{prefix}{f}"] = np.asarray(v)
+    return out
+
+
+def _save_pde_chunk(path: Path, blocks, carry) -> None:
+    recs, snaps, m_snaps, snap_times = blocks
+    payload = _flatten_named("recs__", recs)
+    payload["snaps"] = np.asarray(snaps)
+    payload["m_snaps"] = np.asarray(m_snaps)
+    payload["snap_times"] = np.asarray(snap_times)
+    payload.update(_flatten_named("carry__", carry))
+    _atomic_savez(path, **payload)
+
+
+def _load_pde_chunk(path: Path):
+    from hydrolim_tpu.pde.stepper import PDECarry, PDERecord, TracerState
+
+    with np.load(path) as z:
+        recs = PDERecord(**{f: z[f"recs__{f}"] for f in PDERecord._fields})
+        tracers = TracerState(
+            **{f: jax.numpy.asarray(z[f"carry__tracers__{f}"])
+               for f in TracerState._fields})
+        carry = PDECarry(rho_p=jax.numpy.asarray(z["carry__rho_p"]),
+                         rho_m=jax.numpy.asarray(z["carry__rho_m"]),
+                         tracers=tracers,
+                         key=jax.numpy.asarray(z["carry__key"]))
+        blocks = (recs, z["snaps"], z["m_snaps"], z["snap_times"])
+    return blocks, carry
+
+
+def pde_solve_checkpointed(config, params, ops, rho_p0, rho_m0, tracers0,
+                           key, *, ckpt_dir, chunk_blocks: int = 8,
+                           resume: bool = True,
+                           stop_after_chunks: Optional[int] = None):
+    """Checkpointed equivalent of :func:`hydrolim_tpu.pde.stepper.pde_solve`.
+
+    The snapshot-block scan runs in chunks of ``chunk_blocks`` blocks
+    (``chunk_blocks * snapshot_interval`` IMEX steps per checkpoint),
+    writing each chunk's raw block stacks plus the carry
+    (fields + tracer state incl. the circular displacement buffer + key)
+    atomically.  Resume restores the newest complete chunk's carry;
+    stitched records/snapshots are bit-identical to an uninterrupted
+    solve.  Returns a :class:`PDESolveResult`, or ``None`` when
+    ``stop_after_chunks`` halted an incomplete run."""
+    import math
+
+    from hydrolim_tpu.pde.stepper import (
+        PDECarry,
+        PDESolveResult,
+        _finalize_records,
+        _pde_solve_range,
+    )
+
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    n_blocks = math.ceil((config.nsteps + 1) / config.snapshot_interval)
+    assert chunk_blocks >= 1
+    n_chunks = -(-n_blocks // chunk_blocks)
+    run_hash = _pde_run_hash(config, params,
+                             n_tracers=int(np.asarray(tracers0.pos).shape[-1]),
+                             chunk_blocks=chunk_blocks)
+
+    manifest_path = ckpt_dir / "manifest.json"
+    done = 0
+    if manifest_path.exists():
+        manifest = json.loads(manifest_path.read_text())
+        if manifest.get("run_hash") != run_hash:
+            if resume:
+                raise ValueError(
+                    f"checkpoint at {ckpt_dir} belongs to a different PDE "
+                    f"solve (hash {manifest.get('run_hash')!r} != "
+                    f"{run_hash!r}); pass resume=False to overwrite or use "
+                    "a fresh dir")
+        elif resume:
+            while done < n_chunks and _chunk_path(ckpt_dir, done).exists():
+                done += 1
+    if not resume:
+        for p in ckpt_dir.glob("chunk_*.npz"):
+            p.unlink()
+    manifest_path.write_text(json.dumps(
+        {"run_hash": run_hash, "n_blocks": n_blocks,
+         "chunk_blocks": chunk_blocks, "n_chunks": n_chunks}))
+
+    if done > 0:
+        _, carry = _load_pde_chunk(_chunk_path(ckpt_dir, done - 1))
+    else:
+        carry = PDECarry(rho_p0, rho_m0, tracers0, key)
+
+    executed = 0
+    for c in range(done, n_chunks):
+        if stop_after_chunks is not None and executed >= stop_after_chunks:
+            return None
+        lo = c * chunk_blocks
+        hi = min((c + 1) * chunk_blocks, n_blocks)
+        carry, blocks = _pde_solve_range(config, params, ops, carry,
+                                         block_lo=lo, block_hi=hi)
+        _save_pde_chunk(_chunk_path(ckpt_dir, c),
+                        jax.tree.map(np.asarray, blocks),
+                        jax.tree.map(np.asarray, carry))
+        executed += 1
+
+    stacks = []
+    for c in range(n_chunks):
+        blocks, carry = _load_pde_chunk(_chunk_path(ckpt_dir, c))
+        stacks.append(blocks)
+    recs, snaps, m_snaps, snap_times = jax.tree.map(
+        lambda *xs: np.concatenate(xs, axis=0), *stacks)
+    recs = _finalize_records(config, recs, n_blocks)
+    return PDESolveResult(
+        rho_p=np.asarray(carry.rho_p), rho_m=np.asarray(carry.rho_m),
+        records=recs, snapshots=snaps, m_snapshots=m_snaps,
+        snap_times=snap_times)

@@ -139,3 +139,78 @@ def test_checkpoint_with_anchors_and_exits(tmp_path):
         ckpt_dir=tmp_path / "ck", chunk_frames=3, record_pos=True,
         record_fft=True)
     _assert_results_equal(chunked, straight)
+
+
+# ---------------------------------------------------------------------------
+# PDE engine
+# ---------------------------------------------------------------------------
+
+def _pde_parts(seed=7, L=64, T=0.05, dt=1e-3, interval=10, n_tracers=40):
+    from hydrolim_tpu import IMEXPDE
+
+    pde = IMEXPDE(L=L, T=T, dt=dt, seed=seed, snapshot_interval=interval,
+                  outdir="unused")
+    pde.initialize("homogeneous", noise=0.2, n_tracers=n_tracers)
+    return pde
+
+
+def _assert_pde_results_equal(a, b):
+    for field in ("rho_p", "rho_m", "snapshots", "m_snapshots",
+                  "snap_times"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, field)), np.asarray(getattr(b, field)),
+            err_msg=field)
+    for field in a.records._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a.records, field)),
+            np.asarray(getattr(b.records, field)),
+            err_msg=f"records.{field}")
+
+
+def test_pde_chunked_bit_identical_and_resumes(tmp_path):
+    from hydrolim_tpu.pde.stepper import pde_solve
+    from hydrolim_tpu.utils.checkpoint import pde_solve_checkpointed
+
+    pde = _pde_parts()          # nsteps=50, interval=10 -> 6 blocks
+    key = jax.random.PRNGKey(123)
+    straight = jax.device_get(pde_solve(
+        pde.config, pde.params, pde.ops, pde.rho_p, pde.rho_m, pde.tracers,
+        key))
+    ck = tmp_path / "ck"
+    partial = pde_solve_checkpointed(
+        pde.config, pde.params, pde.ops, pde.rho_p, pde.rho_m, pde.tracers,
+        key, ckpt_dir=ck, chunk_blocks=2, stop_after_chunks=1)
+    assert partial is None and (ck / "chunk_00000.npz").exists()
+    resumed = pde_solve_checkpointed(
+        pde.config, pde.params, pde.ops, pde.rho_p, pde.rho_m, pde.tracers,
+        key, ckpt_dir=ck, chunk_blocks=2)
+    _assert_pde_results_equal(resumed, straight)
+
+
+def test_pde_checkpoint_mismatch_guard(tmp_path):
+    from hydrolim_tpu.utils.checkpoint import pde_solve_checkpointed
+
+    pde = _pde_parts()
+    key = jax.random.PRNGKey(3)
+    ck = tmp_path / "ck"
+    pde_solve_checkpointed(pde.config, pde.params, pde.ops, pde.rho_p,
+                           pde.rho_m, pde.tracers, key, ckpt_dir=ck,
+                           chunk_blocks=3)
+    pde2 = _pde_parts(seed=7)
+    pde2.params = pde2.params._replace(beta=np.float32(3.0))
+    with pytest.raises(ValueError, match="different PDE solve"):
+        pde_solve_checkpointed(pde2.config, pde2.params, pde2.ops,
+                               pde2.rho_p, pde2.rho_m, pde2.tracers, key,
+                               ckpt_dir=ck, chunk_blocks=3)
+
+
+def test_pde_facade_checkpointed_output_schema(tmp_path):
+    pde = _pde_parts(seed=11)
+    pde.solve()
+    out = pde.get_output()
+    pde2 = _pde_parts(seed=11)
+    pde2.solve_checkpointed(ckpt_dir=tmp_path / "ck", chunk_blocks=2)
+    out_ck = pde2.get_output()
+    for k in out:
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(out_ck[k]), err_msg=k)
