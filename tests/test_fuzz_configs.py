@@ -186,3 +186,36 @@ def test_fuzzed_config_invariants(idx):
         out_lg = ps.run(T=T, obs_dt=obs_dt, record_fft=False,
                         record_var=True, engine="lattice_gas")
         _check_invariants(out_lg, kw, T)
+
+
+@pytest.mark.parametrize("idx", [2, 7])
+def test_fuzz_checkpointed_run_matches_straight(idx, tmp_path):
+    """Chunked checkpoint/resume must be bit-identical to the unsplit scan
+    for arbitrary config-space draws, not just the hand-picked checkpoint
+    suite configs (utils/checkpoint.py)."""
+    import jax
+
+    from hydrolim_tpu.particles.run import run_particles
+    from hydrolim_tpu.utils.checkpoint import run_particles_checkpointed
+
+    rng = np.random.default_rng(2_000 + idx)
+    kw = _draw_config(rng)
+    ps = ParticleSystem(**kw)
+    T, obs_dt = 0.5, 0.1
+    state0 = ps.init_particles()
+    straight = jax.device_get(run_particles(
+        ps.config, ps.params, state0, T=T, obs_dt=obs_dt, dt=ps.dt,
+        record_pos=True, record_fft=True))
+    chunked = run_particles_checkpointed(
+        ps.config, ps.params, state0, T=T, obs_dt=obs_dt, dt=ps.dt,
+        ckpt_dir=tmp_path / f"ck{idx}", chunk_frames=2, record_pos=True,
+        record_fft=True)
+    for field in straight.frames._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(chunked.frames, field)),
+            np.asarray(getattr(straight.frames, field)), err_msg=field)
+    for field in straight.final_state._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(chunked.final_state, field)),
+            np.asarray(getattr(straight.final_state, field)),
+            err_msg=f"final_state.{field}")
