@@ -144,25 +144,31 @@ def _run_scan(config: ParticleConfig, params: ParticleParams,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "statics_builder", "frame_lo", "frame_hi",
-                     "n_sub", "obs_dt", "record_pos", "record_fft"))
+    static_argnames=("config", "statics_builder", "length", "n_sub",
+                     "obs_dt", "record_pos", "record_fft"))
 def _run_scan_range(config: ParticleConfig, params: ParticleParams,
-                    state: ParticleState, *, statics_builder,
-                    frame_lo: int, frame_hi: int, n_sub: int, obs_dt: float,
+                    state: ParticleState, frame_lo: jnp.ndarray, *,
+                    statics_builder, length: int, n_sub: int, obs_dt: float,
                     record_pos: bool, record_fft: bool = True
                     ) -> ParticleRunResult:
-    """Frames ``[frame_lo, frame_hi)`` of the global frame grid
+    """Frames ``[frame_lo, frame_lo + length)`` of the global frame grid
     (``frame_lo >= 1``), stepping from the carry state at frame
     ``frame_lo - 1``.  Identical scan body to :func:`_run_scan`, so a run
     split into ranges reproduces the unsplit trajectory bit-for-bit — the
-    basis of the mid-run checkpoint driver (utils/checkpoint.py)."""
+    basis of the mid-run checkpoint driver (utils/checkpoint.py).
+
+    ``frame_lo`` is a *traced* scalar (only the chunk ``length`` is a
+    static arg), so every interior chunk of a checkpointed run reuses ONE
+    compiled program — remote TPU compiles are minutes each, so a
+    per-chunk static start index would have recompiled ~n_frames/chunk
+    times."""
     statics = statics_builder(config)
     rec = lambda st: _record_frame(config, statics, st, record_pos,
                                    record_fft)
     frame_step = _make_frame_step(config, params, statics, n_sub, obs_dt,
                                   rec)
-    final_state, frames = jax.lax.scan(
-        frame_step, state, jnp.arange(frame_lo, frame_hi))
+    idx = jnp.asarray(frame_lo, jnp.int32) + jnp.arange(length, dtype=jnp.int32)
+    final_state, frames = jax.lax.scan(frame_step, state, idx)
     return ParticleRunResult(frames=frames, final_state=final_state)
 
 

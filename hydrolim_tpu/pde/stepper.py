@@ -325,15 +325,18 @@ def pde_solve(config: PDEConfig, params: PDEParams, ops: PDEOps,
         snapshots=snaps, m_snapshots=m_snaps, snap_times=snap_times)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("config", "block_lo", "block_hi"))
+@functools.partial(jax.jit, static_argnames=("config", "length"))
 def _pde_solve_range(config: PDEConfig, params: PDEParams, ops: PDEOps,
-                     carry: PDECarry, *, block_lo: int, block_hi: int):
-    """Snapshot blocks ``[block_lo, block_hi)`` from a carry at block
-    ``block_lo`` — identical scan body to :func:`pde_solve`, so a solve
-    split into ranges reproduces the unsplit trajectory bit-for-bit (the
-    basis of the PDE mid-run checkpoint driver, utils/checkpoint.py).
+                     carry: PDECarry, block_lo: jnp.ndarray, *,
+                     length: int):
+    """Snapshot blocks ``[block_lo, block_lo + length)`` from a carry at
+    block ``block_lo`` — identical scan body to :func:`pde_solve`, so a
+    solve split into ranges reproduces the unsplit trajectory bit-for-bit
+    (the basis of the PDE mid-run checkpoint driver, utils/checkpoint.py).
+    ``block_lo`` is traced so interior chunks share one compiled program.
     Returns ``(carry, (recs, snaps, m_snaps, snap_times))`` with leading
     block axes, un-flattened."""
     block = _make_block_fn(config, params, ops)
-    return jax.lax.scan(block, carry, jnp.arange(block_lo, block_hi))
+    idx = jnp.asarray(block_lo, jnp.int32) + jnp.arange(length,
+                                                        dtype=jnp.int32)
+    return jax.lax.scan(block, carry, idx)

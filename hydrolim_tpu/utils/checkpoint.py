@@ -48,13 +48,17 @@ __all__ = ["run_particles_checkpointed", "pde_solve_checkpointed"]
 
 
 def _run_hash(config: ParticleConfig, params: ParticleParams, *, T: float,
-              obs_dt: float, dt: float, chunk_frames: int, record_pos: bool,
+              obs_dt: float, dt: float, record_pos: bool,
               record_fft: bool) -> str:
     """Hash of everything that determines the trajectory and frame schema.
 
-    ``flip_rate_fn`` is a callable (unhashable content); its *identity*
-    being absent from the hash is the documented limitation — swapping the
-    function between resume calls is on the user, as with any closure."""
+    The chunk size is deliberately NOT hashed: it is an I/O tuning knob,
+    not physics — a resume adopts the layout stored in the manifest, so a
+    preempted run survives an operator resuming with a different
+    ``chunk_frames``.  ``flip_rate_fn`` is a callable (unhashable
+    content); its *identity* being absent from the hash is the documented
+    limitation — swapping the function between resume calls is on the
+    user, as with any closure."""
     cfg = {f: getattr(config, f) for f in config.__dataclass_fields__
            if f != "flip_rate_fn"}
     cfg["has_flip_rate_fn"] = config.flip_rate_fn is not None
@@ -62,8 +66,22 @@ def _run_hash(config: ParticleConfig, params: ParticleParams, *, T: float,
            for f in params._fields}
     return config_hash({"config": {k: repr(v) for k, v in cfg.items()},
                         "params": par, "T": T, "obs_dt": obs_dt, "dt": dt,
-                        "chunk_frames": chunk_frames,
                         "record_pos": record_pos, "record_fft": record_fft})
+
+
+def _read_manifest(path: Path) -> Optional[dict]:
+    """None when absent or unparseable (a pre-atomic-write legacy crash);
+    callers decide whether unparseable-with-chunks is recoverable."""
+    try:
+        return json.loads(path.read_text())
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _write_manifest(path: Path, payload: dict) -> None:
+    tmp = path.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(payload))
+    os.replace(tmp, path)
 
 
 def _atomic_savez(path: Path, **arrays) -> None:
@@ -107,8 +125,10 @@ def run_particles_checkpointed(
     Runs the frame grid in chunks of ``chunk_frames`` frames, writing an
     atomic checkpoint (chunk frames + carry state) after each.  With
     ``resume=True`` (default) an existing compatible checkpoint prefix is
-    reused — only the missing chunks execute; ``resume=False`` discards any
-    existing chunks and starts over.
+    reused — only the missing chunks execute, and the manifest's stored
+    chunk layout wins over the ``chunk_frames`` argument (so a resume
+    with a different chunk size keeps the completed prefix);
+    ``resume=False`` discards any existing chunks and starts over.
 
     ``stop_after_chunks=k`` executes at most ``k`` *new* chunks this call
     and returns ``None`` if the run is still incomplete (the test hook for
@@ -132,32 +152,40 @@ def run_particles_checkpointed(
                              record_fft=record_fft)
     assert chunk_frames >= 1
     n_sub = substeps_for(obs_dt, dt)
-    n_chunks = -(-n_frames // chunk_frames)
     run_hash = _run_hash(config, params, T=T, obs_dt=obs_dt, dt=dt,
-                         chunk_frames=chunk_frames, record_pos=record_pos,
-                         record_fft=record_fft)
+                         record_pos=record_pos, record_fft=record_fft)
 
     manifest_path = ckpt_dir / "manifest.json"
     done = 0
-    if manifest_path.exists():
-        manifest = json.loads(manifest_path.read_text())
+    if resume and manifest_path.exists():
+        manifest = _read_manifest(manifest_path)
+        if manifest is None:
+            raise ValueError(
+                f"unreadable manifest at {manifest_path} — cannot verify "
+                "the existing chunks belong to this run; pass resume=False "
+                "to start over or use a fresh dir")
         if manifest.get("run_hash") != run_hash:
-            if resume:
-                raise ValueError(
-                    f"checkpoint at {ckpt_dir} belongs to a different run "
-                    f"(hash {manifest.get('run_hash')!r} != {run_hash!r}); "
-                    "pass resume=False to overwrite or use a fresh dir")
-        elif resume:
-            # longest consecutive prefix of complete chunk files
-            while done < n_chunks and _chunk_path(ckpt_dir, done).exists():
-                done += 1
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} belongs to a different run "
+                f"(hash {manifest.get('run_hash')!r} != {run_hash!r}); "
+                "pass resume=False to overwrite or use a fresh dir")
+        # adopt the stored chunk layout — the chunk size is an I/O knob,
+        # and honoring it lets a resume with a different argument reuse
+        # the completed prefix instead of discarding it
+        chunk_frames = int(manifest.get("chunk_frames", chunk_frames))
+        n_chunks = -(-n_frames // chunk_frames)
+        # longest consecutive prefix of complete chunk files
+        while done < n_chunks and _chunk_path(ckpt_dir, done).exists():
+            done += 1
+    else:
+        n_chunks = -(-n_frames // chunk_frames)
     if not resume:
         for p in ckpt_dir.glob("chunk_*.npz"):
             p.unlink()
-    manifest_path.write_text(json.dumps(
-        {"run_hash": run_hash, "n_frames": n_frames,
-         "chunk_frames": chunk_frames, "n_chunks": n_chunks,
-         "obs_dt": obs_dt, "T": T}))
+    _write_manifest(manifest_path,
+                    {"run_hash": run_hash, "n_frames": n_frames,
+                     "chunk_frames": chunk_frames, "n_chunks": n_chunks,
+                     "obs_dt": obs_dt, "T": T})
 
     if done > 0:
         _, state = _load_chunk(_chunk_path(ckpt_dir, done - 1))
@@ -176,9 +204,9 @@ def run_particles_checkpointed(
                                      record_pos=record_pos,
                                      record_fft=record_fft)
             if hi > 1:
-                res = _run_scan_range(config, params, state,
+                res = _run_scan_range(config, params, state, 1,
                                       statics_builder=build_static_arrays,
-                                      frame_lo=1, frame_hi=hi, n_sub=n_sub,
+                                      length=hi - 1, n_sub=n_sub,
                                       obs_dt=obs_dt, record_pos=record_pos,
                                       record_fft=record_fft)
                 frames = jax.tree.map(
@@ -189,9 +217,9 @@ def run_particles_checkpointed(
             else:
                 frames = jax.tree.map(np.asarray, frame0)
         else:
-            res = _run_scan_range(config, params, state,
+            res = _run_scan_range(config, params, state, lo,
                                   statics_builder=build_static_arrays,
-                                  frame_lo=lo, frame_hi=hi, n_sub=n_sub,
+                                  length=hi - lo, n_sub=n_sub,
                                   obs_dt=obs_dt, record_pos=record_pos,
                                   record_fft=record_fft)
             frames = jax.tree.map(np.asarray, res.frames)
@@ -214,14 +242,13 @@ def run_particles_checkpointed(
 # PDE engine
 # ---------------------------------------------------------------------------
 
-def _pde_run_hash(config, params, *, n_tracers: int,
-                  chunk_blocks: int) -> str:
+def _pde_run_hash(config, params, *, n_tracers: int) -> str:
+    """Chunk size deliberately not hashed — see :func:`_run_hash`."""
     cfg = {f: repr(getattr(config, f)) for f in config.__dataclass_fields__}
     par = {f: np.asarray(getattr(params, f)).tolist()
            for f in params._fields}
     return config_hash({"pde_config": cfg, "params": par,
-                        "n_tracers": n_tracers,
-                        "chunk_blocks": chunk_blocks})
+                        "n_tracers": n_tracers})
 
 
 def _flatten_named(prefix: str, tree):
@@ -289,31 +316,36 @@ def pde_solve_checkpointed(config, params, ops, rho_p0, rho_m0, tracers0,
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     n_blocks = math.ceil((config.nsteps + 1) / config.snapshot_interval)
     assert chunk_blocks >= 1
-    n_chunks = -(-n_blocks // chunk_blocks)
-    run_hash = _pde_run_hash(config, params,
-                             n_tracers=int(np.asarray(tracers0.pos).shape[-1]),
-                             chunk_blocks=chunk_blocks)
+    run_hash = _pde_run_hash(
+        config, params, n_tracers=int(np.asarray(tracers0.pos).shape[-1]))
 
     manifest_path = ckpt_dir / "manifest.json"
     done = 0
-    if manifest_path.exists():
-        manifest = json.loads(manifest_path.read_text())
+    if resume and manifest_path.exists():
+        manifest = _read_manifest(manifest_path)
+        if manifest is None:
+            raise ValueError(
+                f"unreadable manifest at {manifest_path} — cannot verify "
+                "the existing chunks belong to this solve; pass "
+                "resume=False to start over or use a fresh dir")
         if manifest.get("run_hash") != run_hash:
-            if resume:
-                raise ValueError(
-                    f"checkpoint at {ckpt_dir} belongs to a different PDE "
-                    f"solve (hash {manifest.get('run_hash')!r} != "
-                    f"{run_hash!r}); pass resume=False to overwrite or use "
-                    "a fresh dir")
-        elif resume:
-            while done < n_chunks and _chunk_path(ckpt_dir, done).exists():
-                done += 1
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} belongs to a different PDE "
+                f"solve (hash {manifest.get('run_hash')!r} != "
+                f"{run_hash!r}); pass resume=False to overwrite or use "
+                "a fresh dir")
+        chunk_blocks = int(manifest.get("chunk_blocks", chunk_blocks))
+        n_chunks = -(-n_blocks // chunk_blocks)
+        while done < n_chunks and _chunk_path(ckpt_dir, done).exists():
+            done += 1
+    else:
+        n_chunks = -(-n_blocks // chunk_blocks)
     if not resume:
         for p in ckpt_dir.glob("chunk_*.npz"):
             p.unlink()
-    manifest_path.write_text(json.dumps(
-        {"run_hash": run_hash, "n_blocks": n_blocks,
-         "chunk_blocks": chunk_blocks, "n_chunks": n_chunks}))
+    _write_manifest(manifest_path,
+                    {"run_hash": run_hash, "n_blocks": n_blocks,
+                     "chunk_blocks": chunk_blocks, "n_chunks": n_chunks})
 
     if done > 0:
         _, carry = _load_pde_chunk(_chunk_path(ckpt_dir, done - 1))
@@ -326,8 +358,8 @@ def pde_solve_checkpointed(config, params, ops, rho_p0, rho_m0, tracers0,
             return None
         lo = c * chunk_blocks
         hi = min((c + 1) * chunk_blocks, n_blocks)
-        carry, blocks = _pde_solve_range(config, params, ops, carry,
-                                         block_lo=lo, block_hi=hi)
+        carry, blocks = _pde_solve_range(config, params, ops, carry, lo,
+                                         length=hi - lo)
         _save_pde_chunk(_chunk_path(ckpt_dir, c),
                         jax.tree.map(np.asarray, blocks),
                         jax.tree.map(np.asarray, carry))

@@ -214,3 +214,72 @@ def test_pde_facade_checkpointed_output_schema(tmp_path):
     for k in out:
         np.testing.assert_array_equal(np.asarray(out[k]),
                                       np.asarray(out_ck[k]), err_msg=k)
+
+
+def test_resume_adopts_stored_chunk_layout(tmp_path):
+    """The chunk size is an I/O knob, not physics: a resume with a
+    different chunk_frames must keep the completed prefix (the manifest's
+    stored layout wins) instead of raising or discarding work."""
+    ps = _sys()
+    T, obs_dt = 1.2, 0.1
+    straight, state0 = _straight_and_state0(ps, T, obs_dt)
+    ck = tmp_path / "ck"
+    partial = run_particles_checkpointed(
+        ps.config, ps.params, state0, T=T, obs_dt=obs_dt, dt=ps.dt,
+        ckpt_dir=ck, chunk_frames=5, record_pos=True, record_fft=True,
+        stop_after_chunks=1)
+    assert partial is None
+    resumed = run_particles_checkpointed(
+        ps.config, ps.params, state0, T=T, obs_dt=obs_dt, dt=ps.dt,
+        ckpt_dir=ck, chunk_frames=3,  # different knob; stored 5 wins
+        record_pos=True, record_fft=True)
+    _assert_results_equal(resumed, straight)
+    assert (ck / "chunk_00002.npz").exists()   # 12 frames / stored 5 -> 3
+    assert not (ck / "chunk_00003.npz").exists()
+
+
+def test_unreadable_manifest_refuses_resume_but_overwrites(tmp_path):
+    ps = _sys()
+    state0 = ps.init_particles()
+    ck = tmp_path / "ck"
+    run_particles_checkpointed(
+        ps.config, ps.params, state0, T=0.3, obs_dt=0.1, dt=ps.dt,
+        ckpt_dir=ck, chunk_frames=2, record_pos=True, record_fft=True)
+    (ck / "manifest.json").write_text('{"run_hash": "trunc')  # crash relic
+    with pytest.raises(ValueError, match="unreadable manifest"):
+        run_particles_checkpointed(
+            ps.config, ps.params, state0, T=0.3, obs_dt=0.1, dt=ps.dt,
+            ckpt_dir=ck, chunk_frames=2, record_pos=True, record_fft=True)
+    res = run_particles_checkpointed(
+        ps.config, ps.params, state0, T=0.3, obs_dt=0.1, dt=ps.dt,
+        ckpt_dir=ck, chunk_frames=2, record_pos=True, record_fft=True,
+        resume=False)
+    assert res is not None
+
+
+def test_interior_chunks_share_one_compiled_program(tmp_path):
+    """The chunk start index is traced (only the length is static), so a
+    checkpointed run's interior chunks must NOT each compile a fresh
+    program — remote TPU compiles cost minutes (CLAUDE.md)."""
+    from hydrolim_tpu.particles.run import _run_scan_range
+
+    if not hasattr(_run_scan_range, "_cache_size"):
+        pytest.skip("jit cache introspection unavailable")
+    ps = _sys(rng=31)
+    state0 = ps.init_particles()
+    before = _run_scan_range._cache_size()
+    # 21 frames, chunk 4 -> 6 chunks, scan lengths 3 (chunk 0), 4×4, 1:
+    # only 3 DISTINCT lengths, so at most 3 new cache entries (earlier
+    # tests may have already compiled some of these lengths)
+    run_particles_checkpointed(
+        ps.config, ps.params, state0, T=2.1, obs_dt=0.1, dt=ps.dt,
+        ckpt_dir=tmp_path / "ck", chunk_frames=4, record_pos=True,
+        record_fft=True)
+    assert _run_scan_range._cache_size() - before <= 3
+    # a second identical run (fresh dir, same shapes) compiles NOTHING
+    mid = _run_scan_range._cache_size()
+    run_particles_checkpointed(
+        ps.config, ps.params, state0, T=2.1, obs_dt=0.1, dt=ps.dt,
+        ckpt_dir=tmp_path / "ck2", chunk_frames=4, record_pos=True,
+        record_fft=True)
+    assert _run_scan_range._cache_size() == mid

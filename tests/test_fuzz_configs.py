@@ -194,6 +194,7 @@ def test_fuzz_checkpointed_run_matches_straight(idx, tmp_path):
     for arbitrary config-space draws, not just the hand-picked checkpoint
     suite configs (utils/checkpoint.py)."""
     import jax
+    from test_checkpoint_run import _assert_results_equal
 
     from hydrolim_tpu.particles.run import run_particles
     from hydrolim_tpu.utils.checkpoint import run_particles_checkpointed
@@ -210,12 +211,4 @@ def test_fuzz_checkpointed_run_matches_straight(idx, tmp_path):
         ps.config, ps.params, state0, T=T, obs_dt=obs_dt, dt=ps.dt,
         ckpt_dir=tmp_path / f"ck{idx}", chunk_frames=2, record_pos=True,
         record_fft=True)
-    for field in straight.frames._fields:
-        np.testing.assert_array_equal(
-            np.asarray(getattr(chunked.frames, field)),
-            np.asarray(getattr(straight.frames, field)), err_msg=field)
-    for field in straight.final_state._fields:
-        np.testing.assert_array_equal(
-            np.asarray(getattr(chunked.final_state, field)),
-            np.asarray(getattr(straight.final_state, field)),
-            err_msg=f"final_state.{field}")
+    _assert_results_equal(chunked, straight)
