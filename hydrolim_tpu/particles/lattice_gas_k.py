@@ -291,11 +291,6 @@ def _lgk_scan(config: ParticleConfig, params: ParticleParams,
               slots0: jnp.ndarray, key: jnp.ndarray, *, n_frames: int,
               n_sub: int, obs_dt: float, record_fft: bool,
               n_tracers: int = 0):
-    mfield_op = build_mfield_op(config.L, config.dx,
-                                config.local_kernel_sigma, config.periodic)
-    dt_eff = obs_dt / n_sub
-    K, L = config.K, config.L
-
     key, k_tr = jax.random.split(key)
     if n_tracers > 0:
         tr_site0, tr_slot0, tr_valid = _init_tracers_k(slots0, k_tr,
@@ -305,6 +300,31 @@ def _lgk_scan(config: ParticleConfig, params: ParticleParams,
         tr_slot0 = jnp.zeros((0,), jnp.int32)
         tr_valid = jnp.zeros((0,), bool)
     wind0 = jnp.zeros_like(tr_site0)
+    rec, frame_step = _make_lgk_machinery(
+        config, params, n_sub=n_sub, obs_dt=obs_dt, record_fft=record_fft,
+        n_tracers=n_tracers, tr_valid=tr_valid)
+
+    frame0 = rec(slots0, tr_site0, wind0)
+    (slots, *_), rest = jax.lax.scan(
+        frame_step, (slots0, tr_site0, tr_slot0, wind0, key), None,
+        length=n_frames - 1)
+    frames = jax.tree.map(lambda a, b: jnp.concatenate([a[None], b], 0),
+                          frame0, rest)
+    return frames, slots
+
+
+def _make_lgk_machinery(config: ParticleConfig, params: ParticleParams, *,
+                        n_sub: int, obs_dt: float, record_fft: bool,
+                        n_tracers: int, tr_valid):
+    """Frame recorder + frame-step scan body shared by :func:`_lgk_scan`
+    and the checkpointed range scan — the step has no frame-index
+    dependence, so a run split into ranges reproduces the unsplit
+    trajectory bit-for-bit.  ``tr_valid`` is the (static-per-run)
+    phantom-tracer mask produced at tracer init."""
+    mfield_op = build_mfield_op(config.L, config.dx,
+                                config.local_kernel_sigma, config.periodic)
+    dt_eff = obs_dt / n_sub
+    K, L = config.K, config.L
 
     def rec(slots, tr_site, wind):
         counts_p = (slots > 0).sum(-2).astype(jnp.float32)   # incl. bound ±2
@@ -347,13 +367,55 @@ def _lgk_scan(config: ParticleConfig, params: ParticleParams,
             0, n_sub, body, (slots, tr_site, tr_slot, wind, key))
         return (slots, tr_site, tr_slot, wind, key), rec(slots, tr_site, wind)
 
-    frame0 = rec(slots0, tr_site0, wind0)
-    (slots, *_), rest = jax.lax.scan(
-        frame_step, (slots0, tr_site0, tr_slot0, wind0, key), None,
-        length=n_frames - 1)
-    frames = jax.tree.map(lambda a, b: jnp.concatenate([a[None], b], 0),
-                          frame0, rest)
-    return frames, slots
+    return rec, frame_step
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "n_sub", "obs_dt", "record_fft",
+                              "n_tracers"))
+def _lgk_carry0(config: ParticleConfig, params_b: ParticleParams,
+                slots0_b: jnp.ndarray, keys_b: jnp.ndarray, *, n_sub: int,
+                obs_dt: float, record_fft: bool, n_tracers: int):
+    """Batched initial scan carry + phantom-tracer mask + frame-0 record
+    for the checkpointed slot-engine driver (utils/checkpoint.py) —
+    identical key handling to :func:`_lgk_scan`."""
+    def one(params, slots0, key):
+        key, k_tr = jax.random.split(key)
+        if n_tracers > 0:
+            tr_site0, tr_slot0, tr_valid = _init_tracers_k(slots0, k_tr,
+                                                           n_tracers)
+        else:
+            tr_site0 = jnp.zeros((0,), jnp.int32)
+            tr_slot0 = jnp.zeros((0,), jnp.int32)
+            tr_valid = jnp.zeros((0,), bool)
+        wind0 = jnp.zeros_like(tr_site0)
+        rec, _ = _make_lgk_machinery(
+            config, params, n_sub=n_sub, obs_dt=obs_dt,
+            record_fft=record_fft, n_tracers=n_tracers, tr_valid=tr_valid)
+        carry0 = (slots0, tr_site0, tr_slot0, wind0, key)
+        return carry0, tr_valid, rec(slots0, tr_site0, wind0)
+
+    return jax.vmap(one)(params_b, slots0_b, keys_b)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "length", "n_sub", "obs_dt",
+                              "record_fft", "n_tracers"))
+def _lgk_scan_range(config: ParticleConfig, params_b: ParticleParams,
+                    carry_b, tr_valid_b, *, length: int, n_sub: int,
+                    obs_dt: float, record_fft: bool, n_tracers: int):
+    """``length`` frames from a batched carry — same scan body as
+    :func:`_lgk_scan` (via :func:`_make_lgk_machinery`), so chunked
+    checkpointed runs reproduce the unsplit scan bit-for-bit.  The chunk
+    length is the only shape-bearing static, so interior chunks share one
+    compiled program."""
+    def one(params, carry, tr_valid):
+        _, frame_step = _make_lgk_machinery(
+            config, params, n_sub=n_sub, obs_dt=obs_dt,
+            record_fft=record_fft, n_tracers=n_tracers, tr_valid=tr_valid)
+        return jax.lax.scan(frame_step, carry, None, length=length)
+
+    return jax.vmap(one)(params_b, carry_b, tr_valid_b)
 
 
 def run_lattice_gas_k(config: ParticleConfig, params_b: ParticleParams,

@@ -220,14 +220,22 @@ class ParticleSystem:
     def run_checkpointed(self, T: float = 10.0, obs_dt: float = 0.01,
                          *, ckpt_dir, chunk_frames: int = 64,
                          record_fft: bool = False, record_var: bool = False,
-                         resume: bool = True) -> Dict[str, Any]:
+                         resume: bool = True,
+                         engine: str = "particle") -> Dict[str, Any]:
         """Preemption-safe ``run``: the frame scan executes in chunks of
         ``chunk_frames`` frames with an atomic checkpoint (frames + carry
         state incl. the PRNG key) after each — a killed run resumes from
         the newest complete chunk and the stitched ``out`` dict is
         bit-identical to an uninterrupted :meth:`run`.  TPU-native
         extension (the reference only caches completed sweeps); see
-        utils/checkpoint.py."""
+        utils/checkpoint.py.  ``engine='lattice_gas'`` checkpoints the
+        slot engine instead (same constraint set as :meth:`run`)."""
+        if engine == "lattice_gas":
+            return self._run_lattice_gas(
+                T, obs_dt, record_fft, record_var, kernel="xla",
+                ckpt=dict(ckpt_dir=ckpt_dir, chunk_frames=chunk_frames,
+                          resume=resume))
+        assert engine == "particle", engine
         from hydrolim_tpu.utils.checkpoint import run_particles_checkpointed
 
         res = run_particles_checkpointed(
@@ -279,7 +287,8 @@ class ParticleSystem:
         return out
 
     def _run_lattice_gas(self, T: float, obs_dt: float, record_fft: bool,
-                         record_var: bool, kernel: str = "xla"
+                         record_var: bool, kernel: str = "xla",
+                         ckpt: Optional[Dict[str, Any]] = None
                          ) -> Dict[str, Any]:
         """Single run on the slot engine, full out-schema parity: every
         particle is a tagged tracer, so pos_list/pos_frames carry exact
@@ -298,7 +307,15 @@ class ParticleSystem:
         # identity; surplus tags are TRACER_INVALID and masked below.
         n_tags = config.n_buf if config.init == "poisson" else N
         params_b = jax.tree.map(lambda x: np.asarray(x)[None], self.params)
-        if kernel != "xla":
+        if ckpt is not None:
+            from hydrolim_tpu.utils.checkpoint import (
+                run_lattice_gas_k_checkpointed,
+            )
+
+            assert kernel == "xla", "checkpointing uses the XLA slot engine"
+            runner = functools.partial(run_lattice_gas_k_checkpointed,
+                                       **ckpt)
+        elif kernel != "xla":
             from hydrolim_tpu.sweeps.fast_exclusion import (
                 is_pallas_exclusion_path,
                 run_exclusion_sweep,

@@ -44,7 +44,8 @@ from hydrolim_tpu.particles.run import (
 )
 from hydrolim_tpu.sweeps.persistence import config_hash
 
-__all__ = ["run_particles_checkpointed", "pde_solve_checkpointed"]
+__all__ = ["run_particles_checkpointed", "pde_solve_checkpointed",
+           "run_lattice_gas_k_checkpointed"]
 
 
 def _run_hash(config: ParticleConfig, params: ParticleParams, *, T: float,
@@ -376,3 +377,168 @@ def pde_solve_checkpointed(config, params, ops, rho_p0, rho_m0, tracers0,
         rho_p=np.asarray(carry.rho_p), rho_m=np.asarray(carry.rho_m),
         records=recs, snapshots=snaps, m_snapshots=m_snaps,
         snap_times=snap_times)
+
+
+# ---------------------------------------------------------------------------
+# lattice-gas slot engine (batched)
+# ---------------------------------------------------------------------------
+
+def _digest(arr) -> Optional[str]:
+    if arr is None:
+        return None
+    import hashlib
+
+    a = np.ascontiguousarray(np.asarray(arr))
+    return hashlib.sha256(a.tobytes()).hexdigest()[:16]
+
+
+def _lgk_run_hash(config, params_b, *, T: float, obs_dt: float, dt: float,
+                  record_fft: bool, n_tracers: int, rho0_plus,
+                  rho0_minus) -> str:
+    cfg = {f: repr(getattr(config, f)) for f in config.__dataclass_fields__
+           if f != "flip_rate_fn"}
+    cfg["has_flip_rate_fn"] = config.flip_rate_fn is not None
+    par = {f: np.asarray(getattr(params_b, f)).tolist()
+           for f in params_b._fields}
+    return config_hash({"lgk_config": cfg, "params": par, "T": T,
+                        "obs_dt": obs_dt, "dt": dt,
+                        "record_fft": record_fft, "n_tracers": n_tracers,
+                        "rho0_plus": _digest(rho0_plus),
+                        "rho0_minus": _digest(rho0_minus)})
+
+
+_LGK_CARRY_FIELDS = ("slots", "tr_site", "tr_slot", "wind", "key")
+
+
+def _save_lgk_chunk(path: Path, frames, carry, tr_valid) -> None:
+    payload = _flatten_named("frames__", frames)
+    for name, v in zip(_LGK_CARRY_FIELDS, carry):
+        payload[f"carry__{name}"] = np.asarray(v)
+    payload["tr_valid"] = np.asarray(tr_valid)
+    _atomic_savez(path, **payload)
+
+
+def _load_lgk_chunk(path: Path):
+    from hydrolim_tpu.particles.lattice_gas import LatticeGasFrames
+
+    with np.load(path) as z:
+        frames = LatticeGasFrames(
+            **{f: z[f"frames__{f}"] for f in LatticeGasFrames._fields})
+        carry = tuple(jax.numpy.asarray(z[f"carry__{n}"])
+                      for n in _LGK_CARRY_FIELDS)
+        tr_valid = jax.numpy.asarray(z["tr_valid"])
+    return frames, carry, tr_valid
+
+
+def run_lattice_gas_k_checkpointed(
+        config, params_b, key, *, T: float, obs_dt: float, dt: float,
+        ckpt_dir, chunk_frames: int = 64, rho0_plus=None, rho0_minus=None,
+        record_fft: bool = True, n_tracers: int = 0, occ_sharding=None,
+        resume: bool = True, stop_after_chunks: Optional[int] = None):
+    """Checkpointed equivalent of
+    :func:`hydrolim_tpu.particles.lattice_gas_k.run_lattice_gas_k` (same
+    argument and return contract: batched ``(frames, final_slots)``).
+
+    The batched frame scan runs in ``chunk_frames``-frame chunks with an
+    atomic checkpoint of each chunk's frames plus the carry (slot field,
+    tracer sites/slots/windings, per-replica keys) and the phantom-tracer
+    mask after each; resume restores the newest complete chunk and the
+    stitched result is bit-identical to the unsplit run."""
+    from hydrolim_tpu.particles.lattice_gas_k import (
+        _lgk_carry0,
+        _lgk_scan_range,
+        lgk_init,
+    )
+    from hydrolim_tpu.particles.run import substeps_for
+
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    assert chunk_frames >= 1
+    n_frames = len(np.arange(0.0, T, obs_dt))
+    assert n_frames >= 1, "T <= 0: nothing to checkpoint"
+    n_sub = substeps_for(obs_dt, dt)
+    run_hash = _lgk_run_hash(config, params_b, T=T, obs_dt=obs_dt, dt=dt,
+                             record_fft=record_fft, n_tracers=n_tracers,
+                             rho0_plus=rho0_plus, rho0_minus=rho0_minus)
+
+    manifest_path = ckpt_dir / "manifest.json"
+    done = 0
+    if resume and manifest_path.exists():
+        manifest = _read_manifest(manifest_path)
+        if manifest is None:
+            raise ValueError(
+                f"unreadable manifest at {manifest_path} — cannot verify "
+                "the existing chunks belong to this run; pass resume=False "
+                "to start over or use a fresh dir")
+        if manifest.get("run_hash") != run_hash:
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} belongs to a different "
+                f"lattice-gas run (hash {manifest.get('run_hash')!r} != "
+                f"{run_hash!r}); pass resume=False to overwrite or use a "
+                "fresh dir")
+        chunk_frames = int(manifest.get("chunk_frames", chunk_frames))
+        n_chunks = -(-n_frames // chunk_frames)
+        while done < n_chunks and _chunk_path(ckpt_dir, done).exists():
+            done += 1
+    else:
+        n_chunks = -(-n_frames // chunk_frames)
+    if not resume:
+        for p in ckpt_dir.glob("chunk_*.npz"):
+            p.unlink()
+    _write_manifest(manifest_path,
+                    {"run_hash": run_hash, "n_frames": n_frames,
+                     "chunk_frames": chunk_frames, "n_chunks": n_chunks})
+
+    if done > 0:
+        _, carry, tr_valid = _load_lgk_chunk(_chunk_path(ckpt_dir, done - 1))
+        frame0 = None
+    else:
+        # prologue identical to run_lattice_gas_k (key fan-out, init)
+        B = params_b.beta.shape[0]
+        keys = jax.random.split(key, B)
+        init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+        if rho0_plus is not None and np.ndim(rho0_plus) == 2:
+            slots0 = jax.vmap(
+                lambda k, rp, rm: lgk_init(config, k, rp, rm))(
+                    init_keys, jax.numpy.asarray(rho0_plus),
+                    jax.numpy.asarray(rho0_minus))
+        else:
+            slots0 = jax.vmap(lambda k: lgk_init(config, k, rho0_plus,
+                                                 rho0_minus))(init_keys)
+        if occ_sharding is not None:
+            slots0 = jax.device_put(slots0, occ_sharding)
+        carry, tr_valid, frame0 = _lgk_carry0(
+            config, params_b, slots0, keys, n_sub=n_sub, obs_dt=obs_dt,
+            record_fft=record_fft, n_tracers=n_tracers)
+
+    executed = 0
+    for c in range(done, n_chunks):
+        if stop_after_chunks is not None and executed >= stop_after_chunks:
+            return None
+        lo = c * chunk_frames
+        hi = min((c + 1) * chunk_frames, n_frames)
+        # frame 0 is the initial record; stepped frames are 1..n_frames-1
+        length = (hi - 1) if lo == 0 else (hi - lo)
+        if length > 0:
+            carry, frames = _lgk_scan_range(
+                config, params_b, carry, tr_valid, length=length,
+                n_sub=n_sub, obs_dt=obs_dt, record_fft=record_fft,
+                n_tracers=n_tracers)
+            frames = jax.tree.map(np.asarray, frames)
+        else:
+            frames = None
+        if lo == 0:
+            f0 = jax.tree.map(lambda a: np.asarray(a)[:, None], frame0)
+            frames = f0 if frames is None else jax.tree.map(
+                lambda a, b: np.concatenate([a, b], axis=1), f0, frames)
+        _save_lgk_chunk(_chunk_path(ckpt_dir, c), frames,
+                        jax.tree.map(np.asarray, carry),
+                        np.asarray(tr_valid))
+        executed += 1
+
+    stacks = []
+    for c in range(n_chunks):
+        frames, carry, tr_valid = _load_lgk_chunk(_chunk_path(ckpt_dir, c))
+        stacks.append(frames)
+    frames = jax.tree.map(lambda *xs: np.concatenate(xs, axis=1), *stacks)
+    return frames, np.asarray(carry[0])

@@ -283,3 +283,77 @@ def test_interior_chunks_share_one_compiled_program(tmp_path):
         ckpt_dir=tmp_path / "ck2", chunk_frames=4, record_pos=True,
         record_fft=True)
     assert _run_scan_range._cache_size() == mid
+
+
+# ---------------------------------------------------------------------------
+# lattice-gas slot engine
+# ---------------------------------------------------------------------------
+
+def _lgk_parts(K=3, B=2, L=48, N=60):
+    from hydrolim_tpu.core.config import ParticleConfig, make_particle_params
+
+    config = ParticleConfig(L=L, N=N, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.02, periodic=True,
+                            site_capacity=K)
+    params = make_particle_params(config, beta=1.0, rate_diffusion=0.5,
+                                  rate_active=2.0, k_on=0.0, k_off=0.0,
+                                  k_exit=0.0)
+    params_b = jax.tree.map(
+        lambda x: np.broadcast_to(np.asarray(x, np.float32), (B,)), params)
+    params_b = params_b._replace(beta=np.asarray([0.8, 2.0], np.float32))
+    return config, params_b
+
+
+def test_lgk_chunked_bit_identical_and_resumes(tmp_path):
+    from hydrolim_tpu.particles.lattice_gas_k import run_lattice_gas_k
+    from hydrolim_tpu.utils.checkpoint import run_lattice_gas_k_checkpointed
+
+    config, params = _lgk_parts()
+    key = jax.random.PRNGKey(44)
+    T, obs_dt, dt = 1.1, 0.1, 0.02
+    straight_frames, straight_slots = jax.tree.map(np.asarray,
+        run_lattice_gas_k(config, params, key, T=T, obs_dt=obs_dt, dt=dt,
+                          n_tracers=16))
+    ck = tmp_path / "ck"
+    partial = run_lattice_gas_k_checkpointed(
+        config, params, key, T=T, obs_dt=obs_dt, dt=dt, n_tracers=16,
+        ckpt_dir=ck, chunk_frames=4, stop_after_chunks=1)
+    assert partial is None and (ck / "chunk_00000.npz").exists()
+    frames, slots = run_lattice_gas_k_checkpointed(
+        config, params, key, T=T, obs_dt=obs_dt, dt=dt, n_tracers=16,
+        ckpt_dir=ck, chunk_frames=4)
+    for field in straight_frames._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(frames, field)),
+            np.asarray(getattr(straight_frames, field)), err_msg=field)
+    np.testing.assert_array_equal(np.asarray(slots), straight_slots)
+
+
+def test_lgk_checkpoint_hash_guard(tmp_path):
+    from hydrolim_tpu.utils.checkpoint import run_lattice_gas_k_checkpointed
+
+    config, params = _lgk_parts()
+    key = jax.random.PRNGKey(1)
+    ck = tmp_path / "ck"
+    run_lattice_gas_k_checkpointed(config, params, key, T=0.3, obs_dt=0.1,
+                                   dt=0.02, ckpt_dir=ck, chunk_frames=2)
+    params2 = params._replace(beta=np.asarray([0.8, 2.5], np.float32))
+    with pytest.raises(ValueError, match="different"):
+        run_lattice_gas_k_checkpointed(config, params2, key, T=0.3,
+                                       obs_dt=0.1, dt=0.02, ckpt_dir=ck,
+                                       chunk_frames=2)
+
+
+def test_facade_lattice_gas_checkpointed_matches_run(tmp_path):
+    ps_kw = dict(L=48, xlim=1.0, rate_diffusion=0.5, rate_active=2.0,
+                 beta=1.5, init="fixed", N=60, scale_rates=False,
+                 local_kernel_sigma=0.02, periodic=True, site_capacity=3,
+                 k_on=0, k_off=0, k_exit=0, rng=9)
+    out = ParticleSystem(**ps_kw).run(T=0.6, obs_dt=0.1,
+                                      engine="lattice_gas")
+    out_ck = ParticleSystem(**ps_kw).run_checkpointed(
+        T=0.6, obs_dt=0.1, ckpt_dir=tmp_path / "ck", chunk_frames=2,
+        engine="lattice_gas")
+    np.testing.assert_array_equal(out_ck["total_list"], out["total_list"])
+    np.testing.assert_array_equal(out_ck["m_global"], out["m_global"])
+    np.testing.assert_array_equal(out_ck["pos_frames"], out["pos_frames"])
