@@ -18,7 +18,7 @@ from hydrolim_tpu.sweeps.beta_sweep import make_exp_gradient
 
 
 def main(outdir: str = "particle_single_out", small: bool = False,
-         engine: str = "particle"):
+         engine: str = "particle", ckpt_dir: str = None):
     L, N = (200, 150) if small else (1000, 750)
     T, obs_dt = (4.0, 0.5) if small else (20.0, 0.5)
     grad = make_exp_gradient(L=L, N=N, frac_plus=0.85, decay_length=0.2,
@@ -30,8 +30,15 @@ def main(outdir: str = "particle_single_out", small: bool = False,
         periodic=False, immobilize_when_anchored=True, anchor_radius=0.003,
         anchor_positions=None, site_capacity=3,
         crowding_suppresses_rates=False, k_on=0, k_off=0, k_exit=0, rng=0)
-    out = ps.run(T=T, obs_dt=obs_dt, record_fft=True, record_var=True,
-                 engine=engine)
+    if ckpt_dir:
+        # preemption-safe: a killed run resumes from the newest complete
+        # chunk, bit-identical to the uninterrupted run (utils/checkpoint)
+        out = ps.run_checkpointed(T=T, obs_dt=obs_dt, ckpt_dir=ckpt_dir,
+                                  chunk_frames=8, record_fft=True,
+                                  record_var=True, engine=engine)
+    else:
+        out = ps.run(T=T, obs_dt=obs_dt, record_fft=True, record_var=True,
+                     engine=engine)
     v = ps.plot_individuals(out, show_k_max=5, cmap_name="viridis", xlim=1,
                             outdir=outdir)
     print(f"mean COM drift velocity: {v:.4g}; figures in {outdir}/")
@@ -47,5 +54,8 @@ if __name__ == "__main__":
                    choices=["particle", "lattice_gas"],
                    help="lattice_gas = site-centric slot engine, ~30-50x "
                         "faster at the flagship K=3 config, same law")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="checkpoint/resume the run in this directory "
+                        "(kill + rerun resumes bit-identically)")
     a = p.parse_args()
-    main(a.outdir, a.small, engine=a.engine)
+    main(a.outdir, a.small, engine=a.engine, ckpt_dir=a.ckpt_dir)
