@@ -193,40 +193,58 @@ def run_particles_checkpointed(
     else:
         state = state0
 
+    # pipelined chunk loop: chunk c+1 is DISPATCHED (jax async) before
+    # chunk c's frames are pulled to host and compressed — device compute
+    # overlaps checkpoint I/O.  Saves still land strictly in order, so a
+    # kill at any point leaves the same consistent prefix as the serial
+    # loop.
+    pending = None          # (chunk index, [device frame pytrees], state)
+
+    def _flush():
+        nonlocal pending
+        if pending is None:
+            return
+        c_, parts, st = pending
+        arrs = [jax.tree.map(np.asarray, p) for p in parts]
+        frames = arrs[0] if len(arrs) == 1 else jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=0), *arrs)
+        _save_chunk(_chunk_path(ckpt_dir, c_), frames,
+                    jax.tree.map(np.asarray, st))
+        pending = None
+
     executed = 0
     for c in range(done, n_chunks):
         if stop_after_chunks is not None and executed >= stop_after_chunks:
+            _flush()
             return None
         lo = c * chunk_frames
         hi = min((c + 1) * chunk_frames, n_frames)
+        parts = []
         if lo == 0:
-            frame0 = _record_initial(config, state,
-                                     statics_builder=build_static_arrays,
-                                     record_pos=record_pos,
-                                     record_fft=record_fft)
+            parts.append(_record_initial(config, state,
+                                         statics_builder=build_static_arrays,
+                                         record_pos=record_pos,
+                                         record_fft=record_fft))
             if hi > 1:
                 res = _run_scan_range(config, params, state, 1,
                                       statics_builder=build_static_arrays,
                                       length=hi - 1, n_sub=n_sub,
                                       obs_dt=obs_dt, record_pos=record_pos,
                                       record_fft=record_fft)
-                frames = jax.tree.map(
-                    lambda a, b: np.concatenate([np.asarray(a),
-                                                 np.asarray(b)], axis=0),
-                    frame0, res.frames)
+                parts.append(res.frames)
                 state = res.final_state
-            else:
-                frames = jax.tree.map(np.asarray, frame0)
         else:
             res = _run_scan_range(config, params, state, lo,
                                   statics_builder=build_static_arrays,
                                   length=hi - lo, n_sub=n_sub,
                                   obs_dt=obs_dt, record_pos=record_pos,
                                   record_fft=record_fft)
-            frames = jax.tree.map(np.asarray, res.frames)
+            parts.append(res.frames)
             state = res.final_state
-        _save_chunk(_chunk_path(ckpt_dir, c), frames, state)
+        _flush()                 # save chunk c-1 while chunk c computes
+        pending = (c, parts, state)
         executed += 1
+    _flush()
 
     # stitch all chunks (read back from disk so the returned result is
     # exactly what a resumed process would reconstruct)
@@ -353,18 +371,33 @@ def pde_solve_checkpointed(config, params, ops, rho_p0, rho_m0, tracers0,
     else:
         carry = PDECarry(rho_p0, rho_m0, tracers0, key)
 
+    # pipelined: dispatch chunk c+1 before saving chunk c (see the
+    # particle driver); saves land in order, prefix consistency unchanged
+    pending = None
+
+    def _flush():
+        nonlocal pending
+        if pending is None:
+            return
+        c_, blocks_, carry_ = pending
+        _save_pde_chunk(_chunk_path(ckpt_dir, c_),
+                        jax.tree.map(np.asarray, blocks_),
+                        jax.tree.map(np.asarray, carry_))
+        pending = None
+
     executed = 0
     for c in range(done, n_chunks):
         if stop_after_chunks is not None and executed >= stop_after_chunks:
+            _flush()
             return None
         lo = c * chunk_blocks
         hi = min((c + 1) * chunk_blocks, n_blocks)
         carry, blocks = _pde_solve_range(config, params, ops, carry, lo,
                                          length=hi - lo)
-        _save_pde_chunk(_chunk_path(ckpt_dir, c),
-                        jax.tree.map(np.asarray, blocks),
-                        jax.tree.map(np.asarray, carry))
+        _flush()
+        pending = (c, blocks, carry)
         executed += 1
+    _flush()
 
     stacks = []
     for c in range(n_chunks):
@@ -511,9 +544,30 @@ def run_lattice_gas_k_checkpointed(
             config, params_b, slots0, keys, n_sub=n_sub, obs_dt=obs_dt,
             record_fft=record_fft, n_tracers=n_tracers)
 
+    # pipelined: dispatch chunk c+1 before saving chunk c (see the
+    # particle driver); saves land in order, prefix consistency unchanged
+    pending = None
+
+    def _flush():
+        nonlocal pending
+        if pending is None:
+            return
+        c_, f0_, frames_, carry_ = pending
+        frames_ = None if frames_ is None else jax.tree.map(np.asarray,
+                                                            frames_)
+        if f0_ is not None:
+            f0_ = jax.tree.map(lambda a: np.asarray(a)[:, None], f0_)
+            frames_ = f0_ if frames_ is None else jax.tree.map(
+                lambda a, b: np.concatenate([a, b], axis=1), f0_, frames_)
+        _save_lgk_chunk(_chunk_path(ckpt_dir, c_), frames_,
+                        jax.tree.map(np.asarray, carry_),
+                        np.asarray(tr_valid))
+        pending = None
+
     executed = 0
     for c in range(done, n_chunks):
         if stop_after_chunks is not None and executed >= stop_after_chunks:
+            _flush()
             return None
         lo = c * chunk_frames
         hi = min((c + 1) * chunk_frames, n_frames)
@@ -524,17 +578,12 @@ def run_lattice_gas_k_checkpointed(
                 config, params_b, carry, tr_valid, length=length,
                 n_sub=n_sub, obs_dt=obs_dt, record_fft=record_fft,
                 n_tracers=n_tracers)
-            frames = jax.tree.map(np.asarray, frames)
         else:
             frames = None
-        if lo == 0:
-            f0 = jax.tree.map(lambda a: np.asarray(a)[:, None], frame0)
-            frames = f0 if frames is None else jax.tree.map(
-                lambda a, b: np.concatenate([a, b], axis=1), f0, frames)
-        _save_lgk_chunk(_chunk_path(ckpt_dir, c), frames,
-                        jax.tree.map(np.asarray, carry),
-                        np.asarray(tr_valid))
+        _flush()
+        pending = (c, frame0 if lo == 0 else None, frames, carry)
         executed += 1
+    _flush()
 
     stacks = []
     for c in range(n_chunks):
