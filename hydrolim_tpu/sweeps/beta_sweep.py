@@ -160,7 +160,8 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
                                run_kwargs: Dict, seed: int = 0,
                                n_tracers: Optional[int] = None,
                                kernel: str = "xla", mesh=None,
-                               n_devices: Optional[int] = None):
+                               n_devices: Optional[int] = None,
+                               ckpt_dir=None):
     """(β × replicas) grid on the site-centric lattice-gas engine (K=1 occ
     field or the K>1 slot engine — both far above particle-centric exclusion
     throughput); returns (config, out_for(i) accessor, dt).  Tagged tracers
@@ -238,10 +239,30 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
             return config, out_for, dt, frames
         assert kernel == "auto", (
             "kernel='pallas' requires the fused-kernel configuration class")
-    frames, _ = run_lattice_gas(config, params, key,
-                                T=T, obs_dt=obs_dt, dt=dt,
-                                rho0_plus=rho0_p, rho0_minus=rho0_m,
-                                n_tracers=n_tracers, record_fft=record_fft)
+    if ckpt_dir is not None:
+        # mid-run preemption safety for the whole in-flight grid program
+        # (the npz cache only skips COMPLETED sweeps); K>1 slot engine,
+        # single-device — a resumed carry reloads without mesh placement,
+        # so the sharded path keeps the uncheckpointed runner
+        from hydrolim_tpu.utils.checkpoint import (
+            run_lattice_gas_k_checkpointed,
+        )
+
+        assert config.K > 1, (
+            "sweep ckpt_dir requires the K>1 slot engine (site_capacity>1)")
+        assert mesh is None or mesh.size == 1, (
+            "sweep ckpt_dir is single-device (resume cannot restore mesh "
+            "placement); drop n_devices/mesh or the checkpoint")
+        frames, _ = run_lattice_gas_k_checkpointed(
+            config, params, key, T=T, obs_dt=obs_dt, dt=dt,
+            rho0_plus=rho0_p, rho0_minus=rho0_m, n_tracers=n_tracers,
+            record_fft=record_fft, ckpt_dir=ckpt_dir)
+    else:
+        frames, _ = run_lattice_gas(config, params, key,
+                                    T=T, obs_dt=obs_dt, dt=dt,
+                                    rho0_plus=rho0_p, rho0_minus=rho0_m,
+                                    n_tracers=n_tracers,
+                                    record_fft=record_fft)
     frames = unpad(jax.device_get(frames))
     out_for = _lattice_gas_out_accessor(frames, times)
     return config, out_for, dt, frames
@@ -431,7 +452,8 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
                      plot_result: bool = True,
                      engine: str = "particle",
                      estimator: str = "device", mesh=None,
-                     n_devices: Optional[int] = None) -> Dict:
+                     n_devices: Optional[int] = None,
+                     ckpt_dir=None) -> Dict:
     """Full β sweep (:828-1028): one vmapped grid run → estimator means ±
     SE per β → npz checkpoint → (θ,γ) fit and figures.  ``run=False``
     reloads ``npz_path`` and re-plots without re-simulating.
@@ -461,12 +483,16 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
         # into its npz (the fused runner repopulates it below)
         last_run_info.clear()
         lg_frames = None
+        if ckpt_dir is not None:
+            assert engine == "lattice_gas", (
+                "ckpt_dir requires engine='lattice_gas' (the particle grid "
+                "and the fused Pallas route run uncheckpointed)")
         if engine in ("lattice_gas", "pallas"):
             config, out_for, dt, lg_frames = run_sweep_grid_lattice_gas(
                 beta_values, n_runs_per_beta, ps_kwargs, init_kwargs,
                 run_kwargs, seed=seed,
                 kernel="auto" if engine == "pallas" else "xla",
-                mesh=mesh, n_devices=n_devices)
+                mesh=mesh, n_devices=n_devices, ckpt_dir=ckpt_dir)
         else:
             config, res, dt = run_sweep_grid(beta_values, n_runs_per_beta,
                                              ps_kwargs, init_kwargs,

@@ -357,3 +357,25 @@ def test_facade_lattice_gas_checkpointed_matches_run(tmp_path):
     np.testing.assert_array_equal(out_ck["total_list"], out["total_list"])
     np.testing.assert_array_equal(out_ck["m_global"], out["m_global"])
     np.testing.assert_array_equal(out_ck["pos_frames"], out["pos_frames"])
+
+
+def test_sweep_over_betas_ckpt_dir_matches_uncheckpointed(tmp_path):
+    """A β-sweep's single in-flight grid program is preemption-safe via
+    ckpt_dir — results identical to the uncheckpointed sweep."""
+    from hydrolim_tpu.sweeps.beta_sweep import sweep_over_betas
+
+    kw = dict(
+        beta_values=np.linspace(0.5, 2.0, 3), n_runs_per_beta=2,
+        ps_kwargs=dict(L=48, xlim=1, rate_diffusion=0.5, rate_active=2.0,
+                       N=60, init="fixed", scale_rates=False,
+                       local_kernel_sigma=0.0, periodic=True,
+                       site_capacity=3, k_on=0, k_off=0, k_exit=0),
+        run_kwargs=dict(T=0.5, obs_dt=0.1), outdir=str(tmp_path),
+        seed=5, engine="lattice_gas", plot_result=False, do_fit=False)
+    a = sweep_over_betas(npz_path=str(tmp_path / "a.npz"), **kw)
+    b = sweep_over_betas(npz_path=str(tmp_path / "b.npz"),
+                         ckpt_dir=tmp_path / "ck", **kw)
+    np.testing.assert_array_equal(a["means"], b["means"])
+    np.testing.assert_array_equal(a["m_means"], b["m_means"])
+    np.testing.assert_array_equal(a["D_means"], b["D_means"])
+    assert (tmp_path / "ck" / "manifest.json").exists()
