@@ -198,11 +198,6 @@ def _lg_scan(config: ParticleConfig, params: ParticleParams,
              occ0: jnp.ndarray, key: jnp.ndarray, *, n_frames: int,
              n_sub: int, obs_dt: float, record_fft: bool,
              n_tracers: int = 0):
-    mfield_op = build_mfield_op(config.L, config.dx,
-                                config.local_kernel_sigma, config.periodic)
-    dt_eff = obs_dt / n_sub
-    L = config.L
-
     key, k_tr = jax.random.split(key)
     if n_tracers > 0:
         tr0, tr_valid = _init_tracers(occ0, k_tr, n_tracers)
@@ -210,6 +205,28 @@ def _lg_scan(config: ParticleConfig, params: ParticleParams,
         tr0 = jnp.zeros((0,), jnp.int32)
         tr_valid = jnp.zeros((0,), bool)
     wind0 = jnp.zeros_like(tr0)
+    rec, frame_step = _make_lg_machinery(
+        config, params, n_sub=n_sub, obs_dt=obs_dt, record_fft=record_fft,
+        n_tracers=n_tracers, tr_valid=tr_valid)
+
+    frame0 = rec(occ0, tr0, wind0)
+    (occ, *_), rest = jax.lax.scan(
+        frame_step, (occ0, tr0, wind0, key), None, length=n_frames - 1)
+    frames = jax.tree.map(lambda a, b: jnp.concatenate([a[None], b], 0),
+                          frame0, rest)
+    return frames, occ
+
+
+def _make_lg_machinery(config: ParticleConfig, params: ParticleParams, *,
+                       n_sub: int, obs_dt: float, record_fft: bool,
+                       n_tracers: int, tr_valid):
+    """Frame recorder + scan body shared by :func:`_lg_scan` and the
+    checkpointed range scan (utils/checkpoint.py) — no frame-index
+    dependence, so chunked runs reproduce the unsplit scan bit-for-bit."""
+    mfield_op = build_mfield_op(config.L, config.dx,
+                                config.local_kernel_sigma, config.periodic)
+    dt_eff = obs_dt / n_sub
+    L = config.L
 
     def rec(occ, tr, wind):
         f = _lg_record(config, mfield_op, occ, record_fft)
@@ -243,12 +260,49 @@ def _lg_scan(config: ParticleConfig, params: ParticleParams,
             0, n_sub, body, (occ, tr, wind, key))
         return (occ, tr, wind, key), rec(occ, tr, wind)
 
-    frame0 = rec(occ0, tr0, wind0)
-    (occ, tr, wind, key), rest = jax.lax.scan(
-        frame_step, (occ0, tr0, wind0, key), None, length=n_frames - 1)
-    frames = jax.tree.map(lambda a, b: jnp.concatenate([a[None], b], 0),
-                          frame0, rest)
-    return frames, occ
+    return rec, frame_step
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "n_sub", "obs_dt", "record_fft",
+                              "n_tracers"))
+def _lg_carry0(config: ParticleConfig, params_b: ParticleParams,
+               occ0_b: jnp.ndarray, keys_b: jnp.ndarray, *, n_sub: int,
+               obs_dt: float, record_fft: bool, n_tracers: int):
+    """Batched initial scan carry + phantom-tracer mask + frame-0 record
+    for the checkpointed K=1 driver — identical key handling to
+    :func:`_lg_scan`."""
+    def one(params, occ0, key):
+        key, k_tr = jax.random.split(key)
+        if n_tracers > 0:
+            tr0, tr_valid = _init_tracers(occ0, k_tr, n_tracers)
+        else:
+            tr0 = jnp.zeros((0,), jnp.int32)
+            tr_valid = jnp.zeros((0,), bool)
+        wind0 = jnp.zeros_like(tr0)
+        rec, _ = _make_lg_machinery(
+            config, params, n_sub=n_sub, obs_dt=obs_dt,
+            record_fft=record_fft, n_tracers=n_tracers, tr_valid=tr_valid)
+        return (occ0, tr0, wind0, key), tr_valid, rec(occ0, tr0, wind0)
+
+    return jax.vmap(one)(params_b, occ0_b, keys_b)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "length", "n_sub", "obs_dt",
+                              "record_fft", "n_tracers"))
+def _lg_scan_range(config: ParticleConfig, params_b: ParticleParams,
+                   carry_b, tr_valid_b, *, length: int, n_sub: int,
+                   obs_dt: float, record_fft: bool, n_tracers: int):
+    """``length`` frames from a batched carry — same scan body as
+    :func:`_lg_scan`; traced-length chunks share one compiled program."""
+    def one(params, carry, tr_valid):
+        _, frame_step = _make_lg_machinery(
+            config, params, n_sub=n_sub, obs_dt=obs_dt,
+            record_fft=record_fft, n_tracers=n_tracers, tr_valid=tr_valid)
+        return jax.lax.scan(frame_step, carry, None, length=length)
+
+    return jax.vmap(one)(params_b, carry_b, tr_valid_b)
 
 
 def lg_init(config: ParticleConfig, key: jnp.ndarray,

@@ -241,19 +241,20 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
             "kernel='pallas' requires the fused-kernel configuration class")
     if ckpt_dir is not None:
         # mid-run preemption safety for the whole in-flight grid program
-        # (the npz cache only skips COMPLETED sweeps); K>1 slot engine,
-        # single-device — a resumed carry reloads without mesh placement,
-        # so the sharded path keeps the uncheckpointed runner
+        # (the npz cache only skips COMPLETED sweeps); single-device —
+        # a resumed carry reloads without mesh placement, so the sharded
+        # path keeps the uncheckpointed runner
         from hydrolim_tpu.utils.checkpoint import (
+            run_lattice_gas_checkpointed,
             run_lattice_gas_k_checkpointed,
         )
 
-        assert config.K > 1, (
-            "sweep ckpt_dir requires the K>1 slot engine (site_capacity>1)")
         assert mesh is None or mesh.size == 1, (
             "sweep ckpt_dir is single-device (resume cannot restore mesh "
             "placement); drop n_devices/mesh or the checkpoint")
-        frames, _ = run_lattice_gas_k_checkpointed(
+        ck_runner = (run_lattice_gas_k_checkpointed if config.K > 1
+                     else run_lattice_gas_checkpointed)
+        frames, _ = ck_runner(
             config, params, key, T=T, obs_dt=obs_dt, dt=dt,
             rho0_plus=rho0_p, rho0_minus=rho0_m, n_tracers=n_tracers,
             record_fft=record_fft, ckpt_dir=ckpt_dir)

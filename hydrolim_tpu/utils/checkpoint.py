@@ -45,7 +45,8 @@ from hydrolim_tpu.particles.run import (
 from hydrolim_tpu.sweeps.persistence import config_hash
 
 __all__ = ["run_particles_checkpointed", "pde_solve_checkpointed",
-           "run_lattice_gas_k_checkpointed"]
+           "run_lattice_gas_k_checkpointed",
+           "run_lattice_gas_checkpointed"]
 
 
 def _run_hash(config: ParticleConfig, params: ParticleParams, *, T: float,
@@ -425,63 +426,55 @@ def _digest(arr) -> Optional[str]:
     return hashlib.sha256(a.tobytes()).hexdigest()[:16]
 
 
-def _lgk_run_hash(config, params_b, *, T: float, obs_dt: float, dt: float,
-                  record_fft: bool, n_tracers: int, rho0_plus,
-                  rho0_minus) -> str:
+def _lg_engine_run_hash(tag, config, params_b, *, T: float, obs_dt: float,
+                        dt: float, record_fft: bool, n_tracers: int,
+                        rho0_plus, rho0_minus) -> str:
+    """Chunk size deliberately not hashed — see :func:`_run_hash`."""
     cfg = {f: repr(getattr(config, f)) for f in config.__dataclass_fields__
            if f != "flip_rate_fn"}
     cfg["has_flip_rate_fn"] = config.flip_rate_fn is not None
     par = {f: np.asarray(getattr(params_b, f)).tolist()
            for f in params_b._fields}
-    return config_hash({"lgk_config": cfg, "params": par, "T": T,
+    return config_hash({f"{tag}_config": cfg, "params": par, "T": T,
                         "obs_dt": obs_dt, "dt": dt,
                         "record_fft": record_fft, "n_tracers": n_tracers,
                         "rho0_plus": _digest(rho0_plus),
                         "rho0_minus": _digest(rho0_minus)})
 
 
-_LGK_CARRY_FIELDS = ("slots", "tr_site", "tr_slot", "wind", "key")
-
-
-def _save_lgk_chunk(path: Path, frames, carry, tr_valid) -> None:
+def _save_lg_chunk(path: Path, frames, carry, tr_valid,
+                   carry_fields) -> None:
     payload = _flatten_named("frames__", frames)
-    for name, v in zip(_LGK_CARRY_FIELDS, carry):
+    for name, v in zip(carry_fields, carry):
         payload[f"carry__{name}"] = np.asarray(v)
     payload["tr_valid"] = np.asarray(tr_valid)
     _atomic_savez(path, **payload)
 
 
-def _load_lgk_chunk(path: Path):
+def _load_lg_chunk(path: Path, carry_fields):
     from hydrolim_tpu.particles.lattice_gas import LatticeGasFrames
 
     with np.load(path) as z:
         frames = LatticeGasFrames(
             **{f: z[f"frames__{f}"] for f in LatticeGasFrames._fields})
         carry = tuple(jax.numpy.asarray(z[f"carry__{n}"])
-                      for n in _LGK_CARRY_FIELDS)
+                      for n in carry_fields)
         tr_valid = jax.numpy.asarray(z["tr_valid"])
     return frames, carry, tr_valid
 
 
-def run_lattice_gas_k_checkpointed(
-        config, params_b, key, *, T: float, obs_dt: float, dt: float,
-        ckpt_dir, chunk_frames: int = 64, rho0_plus=None, rho0_minus=None,
-        record_fft: bool = True, n_tracers: int = 0, occ_sharding=None,
-        resume: bool = True, stop_after_chunks: Optional[int] = None):
-    """Checkpointed equivalent of
-    :func:`hydrolim_tpu.particles.lattice_gas_k.run_lattice_gas_k` (same
-    argument and return contract: batched ``(frames, final_slots)``).
+def _run_lg_family_checkpointed(
+        eng: dict, config, params_b, key, *, T: float, obs_dt: float,
+        dt: float, ckpt_dir, chunk_frames: int, rho0_plus, rho0_minus,
+        record_fft: bool, n_tracers: int, occ_sharding, resume: bool,
+        stop_after_chunks: Optional[int]):
+    """Shared checkpoint driver for the batched lattice-gas engines.
 
-    The batched frame scan runs in ``chunk_frames``-frame chunks with an
-    atomic checkpoint of each chunk's frames plus the carry (slot field,
-    tracer sites/slots/windings, per-replica keys) and the phantom-tracer
-    mask after each; resume restores the newest complete chunk and the
-    stitched result is bit-identical to the unsplit run."""
-    from hydrolim_tpu.particles.lattice_gas_k import (
-        _lgk_carry0,
-        _lgk_scan_range,
-        lgk_init,
-    )
+    ``eng`` describes one engine: ``tag`` (hash namespace), ``init``
+    (per-replica field init), ``init_2d`` (whether per-replica 2-D
+    intensity profiles are supported), ``carry0``/``scan_range`` (the
+    engine's batched carry builder and range scan), ``carry_fields``
+    (npz field names for the carry tuple)."""
     from hydrolim_tpu.particles.run import substeps_for
 
     ckpt_dir = Path(ckpt_dir)
@@ -490,9 +483,11 @@ def run_lattice_gas_k_checkpointed(
     n_frames = len(np.arange(0.0, T, obs_dt))
     assert n_frames >= 1, "T <= 0: nothing to checkpoint"
     n_sub = substeps_for(obs_dt, dt)
-    run_hash = _lgk_run_hash(config, params_b, T=T, obs_dt=obs_dt, dt=dt,
-                             record_fft=record_fft, n_tracers=n_tracers,
-                             rho0_plus=rho0_plus, rho0_minus=rho0_minus)
+    run_hash = _lg_engine_run_hash(
+        eng["tag"], config, params_b, T=T, obs_dt=obs_dt, dt=dt,
+        record_fft=record_fft, n_tracers=n_tracers, rho0_plus=rho0_plus,
+        rho0_minus=rho0_minus)
+    carry_fields = eng["carry_fields"]
 
     manifest_path = ckpt_dir / "manifest.json"
     done = 0
@@ -523,25 +518,27 @@ def run_lattice_gas_k_checkpointed(
                      "chunk_frames": chunk_frames, "n_chunks": n_chunks})
 
     if done > 0:
-        _, carry, tr_valid = _load_lgk_chunk(_chunk_path(ckpt_dir, done - 1))
+        _, carry, tr_valid = _load_lg_chunk(_chunk_path(ckpt_dir, done - 1),
+                                            carry_fields)
         frame0 = None
     else:
-        # prologue identical to run_lattice_gas_k (key fan-out, init)
+        # prologue identical to the engine's runner (key fan-out, init)
         B = params_b.beta.shape[0]
         keys = jax.random.split(key, B)
         init_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
-        if rho0_plus is not None and np.ndim(rho0_plus) == 2:
-            slots0 = jax.vmap(
-                lambda k, rp, rm: lgk_init(config, k, rp, rm))(
+        if (eng["init_2d"] and rho0_plus is not None
+                and np.ndim(rho0_plus) == 2):
+            field0 = jax.vmap(
+                lambda k, rp, rm: eng["init"](config, k, rp, rm))(
                     init_keys, jax.numpy.asarray(rho0_plus),
                     jax.numpy.asarray(rho0_minus))
         else:
-            slots0 = jax.vmap(lambda k: lgk_init(config, k, rho0_plus,
-                                                 rho0_minus))(init_keys)
+            field0 = jax.vmap(lambda k: eng["init"](config, k, rho0_plus,
+                                                    rho0_minus))(init_keys)
         if occ_sharding is not None:
-            slots0 = jax.device_put(slots0, occ_sharding)
-        carry, tr_valid, frame0 = _lgk_carry0(
-            config, params_b, slots0, keys, n_sub=n_sub, obs_dt=obs_dt,
+            field0 = jax.device_put(field0, occ_sharding)
+        carry, tr_valid, frame0 = eng["carry0"](
+            config, params_b, field0, keys, n_sub=n_sub, obs_dt=obs_dt,
             record_fft=record_fft, n_tracers=n_tracers)
 
     # pipelined: dispatch chunk c+1 before saving chunk c (see the
@@ -559,9 +556,9 @@ def run_lattice_gas_k_checkpointed(
             f0_ = jax.tree.map(lambda a: np.asarray(a)[:, None], f0_)
             frames_ = f0_ if frames_ is None else jax.tree.map(
                 lambda a, b: np.concatenate([a, b], axis=1), f0_, frames_)
-        _save_lgk_chunk(_chunk_path(ckpt_dir, c_), frames_,
-                        jax.tree.map(np.asarray, carry_),
-                        np.asarray(tr_valid))
+        _save_lg_chunk(_chunk_path(ckpt_dir, c_), frames_,
+                       jax.tree.map(np.asarray, carry_),
+                       np.asarray(tr_valid), carry_fields)
         pending = None
 
     executed = 0
@@ -574,7 +571,7 @@ def run_lattice_gas_k_checkpointed(
         # frame 0 is the initial record; stepped frames are 1..n_frames-1
         length = (hi - 1) if lo == 0 else (hi - lo)
         if length > 0:
-            carry, frames = _lgk_scan_range(
+            carry, frames = eng["scan_range"](
                 config, params_b, carry, tr_valid, length=length,
                 n_sub=n_sub, obs_dt=obs_dt, record_fft=record_fft,
                 n_tracers=n_tracers)
@@ -587,7 +584,56 @@ def run_lattice_gas_k_checkpointed(
 
     stacks = []
     for c in range(n_chunks):
-        frames, carry, tr_valid = _load_lgk_chunk(_chunk_path(ckpt_dir, c))
+        frames, carry, tr_valid = _load_lg_chunk(_chunk_path(ckpt_dir, c),
+                                                 carry_fields)
         stacks.append(frames)
     frames = jax.tree.map(lambda *xs: np.concatenate(xs, axis=1), *stacks)
     return frames, np.asarray(carry[0])
+
+
+def run_lattice_gas_k_checkpointed(
+        config, params_b, key, *, T: float, obs_dt: float, dt: float,
+        ckpt_dir, chunk_frames: int = 64, rho0_plus=None, rho0_minus=None,
+        record_fft: bool = True, n_tracers: int = 0, occ_sharding=None,
+        resume: bool = True, stop_after_chunks: Optional[int] = None):
+    """Checkpointed equivalent of
+    :func:`hydrolim_tpu.particles.lattice_gas_k.run_lattice_gas_k` (same
+    argument and return contract: batched ``(frames, final_slots)``).
+
+    The batched frame scan runs in ``chunk_frames``-frame chunks with an
+    atomic checkpoint of each chunk's frames plus the carry (slot field,
+    tracer sites/slots/windings, per-replica keys) and the phantom-tracer
+    mask after each; resume restores the newest complete chunk and the
+    stitched result is bit-identical to the unsplit run."""
+    from hydrolim_tpu.particles import lattice_gas_k as lgk
+
+    eng = dict(tag="lgk", init=lgk.lgk_init, init_2d=True,
+               carry0=lgk._lgk_carry0, scan_range=lgk._lgk_scan_range,
+               carry_fields=("slots", "tr_site", "tr_slot", "wind", "key"))
+    return _run_lg_family_checkpointed(
+        eng, config, params_b, key, T=T, obs_dt=obs_dt, dt=dt,
+        ckpt_dir=ckpt_dir, chunk_frames=chunk_frames, rho0_plus=rho0_plus,
+        rho0_minus=rho0_minus, record_fft=record_fft, n_tracers=n_tracers,
+        occ_sharding=occ_sharding, resume=resume,
+        stop_after_chunks=stop_after_chunks)
+
+
+def run_lattice_gas_checkpointed(
+        config, params_b, key, *, T: float, obs_dt: float, dt: float,
+        ckpt_dir, chunk_frames: int = 64, rho0_plus=None, rho0_minus=None,
+        record_fft: bool = True, n_tracers: int = 0, occ_sharding=None,
+        resume: bool = True, stop_after_chunks: Optional[int] = None):
+    """Checkpointed equivalent of the K=1 site-centric engine
+    :func:`hydrolim_tpu.particles.lattice_gas.run_lattice_gas` — same
+    contract and bit-identity guarantee as the slot-engine variant."""
+    from hydrolim_tpu.particles import lattice_gas as lg
+
+    eng = dict(tag="lg1", init=lg.lg_init, init_2d=False,
+               carry0=lg._lg_carry0, scan_range=lg._lg_scan_range,
+               carry_fields=("occ", "tr", "wind", "key"))
+    return _run_lg_family_checkpointed(
+        eng, config, params_b, key, T=T, obs_dt=obs_dt, dt=dt,
+        ckpt_dir=ckpt_dir, chunk_frames=chunk_frames, rho0_plus=rho0_plus,
+        rho0_minus=rho0_minus, record_fft=record_fft, n_tracers=n_tracers,
+        occ_sharding=occ_sharding, resume=resume,
+        stop_after_chunks=stop_after_chunks)

@@ -379,3 +379,49 @@ def test_sweep_over_betas_ckpt_dir_matches_uncheckpointed(tmp_path):
     np.testing.assert_array_equal(a["m_means"], b["m_means"])
     np.testing.assert_array_equal(a["D_means"], b["D_means"])
     assert (tmp_path / "ck" / "manifest.json").exists()
+
+
+def test_lg1_chunked_bit_identical_and_resumes(tmp_path):
+    """K=1 site-centric engine: same checkpoint contract as the slot
+    engine (the reference flagship sweeps are K=1, so this is the route
+    sweep_over_betas(ckpt_dir=) takes at site_capacity=1)."""
+    from hydrolim_tpu.particles.lattice_gas import run_lattice_gas
+    from hydrolim_tpu.utils.checkpoint import run_lattice_gas_checkpointed
+
+    config, params = _lgk_parts(K=1, N=30)
+    key = jax.random.PRNGKey(77)
+    T, obs_dt, dt = 1.1, 0.1, 0.02
+    straight_frames, straight_occ = jax.tree.map(np.asarray,
+        run_lattice_gas(config, params, key, T=T, obs_dt=obs_dt, dt=dt,
+                        n_tracers=12))
+    ck = tmp_path / "ck"
+    partial = run_lattice_gas_checkpointed(
+        config, params, key, T=T, obs_dt=obs_dt, dt=dt, n_tracers=12,
+        ckpt_dir=ck, chunk_frames=4, stop_after_chunks=1)
+    assert partial is None
+    frames, occ = run_lattice_gas_checkpointed(
+        config, params, key, T=T, obs_dt=obs_dt, dt=dt, n_tracers=12,
+        ckpt_dir=ck, chunk_frames=4)
+    for field in straight_frames._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(frames, field)),
+            np.asarray(getattr(straight_frames, field)), err_msg=field)
+    np.testing.assert_array_equal(np.asarray(occ), straight_occ)
+
+
+def test_sweep_ckpt_dir_k1_route(tmp_path):
+    from hydrolim_tpu.sweeps.beta_sweep import sweep_over_betas
+
+    kw = dict(
+        beta_values=np.linspace(0.5, 2.0, 2), n_runs_per_beta=2,
+        ps_kwargs=dict(L=48, xlim=1, rate_diffusion=0.5, rate_active=2.0,
+                       N=24, init="fixed", scale_rates=False,
+                       local_kernel_sigma=0.0, periodic=True,
+                       site_capacity=1, k_on=0, k_off=0, k_exit=0),
+        run_kwargs=dict(T=0.4, obs_dt=0.1), outdir=str(tmp_path),
+        seed=2, engine="lattice_gas", plot_result=False, do_fit=False)
+    a = sweep_over_betas(npz_path=str(tmp_path / "a.npz"), **kw)
+    b = sweep_over_betas(npz_path=str(tmp_path / "b.npz"),
+                         ckpt_dir=tmp_path / "ck", **kw)
+    np.testing.assert_array_equal(a["means"], b["means"])
+    np.testing.assert_array_equal(a["m_means"], b["m_means"])
