@@ -19,7 +19,8 @@ from hydrolim_tpu.sweeps.double_sweep import double_sweep_fused
 
 
 def main(small: bool = False, outdir: str = "double_sweep_out",
-         engine: str = "particle", n_devices: int = None):
+         engine: str = "particle", n_devices: int = None,
+         ckpt_dir: str = None):
     if small:
         betas = np.linspace(0, 3, 4)
         Ns = np.linspace(40, 160, 4)
@@ -31,7 +32,7 @@ def main(small: bool = False, outdir: str = "double_sweep_out",
         kw = dict(n_runs_per_beta=4, run_kwargs=dict(T=10, obs_dt=0.1))
     # fused: the whole (N x beta x runs) grid is one compiled program
     res = double_sweep_fused(betas, Ns, outdir=outdir, engine=engine,
-                             n_devices=n_devices, **kw)
+                             n_devices=n_devices, ckpt_dir=ckpt_dir, **kw)
     print("f(rho):", np.round(res["f_fit"], 3))
     print("g(rho):", np.round(res["g_fit"], 3))
     print(f"C0={res['C0']:.6f}  C1={res['C1']:.6f}  C2={res['C2']:.6f}")
@@ -46,5 +47,8 @@ if __name__ == "__main__":
     p.add_argument("--engine", default="particle",
                    choices=["particle", "lattice_gas", "pallas"])
     p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--ckpt-dir", default=None,
+                   help="chunk-ledger checkpoint/resume dir")
     a = p.parse_args()
-    main(a.small, a.outdir, engine=a.engine, n_devices=a.n_devices)
+    main(a.small, a.outdir, engine=a.engine, n_devices=a.n_devices,
+         ckpt_dir=a.ckpt_dir)

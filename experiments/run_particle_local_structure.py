@@ -25,7 +25,7 @@ from hydrolim_tpu.viz.structure_plots import run_all_plots
 
 def main(small: bool = False, outdir: str = "local_structure_out",
          run: bool = True, engine: str = "particle",
-         n_devices: int = None):
+         n_devices: int = None, ckpt_dir: str = None):
     npz = f"{outdir}/beta_sweep_local_structure.npz"
     if small:
         betas = np.linspace(0, 3, 4)
@@ -39,7 +39,8 @@ def main(small: bool = False, outdir: str = "local_structure_out",
         results = sweep_betas_for_structures(betas, n_runs, ps_kwargs=ps,
                                              run_kwargs=rk, keep_outs=True,
                                              engine=engine,
-                                             n_devices=n_devices)
+                                             n_devices=n_devices,
+                                             ckpt_dir=ckpt_dir)
         import pathlib
         pathlib.Path(outdir).mkdir(parents=True, exist_ok=True)
         save_structure_results(results, npz)
@@ -62,6 +63,8 @@ if __name__ == "__main__":
     p.add_argument("--engine", default="particle",
                    choices=["particle", "lattice_gas", "pallas"])
     p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--ckpt-dir", default=None,
+                   help="mid-run checkpoint/resume dir (engine=lattice_gas)")
     a = p.parse_args()
     main(a.small, a.outdir, run=not a.replot, engine=a.engine,
-         n_devices=a.n_devices)
+         n_devices=a.n_devices, ckpt_dir=a.ckpt_dir)

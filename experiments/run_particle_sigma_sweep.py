@@ -26,7 +26,7 @@ from hydrolim_tpu.sweeps.sigma_sweep import (
 
 def main(small: bool = False, outdir: str = "sigma_sweep_out",
          run: bool = True, engine: str = "particle",
-         n_devices: int = None):
+         n_devices: int = None, ckpt_dir: str = None):
     if small:
         sigmas = [0.005, 0.05, 0]
         betas = np.linspace(0, 3, 4)
@@ -40,7 +40,7 @@ def main(small: bool = False, outdir: str = "sigma_sweep_out",
     results = sweep_over_sigmas(sigmas, betas, n_runs_per_beta=n_runs,
                                 run=run, ps_kwargs=ps, run_kwargs=rk,
                                 outdir=outdir, engine=engine,
-                                n_devices=n_devices)
+                                n_devices=n_devices, ckpt_dir=ckpt_dir)
     plot_v_eff_all_sigmas(results, outdir)
     plot_D_eff_all_sigmas(results, outdir)
     plot_v_eff_vs_sigma_all_beta(results, outdir)
@@ -58,6 +58,8 @@ if __name__ == "__main__":
     p.add_argument("--engine", default="particle",
                    choices=["particle", "lattice_gas", "pallas"])
     p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--ckpt-dir", default=None,
+                   help="mid-run checkpoint/resume dir (engine=lattice_gas)")
     a = p.parse_args()
     main(a.small, a.outdir, run=not a.replot, engine=a.engine,
-         n_devices=a.n_devices)
+         n_devices=a.n_devices, ckpt_dir=a.ckpt_dir)

@@ -102,7 +102,9 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
                        run_kwargs: Optional[Dict] = None, outdir: str = ".",
                        seed: int = 0, plot_result: bool = True,
                        chunk_size: int = 44, engine: str = "particle",
-                       n_devices: Optional[int] = None) -> Dict:
+                       n_devices: Optional[int] = None, ckpt_dir=None,
+                       resume: bool = True,
+                       stop_after_chunks: Optional[int] = None) -> Dict:
     """The whole (N × β × replicas) grid as ONE compiled program.
 
     N enters only through the Poisson init intensities, so every grid point
@@ -110,7 +112,18 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
     reference (:851-873) compiles exactly once; the batch executes in
     fixed-size chunks (``chunk_size`` replicas, same shapes ⇒ same
     executable) to bound device memory.  Blocking-probability (f, g) fits
-    and the C0/C1/C2 meta-fit run host-side afterwards."""
+    and the C0/C1/C2 meta-fit run host-side afterwards.
+
+    ``ckpt_dir=`` makes the grid preemption-safe at chunk granularity
+    (a *chunk ledger*): each replica chunk's blocking probabilities are
+    written atomically after the chunk completes, and a resumed call
+    (``resume=True``) re-executes only the chunks whose ledger entry is
+    missing — chunks draw independent ``fold_in(seed, c0)`` keys, so the
+    stitched result is bit-identical to an uninterrupted run.  Unlike the
+    mid-scan checkpoints (utils.checkpoint), ``chunk_size`` IS part of the
+    ledger hash here: it determines the key schedule, not just I/O layout.
+    ``stop_after_chunks=k`` executes at most ``k`` new chunks and returns
+    ``None`` if incomplete (simulated-preemption test hook)."""
     import jax
 
     from hydrolim_tpu.sweeps.beta_sweep import (
@@ -179,7 +192,63 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
     Bp = -(-Cs // n_sw) * n_sw
     p_block_flat = np.zeros((B,), float)
     times = np.arange(0.0, T, obs_dt)
+    ledger = None
+    if ckpt_dir is not None:
+        # chunk ledger (see docstring): n_devices is deliberately NOT
+        # hashed — the chunk stride and keys are mesh-independent, and the
+        # on-device estimator agrees across shard layouts to ~1 ulp
+        # (docs/ROADMAP.md, float-record reassociation note)
+        from hydrolim_tpu.sweeps.persistence import config_hash
+        from hydrolim_tpu.utils.checkpoint import (
+            _atomic_savez,
+            _read_manifest,
+            _write_manifest,
+        )
+
+        ledger = Path(ckpt_dir)
+        ledger.mkdir(parents=True, exist_ok=True)
+        run_hash = config_hash({
+            "beta_values": beta_values.tolist(),
+            "list_N_part": list_N_part.tolist(), "nr": nr,
+            "base": {k: repr(v) for k, v in sorted(base.items())
+                     if not callable(v)},
+            "callable_keys": sorted(k for k, v in base.items()
+                                    if callable(v)),
+            "rk": {k: repr(v) for k, v in sorted(rk.items())},
+            "seed": seed, "chunk_size": Cs, "engine": engine})
+        manifest_path = ledger / "manifest.json"
+        if resume and manifest_path.exists():
+            manifest = _read_manifest(manifest_path)
+            if manifest is None:
+                raise ValueError(
+                    f"unreadable manifest at {manifest_path} — cannot "
+                    "verify the existing ledger belongs to this sweep; "
+                    "pass resume=False to start over or use a fresh dir")
+            if manifest.get("run_hash") != run_hash:
+                raise ValueError(
+                    f"chunk ledger at {ledger} belongs to a different "
+                    f"double sweep (hash {manifest.get('run_hash')!r} != "
+                    f"{run_hash!r}); pass resume=False to overwrite or "
+                    "use a fresh dir")
+        if not resume:
+            for p in ledger.glob("chunk_*.npz"):
+                p.unlink()
+        _write_manifest(manifest_path,
+                        {"run_hash": run_hash, "B": B, "chunk_size": Cs})
+    executed = 0
+    incomplete = False
     for c0 in range(0, B, Cs):
+        if ledger is not None:
+            cpath = ledger / f"chunk_{c0:07d}.npz"
+            if cpath.exists():
+                with np.load(cpath) as z:
+                    vals = z["p_block"]
+                p_block_flat[c0:c0 + len(vals)] = vals
+                continue
+            if (stop_after_chunks is not None
+                    and executed >= stop_after_chunks):
+                incomplete = True
+                break
         n_real = min(Cs, B - c0)
         sl = slice(c0, c0 + n_real)
         pad = Bp - n_real
@@ -221,6 +290,12 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
             total, m_g, rho_p, times,
             dx=config.dx, xlim=float(config.xlim), has_positions=False))
         p_block_flat[sl] = np.asarray(est.p_block)[:n_real]
+        if ledger is not None:
+            _atomic_savez(ledger / f"chunk_{c0:07d}.npz",
+                          p_block=p_block_flat[sl])
+            executed += 1
+    if incomplete:
+        return None
 
     K = int(base["site_capacity"])
     f_fit, f_err, g_fit, g_err, per_N = [], [], [], [], []

@@ -82,12 +82,14 @@ def sweep_beta_structure_ensemble(beta, n_runs: int, ps_kwargs: Dict,
 
 def _lattice_gas_outs(beta_values, n_runs, ps_kwargs, init_kwargs,
                       run_kwargs, seed, kernel: str = "xla",
-                      n_devices: Optional[int] = None):
+                      n_devices: Optional[int] = None, ckpt_dir=None):
     """Run the (β × replicas) grid on the site-centric lattice-gas engine
     (K=1 occ field, or the K>1 slot engine) and return reference-schema out
     dicts per replica.  ``kernel='auto'`` routes supported configurations to
     the fused Pallas slot kernel on TPU (structure observables need no
-    particle identity, so n_tracers=0)."""
+    particle identity, so n_tracers=0).  ``ckpt_dir=`` routes the grid
+    through the checkpointed runners (utils.checkpoint) for mid-run
+    preemption safety — single-device XLA only, as in beta_sweep."""
     import jax
 
     from hydrolim_tpu.particles.init import eval_profile
@@ -132,6 +134,21 @@ def _lattice_gas_outs(beta_values, n_runs, ps_kwargs, init_kwargs,
         # mesh-padded batch (fast_exclusion bit-identity contract)
         run_lattice_gas = functools.partial(run_lattice_gas, mesh=mesh,
                                             b_real=B)
+    if ckpt_dir is not None:
+        from hydrolim_tpu.utils.checkpoint import (
+            run_lattice_gas_checkpointed,
+            run_lattice_gas_k_checkpointed,
+        )
+
+        assert kernel == "xla", (
+            "ckpt_dir requires the XLA lattice-gas engines (the fused "
+            "Pallas route runs uncheckpointed)")
+        assert mesh is None or mesh.size == 1, (
+            "structure-sweep ckpt_dir is single-device (resume cannot "
+            "restore mesh placement); drop n_devices or the checkpoint")
+        run_lattice_gas = functools.partial(
+            run_lattice_gas_k_checkpointed if config.K > 1
+            else run_lattice_gas_checkpointed, ckpt_dir=ckpt_dir)
     frames, _ = run_lattice_gas(config, params, jax.random.PRNGKey(seed),
                                 T=T, obs_dt=obs_dt, dt=dt,
                                 rho0_plus=rho0_p, rho0_minus=rho0_m)
@@ -162,7 +179,8 @@ def sweep_betas_for_structures(beta_values, n_runs_per_beta: int,
                                k_max: Optional[int] = None, seed: int = 0,
                                keep_outs: bool = True,
                                engine: str = "particle",
-                               n_devices: Optional[int] = None) -> Dict:
+                               n_devices: Optional[int] = None,
+                               ckpt_dir=None) -> Dict:
     """β grid → {β: ensemble results} (:167-193).  The full
     (β × replicas) grid runs as one vmapped program.
 
@@ -179,12 +197,16 @@ def sweep_betas_for_structures(beta_values, n_runs_per_beta: int,
                               anchor_positions=None)
         init_kwargs = dict(rho0_plus=g[0], rho0_minus=g[1])
     beta_values = np.asarray(beta_values, dtype=float)
+    if ckpt_dir is not None:
+        assert engine == "lattice_gas", (
+            "ckpt_dir requires engine='lattice_gas' (the particle grid "
+            "and the fused Pallas route run uncheckpointed)")
     if engine in ("lattice_gas", "pallas"):
         config, out_for = _lattice_gas_outs(
             beta_values, n_runs_per_beta, ps_kwargs, init_kwargs,
             run_kwargs, seed,
             kernel="auto" if engine == "pallas" else "xla",
-            n_devices=n_devices)
+            n_devices=n_devices, ckpt_dir=ckpt_dir)
     else:
         config, res, _ = run_sweep_grid(beta_values, n_runs_per_beta,
                                         ps_kwargs, init_kwargs, run_kwargs,

@@ -34,11 +34,19 @@ def sweep_over_sigmas(sigma_values: Sequence[float], beta_values,
                       outdir: str = ".", seed: int = 0,
                       archive: str = "v_eff_all_sigmas.npz",
                       resume: bool = True, engine: str = "particle",
-                      n_devices: Optional[int] = None) -> Dict:
+                      n_devices: Optional[int] = None,
+                      ckpt_dir=None) -> Dict:
     """{σ: {beta, v_mean, v_se, D_mean, D_se, ps_kwargs}} (:1030-1075).
 
     ``resume=True`` reloads σ values whose per-σ npz checkpoint already
-    exists (restart semantics after a crash or interruption)."""
+    exists (restart semantics after a crash or interruption).
+
+    ``ckpt_dir=`` additionally makes the σ **in flight** preemption-safe:
+    each σ's (β × replicas) grid program runs through the checkpointed
+    slot engine (``utils.checkpoint``) with its own subdirectory
+    ``<ckpt_dir>/sigma_<σ>``, so a kill mid-σ resumes from the newest
+    complete chunk instead of restarting that σ's grid.  Requires
+    ``engine='lattice_gas'`` (the sweep_over_betas ckpt contract)."""
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
     beta_values = np.asarray(beta_values, dtype=float)
@@ -60,7 +68,9 @@ def sweep_over_sigmas(sigma_values: Sequence[float], beta_values,
                 beta_values, n_runs_per_beta=n_runs_per_beta, run=True,
                 ps_kwargs=pk, run_kwargs=run_kwargs, npz_path=str(npz_path),
                 outdir=str(out), seed=seed + 1000 * k_idx, do_fit=False,
-                plot_result=False, engine=engine, n_devices=n_devices)
+                plot_result=False, engine=engine, n_devices=n_devices,
+                ckpt_dir=None if ckpt_dir is None
+                else str(Path(ckpt_dir) / f"sigma_{sigma:.4g}"))
         results[float(sigma)] = {
             "beta": beta_values,
             "v_mean": save_dict["means"],

@@ -425,3 +425,110 @@ def test_sweep_ckpt_dir_k1_route(tmp_path):
                          ckpt_dir=tmp_path / "ck", **kw)
     np.testing.assert_array_equal(a["means"], b["means"])
     np.testing.assert_array_equal(a["m_means"], b["m_means"])
+
+
+# ---------------------------------------------------------------------------
+# sweep surfaces: σ-sweep, (N,β) double-sweep ledger, structure sweep
+# ---------------------------------------------------------------------------
+
+_DS_KW = dict(
+    n_runs_per_beta=2, engine="lattice_gas", plot_result=False,
+    ps_kwargs=dict(L=48, N=24, rate_diffusion=0.5, rate_active=2.0,
+                   local_kernel_sigma=0.0, site_capacity=2),
+    run_kwargs=dict(T=0.6, obs_dt=0.1), chunk_size=5, seed=3)
+
+
+def test_double_sweep_ledger_bit_identical_and_resumes(tmp_path):
+    """The (N,β) grid's chunk ledger: a run preempted mid-grid resumes by
+    re-executing only the missing replica chunks (independent fold_in keys
+    per chunk), and the fitted constants equal the uninterrupted run's
+    exactly."""
+    from hydrolim_tpu.sweeps.double_sweep import double_sweep_fused
+
+    betas = np.linspace(0.5, 2.0, 3)
+    Ns = [16.0, 24.0]                       # B = 2*3*2 = 12 -> 3 chunks of 5/5/2
+    plain = double_sweep_fused(betas, Ns, outdir=str(tmp_path / "a"),
+                               **_DS_KW)
+    ck = tmp_path / "ck"
+    partial = double_sweep_fused(betas, Ns, outdir=str(tmp_path / "b"),
+                                 ckpt_dir=ck, stop_after_chunks=1, **_DS_KW)
+    assert partial is None
+    assert (ck / "chunk_0000000.npz").exists()
+    assert not (ck / "chunk_0000005.npz").exists()
+    resumed = double_sweep_fused(betas, Ns, outdir=str(tmp_path / "b"),
+                                 ckpt_dir=ck, **_DS_KW)
+    for k in ("C0", "C1", "C2", "f_fit", "g_fit"):
+        np.testing.assert_array_equal(np.asarray(plain[k]),
+                                      np.asarray(resumed[k]), err_msg=k)
+    for pn_a, pn_b in zip(plain["per_N"], resumed["per_N"]):
+        np.testing.assert_array_equal(pn_a["block_means"],
+                                      pn_b["block_means"])
+
+
+def test_double_sweep_ledger_hash_guard(tmp_path):
+    """chunk_size IS physics for the ledger (it sets the fold_in key
+    schedule), and any grid/seed change refuses to stitch."""
+    import pytest
+
+    from hydrolim_tpu.sweeps.double_sweep import double_sweep_fused
+
+    betas = np.linspace(0.5, 2.0, 2)
+    Ns = [16.0, 24.0]
+    ck = tmp_path / "ck"
+    double_sweep_fused(betas, Ns, outdir=str(tmp_path / "a"), ckpt_dir=ck,
+                       **_DS_KW)
+    with pytest.raises(ValueError, match="different double sweep"):
+        double_sweep_fused(betas, Ns, outdir=str(tmp_path / "a"),
+                           ckpt_dir=ck, **dict(_DS_KW, seed=4))
+    with pytest.raises(ValueError, match="different double sweep"):
+        double_sweep_fused(betas, Ns, outdir=str(tmp_path / "a"),
+                           ckpt_dir=ck, **dict(_DS_KW, chunk_size=3))
+    # resume=False starts the ledger over instead
+    res = double_sweep_fused(betas, Ns, outdir=str(tmp_path / "a"),
+                             ckpt_dir=ck, resume=False,
+                             **dict(_DS_KW, seed=4))
+    assert res is not None
+
+
+def test_sigma_sweep_ckpt_dir_matches_plain(tmp_path):
+    """Each σ's in-flight grid program runs through the checkpointed slot
+    engine under its own subdirectory; results equal the plain sweep."""
+    from hydrolim_tpu.sweeps.sigma_sweep import sweep_over_sigmas
+
+    kw = dict(sigma_values=[0.05, 0.0], beta_values=np.linspace(0.5, 2, 2),
+              n_runs_per_beta=2, engine="lattice_gas", seed=6,
+              ps_kwargs=dict(L=48, N=24, site_capacity=1),
+              run_kwargs=dict(T=0.5, obs_dt=0.1))
+    a = sweep_over_sigmas(outdir=str(tmp_path / "a"), **kw)
+    b = sweep_over_sigmas(outdir=str(tmp_path / "b"),
+                          ckpt_dir=tmp_path / "ck", **kw)
+    for s in a:
+        np.testing.assert_array_equal(a[s]["v_mean"], b[s]["v_mean"],
+                                      err_msg=f"sigma={s}")
+        np.testing.assert_array_equal(a[s]["D_mean"], b[s]["D_mean"],
+                                      err_msg=f"sigma={s}")
+    assert (tmp_path / "ck" / "sigma_0.05" / "manifest.json").exists()
+    assert (tmp_path / "ck" / "sigma_0" / "manifest.json").exists()
+
+
+def test_structure_sweep_ckpt_dir_matches_plain(tmp_path):
+    """The structure β-sweep routes its lattice-gas grid through the
+    checkpointed runner when ckpt_dir is given."""
+    from hydrolim_tpu.sweeps.local_structure import sweep_betas_for_structures
+
+    kw = dict(beta_values=np.linspace(0.5, 2.0, 2), n_runs_per_beta=2,
+              ps_kwargs=dict(L=64, N=40, periodic=True, site_capacity=1,
+                             minus_anchor=False,
+                             immobilize_when_anchored=False),
+              run_kwargs=dict(T=1.0, obs_dt=0.2), seed=8,
+              engine="lattice_gas", keep_outs=False)
+    a = sweep_betas_for_structures(**kw)
+    b = sweep_betas_for_structures(ckpt_dir=tmp_path / "ck", **kw)
+    for beta in a:
+        for field in ("var_mean", "low_k_power_mean", "m_local_var_mean",
+                      "lowk_var_mean"):
+            np.testing.assert_array_equal(a[beta][field], b[beta][field],
+                                          err_msg=f"{beta}:{field}")
+        np.testing.assert_array_equal(a[beta]["fft_mean_mean"],
+                                      b[beta]["fft_mean_mean"])
+    assert (tmp_path / "ck" / "manifest.json").exists()
