@@ -26,9 +26,12 @@ from hydrolim_tpu.sweeps.pde_sweeps import (
 
 
 def main(which: str, small: bool = False, outdir: str = "pde_out",
-         engine: str = "xla", n_devices: int = None):
+         engine: str = "xla", n_devices: int = None,
+         ckpt_dir: str = None):
     if which == "single":
         kw = dict(L=128, T=2.0, dt=1e-3) if small else {}
+        if ckpt_dir is not None:
+            kw["ckpt_dir"] = ckpt_dir
         out = pde_single_run(outdir=outdir, **kw)
         print("final m:", out["m_series"][-1])
         return out
@@ -37,10 +40,10 @@ def main(which: str, small: bool = False, outdir: str = "pde_out",
             r = pde_beta_sweep(np.linspace(0, 3, 4), n_runs=2, T=6.0,
                                t_min=4.0, t_max=6.0, L=128, dt=1e-3,
                                n_tracers=200, outdir=outdir, engine=engine,
-                               n_devices=n_devices)
+                               n_devices=n_devices, ckpt_dir=ckpt_dir)
         else:
             r = pde_beta_sweep(outdir=outdir, engine=engine,
-                               n_devices=n_devices)
+                               n_devices=n_devices, ckpt_dir=ckpt_dir)
         print("v(beta):", np.round(r["v_mean"], 4))
         print("D(beta):", np.round(r["D_mean"], 4))
         return r
@@ -49,7 +52,8 @@ def main(which: str, small: bool = False, outdir: str = "pde_out",
                   kernel_sigma_values=[0.005, 0.05, 1.0], n_runs=2) \
             if small else {}
         r = pde_kernel_sigma_sweep(variant=which, outdir=outdir,
-                                   engine=engine, n_devices=n_devices, **kw)
+                                   engine=engine, n_devices=n_devices,
+                                   ckpt_dir=ckpt_dir, **kw)
         print("final |m| per sigma:",
               {s: float(np.mean(v[:, -1])) for s, v in r["m"].items()})
         return r
@@ -69,6 +73,9 @@ if __name__ == "__main__":
     p.add_argument("--n-devices", type=int, default=None,
                    help="shard the (beta x runs) batch over this many "
                         "devices (XLA engine; 'sweep'-axis DP)")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="mid-run checkpoint/resume dir (XLA engine, "
+                        "single-device)")
     a = p.parse_args()
     main(a.which, a.small, a.outdir, engine=a.engine,
-         n_devices=a.n_devices)
+         n_devices=a.n_devices, ckpt_dir=a.ckpt_dir)

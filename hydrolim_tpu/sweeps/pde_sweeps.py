@@ -36,7 +36,7 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
                      mode: str = "homogeneous", rho0: float = 1.0,
                      noise: float = 0.3, n_tracers: int = 1000,
                      engine: str = "xla", fetch_snapshots: bool = True,
-                     mesh=None, n_devices=None):
+                     mesh=None, n_devices=None, ckpt_dir=None):
     """Vmapped (β × runs) PDE batch; returns the batched PDESolveResult and
     the flattened β array.
 
@@ -59,7 +59,13 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
     ``mesh=``/``n_devices=`` shard the flattened (β × runs) batch over the
     mesh's 'sweep' axis (XLA engine; batch padded to the mesh multiple with
     bit-identical real replicas — parallel.mesh.pad_batch).  The fused
-    Pallas engine runs single-chip and ignores the mesh."""
+    Pallas engine runs single-chip and ignores the mesh.
+
+    ``ckpt_dir=`` makes the in-flight grid program preemption-safe: the
+    batched snapshot-block scan runs through
+    :func:`~hydrolim_tpu.utils.checkpoint.run_pde_ensemble_checkpointed`
+    (bit-identical stitched result).  XLA engine, single-device — as with
+    the particle sweeps, a resumed carry reloads without mesh placement."""
     from hydrolim_tpu.parallel.mesh import pad_and_shard, resolve_sweep_mesh
 
     if float(gamma) == 0.0 and config.diffusion_solver == "auto":
@@ -78,6 +84,10 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
         beta=jnp.asarray(flat_beta))
     ops = build_pde_ops(config, make_pde_params(gamma=gamma, lam=lam,
                                                 beta=0.0))
+    if ckpt_dir is not None:
+        assert engine == "xla", (
+            "ckpt_dir requires engine='xla' (the fused Pallas route runs "
+            "uncheckpointed)")
     if engine != "xla":
         from hydrolim_tpu.pde.fast_solve import (
             _kmax_rec,
@@ -114,9 +124,22 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
                                 noise=noise, n_tracers=n_tracers)
     rho_p, rho_m, tracers = jax.vmap(init_fn)(keys)
     solve_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
-    solve = jax.vmap(
-        lambda p, rp, rm, tr, k: pde_solve(config, p, ops, rp, rm, tr, k))
-    res = solve(params_b, rho_p, rho_m, tracers, solve_keys)
+    if ckpt_dir is not None:
+        from hydrolim_tpu.utils.checkpoint import (
+            run_pde_ensemble_checkpointed,
+        )
+
+        assert mesh is None or mesh.size == 1, (
+            "PDE-ensemble ckpt_dir is single-device (resume cannot restore "
+            "mesh placement); drop n_devices/mesh or the checkpoint")
+        res = run_pde_ensemble_checkpointed(
+            config, params_b, ops, rho_p, rho_m, tracers, solve_keys,
+            ckpt_dir=ckpt_dir)
+    else:
+        solve = jax.vmap(
+            lambda p, rp, rm, tr, k: pde_solve(config, p, ops, rp, rm, tr,
+                                               k))
+        res = solve(params_b, rho_p, rho_m, tracers, solve_keys)
     if Bp != B:
         res = jax.tree.map(lambda a: a[:B], res)
     if not fetch_snapshots:
@@ -126,8 +149,10 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
     return jax.device_get(res), flat_beta
 
 
-def pde_single_run(outdir: str = "IMEX_output", seed: int = 58, **overrides):
-    """Single-run driver (IMEX_PDE_solver_run.py:7-34)."""
+def pde_single_run(outdir: str = "IMEX_output", seed: int = 58,
+                   ckpt_dir=None, **overrides):
+    """Single-run driver (IMEX_PDE_solver_run.py:7-34).  ``ckpt_dir=``
+    routes the solve through the facade's mid-run checkpoint/resume."""
     from hydrolim_tpu.pde.system import IMEXPDE
 
     kw = dict(L=1000, T=20.0, dt=5e-4, gamma=0.0, lam=0.6, beta=2.0,
@@ -137,7 +162,10 @@ def pde_single_run(outdir: str = "IMEX_output", seed: int = 58, **overrides):
     kw.update(overrides)
     solver = IMEXPDE(**kw)
     solver.initialize(mode="homogeneous", rho0=1.0, noise=0.3)
-    solver.solve()
+    if ckpt_dir is not None:
+        solver.solve_checkpointed(ckpt_dir=ckpt_dir)
+    else:
+        solver.solve()
     solver.plot_all()
     solver.plot_individual()
     return solver.get_output()
@@ -149,7 +177,8 @@ def pde_beta_sweep(beta_values=None, n_runs: int = 3, T: float = 40.0,
                    kernel_sigma: float = 1e5 - 10, L: int = 1000,
                    dt: float = 5e-4, seed: int = 0, n_tracers: int = 1000,
                    outdir: str = ".", plot_result: bool = True,
-                   engine: str = "xla", n_devices=None) -> Dict:
+                   engine: str = "xla", n_devices=None,
+                   ckpt_dir=None) -> Dict:
     """β sweep with theory overlay (IMEX_PDE_solver_run_sweep.py).
 
     v per run is |nanmean v_eff(t)| over [t_min, t_max] (:53-59); errorbars
@@ -165,7 +194,8 @@ def pde_beta_sweep(beta_values=None, n_runs: int = 3, T: float = 40.0,
                                       lam=lam, n_runs=n_runs, seed=seed,
                                       n_tracers=n_tracers, engine=engine,
                                       fetch_snapshots=False,
-                                      n_devices=n_devices)
+                                      n_devices=n_devices,
+                                      ckpt_dir=ckpt_dir)
     t = np.linspace(0, T, config.nsteps + 1)
     mask = (t >= t_min) & (t <= t_max)
     n_iters = config.nsteps + 1
@@ -237,7 +267,8 @@ def pde_kernel_sigma_sweep(kernel_sigma_values=None, n_runs: int = 5,
                            n_tracers: int = 1000, outdir: str = ".",
                            plot_result: bool = True,
                            record_every: int = 1, engine: str = "xla",
-                           n_devices=None, **overrides) -> Dict:
+                           n_devices=None, ckpt_dir=None,
+                           **overrides) -> Dict:
     """Kernel-σ sweep: per-σ time series of |m|, |v_eff|, D_eff, Var(t)
     (mean ± std bands across runs).  Seeds follow the reference scheme
     seed = base + 1000·k_idx + r (:64) via fold_in."""
@@ -259,7 +290,9 @@ def pde_kernel_sigma_sweep(kernel_sigma_values=None, n_runs: int = 5,
                                   seed=base_seed + 1000 * k_idx,
                                   n_tracers=n_tracers, engine=engine,
                                   fetch_snapshots=False,
-                                  n_devices=n_devices)
+                                  n_devices=n_devices,
+                                  ckpt_dir=None if ckpt_dir is None else
+                                  str(Path(ckpt_dir) / f"sigma_{sigma:.4g}"))
         n_rec = config.n_records        # nsteps+1 thinned by record_every
         m_results[sigma] = np.abs(np.asarray(res.records.m_mean)[:, :n_rec])
         v_results[sigma] = np.abs(np.asarray(res.records.v_eff)[:, :n_rec])

@@ -46,7 +46,8 @@ from hydrolim_tpu.sweeps.persistence import config_hash
 
 __all__ = ["run_particles_checkpointed", "pde_solve_checkpointed",
            "run_lattice_gas_k_checkpointed",
-           "run_lattice_gas_checkpointed"]
+           "run_lattice_gas_checkpointed",
+           "run_pde_ensemble_checkpointed"]
 
 
 def _run_hash(config: ParticleConfig, params: ParticleParams, *, T: float,
@@ -637,3 +638,140 @@ def run_lattice_gas_checkpointed(
         rho0_minus=rho0_minus, record_fft=record_fft, n_tracers=n_tracers,
         occ_sharding=occ_sharding, resume=resume,
         stop_after_chunks=stop_after_chunks)
+
+
+# ---------------------------------------------------------------------------
+# PDE ensemble (the vmapped (β × runs) sweep grid)
+# ---------------------------------------------------------------------------
+
+def _pde_ensemble_run_hash(config, params_b, rho_p0, rho_m0, tracers0,
+                           solve_keys) -> str:
+    """The initial fields / tracers / keys are hashed by digest — they
+    capture seed, init mode and noise without re-deriving them here.
+    Chunk size deliberately not hashed (I/O knob, see :func:`_run_hash`)."""
+    cfg = {f: repr(getattr(config, f)) for f in config.__dataclass_fields__}
+    par = {f: np.asarray(getattr(params_b, f)).tolist()
+           for f in params_b._fields}
+    return config_hash({"pde_ensemble_config": cfg, "params": par,
+                        "rho_p0": _digest(rho_p0), "rho_m0": _digest(rho_m0),
+                        "tracer_pos0": _digest(tracers0.pos),
+                        "solve_keys": _digest(solve_keys)})
+
+
+def run_pde_ensemble_checkpointed(config, params_b, ops, rho_p0, rho_m0,
+                                  tracers0, solve_keys, *, ckpt_dir,
+                                  chunk_blocks: int = 8, resume: bool = True,
+                                  stop_after_chunks: Optional[int] = None):
+    """Checkpointed equivalent of the vmapped XLA grid inside
+    :func:`hydrolim_tpu.sweeps.pde_sweeps.run_pde_ensemble` (same batched
+    ``PDESolveResult`` contract).
+
+    The whole (β × runs) batch advances together through the snapshot-block
+    scan in ``chunk_blocks``-block chunks; each checkpoint stores every
+    replica's carry (fields + tracer ring buffer + key) plus the chunk's
+    raw block stacks, so a preempted sweep resumes mid-grid-program and the
+    stitched result is bit-identical to the uninterrupted vmapped solve.
+    Single-device by design (resume cannot restore mesh placement)."""
+    import math
+
+    from hydrolim_tpu.pde.stepper import (
+        PDECarry,
+        PDESolveResult,
+        _pde_solve_range,
+    )
+
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    n_blocks = math.ceil((config.nsteps + 1) / config.snapshot_interval)
+    assert chunk_blocks >= 1
+    run_hash = _pde_ensemble_run_hash(config, params_b, rho_p0, rho_m0,
+                                      tracers0, solve_keys)
+
+    manifest_path = ckpt_dir / "manifest.json"
+    done = 0
+    if resume and manifest_path.exists():
+        manifest = _read_manifest(manifest_path)
+        if manifest is None:
+            raise ValueError(
+                f"unreadable manifest at {manifest_path} — cannot verify "
+                "the existing chunks belong to this ensemble; pass "
+                "resume=False to start over or use a fresh dir")
+        if manifest.get("run_hash") != run_hash:
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} belongs to a different PDE "
+                f"ensemble (hash {manifest.get('run_hash')!r} != "
+                f"{run_hash!r}); pass resume=False to overwrite or use a "
+                "fresh dir")
+        chunk_blocks = int(manifest.get("chunk_blocks", chunk_blocks))
+        n_chunks = -(-n_blocks // chunk_blocks)
+        while done < n_chunks and _chunk_path(ckpt_dir, done).exists():
+            done += 1
+    else:
+        n_chunks = -(-n_blocks // chunk_blocks)
+    if not resume:
+        for p in ckpt_dir.glob("chunk_*.npz"):
+            p.unlink()
+    _write_manifest(manifest_path,
+                    {"run_hash": run_hash, "n_blocks": n_blocks,
+                     "chunk_blocks": chunk_blocks, "n_chunks": n_chunks})
+
+    if done > 0:
+        _, carry = _load_pde_chunk(_chunk_path(ckpt_dir, done - 1))
+    else:
+        carry = PDECarry(jax.numpy.asarray(rho_p0),
+                         jax.numpy.asarray(rho_m0), tracers0,
+                         jax.numpy.asarray(solve_keys))
+
+    def _ranged(carry_, lo, length):
+        # vmap over (params, carry); the traced block start is broadcast so
+        # interior chunks share ONE compiled program per distinct length
+        f = lambda p, c, lo_: _pde_solve_range(config, p, ops, c, lo_,
+                                               length=length)
+        return jax.vmap(f, in_axes=(0, 0, None))(params_b, carry_,
+                                                 jax.numpy.int32(lo))
+
+    pending = None
+
+    def _flush():
+        nonlocal pending
+        if pending is None:
+            return
+        c_, blocks_, carry_ = pending
+        _save_pde_chunk(_chunk_path(ckpt_dir, c_),
+                        jax.tree.map(np.asarray, blocks_),
+                        jax.tree.map(np.asarray, carry_))
+        pending = None
+
+    executed = 0
+    for c in range(done, n_chunks):
+        if stop_after_chunks is not None and executed >= stop_after_chunks:
+            _flush()
+            return None
+        lo = c * chunk_blocks
+        hi = min((c + 1) * chunk_blocks, n_blocks)
+        carry, blocks = _ranged(carry, lo, hi - lo)
+        _flush()
+        pending = (c, blocks, carry)
+        executed += 1
+    _flush()
+
+    stacks = []
+    for c in range(n_chunks):
+        blocks, carry = _load_pde_chunk(_chunk_path(ckpt_dir, c))
+        stacks.append(blocks)
+    # chunks stack on the BLOCK axis, which is axis 1 here (batch leads)
+    recs, snaps, m_snaps, snap_times = jax.tree.map(
+        lambda *xs: np.concatenate(xs, axis=1), *stacks)
+    # batched _finalize_records: flatten blocks × interval on axis 1,
+    # truncate the padded tail, thin to the record cadence
+    n_iters = config.nsteps + 1
+    interval = config.snapshot_interval
+    recs = jax.tree.map(
+        lambda a: a.reshape((a.shape[0], n_blocks * interval)
+                            + a.shape[3:])[:, :n_iters], recs)
+    if config.record_every > 1:
+        recs = jax.tree.map(lambda a: a[:, ::config.record_every], recs)
+    return PDESolveResult(
+        rho_p=np.asarray(carry.rho_p), rho_m=np.asarray(carry.rho_m),
+        records=recs, snapshots=snaps, m_snapshots=m_snaps,
+        snap_times=snap_times)

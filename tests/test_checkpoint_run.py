@@ -532,3 +532,68 @@ def test_structure_sweep_ckpt_dir_matches_plain(tmp_path):
         np.testing.assert_array_equal(a[beta]["fft_mean_mean"],
                                       b[beta]["fft_mean_mean"])
     assert (tmp_path / "ck" / "manifest.json").exists()
+
+
+# ---------------------------------------------------------------------------
+# PDE ensemble (vmapped sweep grid)
+# ---------------------------------------------------------------------------
+
+def _pde_ens_kw(seed=21):
+    from hydrolim_tpu.core.config import PDEConfig
+
+    # nsteps=150, interval=10 -> 16 blocks -> 2 chunks at chunk_blocks=8
+    config = PDEConfig(L=64, T=0.15, dt=1e-3, bc="periodic",
+                       active_model="bidirectional", gaussian_kernel=True,
+                       kernel_sigma=1e5 - 10, snapshot_interval=10,
+                       fft_kmax=8)
+    return config, dict(gamma=0.2, lam=0.6, n_runs=2, seed=seed,
+                        n_tracers=30, fetch_snapshots=True)
+
+
+def test_pde_ensemble_ckpt_bit_identical_and_resumes(tmp_path):
+    """The whole vmapped (β × runs) PDE grid checkpoints mid-program and a
+    resume (simulated by deleting the newest chunk) recomputes only the
+    missing chunk — stitched batched result identical to the plain vmapped
+    solve."""
+    from hydrolim_tpu.sweeps.pde_sweeps import run_pde_ensemble
+
+    config, kw = _pde_ens_kw()
+    betas = np.asarray([0.5, 2.0])
+    plain, flat_beta = run_pde_ensemble(config, betas, **kw)
+    ck = tmp_path / "ck"
+    ckres, _ = run_pde_ensemble(config, betas, ckpt_dir=ck, **kw)
+    assert (ck / "chunk_00001.npz").exists()   # 16 blocks -> 2 chunks
+    _assert_pde_results_equal(ckres, plain)
+    # simulate a preemption that lost the newest chunk; resume recomputes
+    # just that chunk from the stored carry and stitches the same result
+    (ck / "chunk_00001.npz").unlink()
+    resumed, _ = run_pde_ensemble(config, betas, ckpt_dir=ck, **kw)
+    _assert_pde_results_equal(resumed, plain)
+
+
+def test_pde_ensemble_ckpt_hash_guard(tmp_path):
+    from hydrolim_tpu.sweeps.pde_sweeps import run_pde_ensemble
+
+    config, kw = _pde_ens_kw()
+    betas = np.asarray([0.5, 2.0])
+    ck = tmp_path / "ck"
+    run_pde_ensemble(config, betas, ckpt_dir=ck, **kw)
+    with pytest.raises(ValueError, match="different PDE ensemble"):
+        run_pde_ensemble(config, betas, ckpt_dir=ck,
+                         **dict(kw, seed=99))
+
+
+def test_pde_beta_sweep_ckpt_dir_matches_plain(tmp_path):
+    """Facade plumbing: pde_beta_sweep(ckpt_dir=) returns the same sweep
+    statistics as the plain run."""
+    from hydrolim_tpu.sweeps.pde_sweeps import pde_beta_sweep
+
+    kw = dict(beta_values=np.linspace(0.5, 2.0, 2), n_runs=2, T=0.2,
+              t_min=0.1, t_max=0.2, L=64, dt=1e-3, n_tracers=30,
+              plot_result=False, seed=13)
+    a = pde_beta_sweep(outdir=str(tmp_path / "a"), **kw)
+    b = pde_beta_sweep(outdir=str(tmp_path / "b"),
+                       ckpt_dir=tmp_path / "ck", **kw)
+    np.testing.assert_array_equal(a["v_mean"], b["v_mean"])
+    np.testing.assert_array_equal(a["D_mean"], b["D_mean"])
+    assert (tmp_path / "ck" / "manifest.json").exists()
