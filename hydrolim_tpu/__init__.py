@@ -50,12 +50,36 @@ if (_os.environ.get("HYDROLIM_NO_COMPILATION_CACHE", "") != "1"
         return _os.path.join(tempfile.gettempdir(),
                              f"hydrolim_tpu_cache_{uid}")
 
+    def _host_fingerprint():
+        # XLA:CPU AOT executables are compiled for the build host's exact
+        # CPU feature set; loading them on a host that lacks a feature
+        # (cache dir on shared/persistent storage, machine changed
+        # underneath) SIGILLs/segfaults mid-suite.  JAX's cache key does
+        # not cover host CPU features, so we key the cache DIRECTORY by a
+        # fingerprint of them — a moved home directory then simply starts
+        # a fresh cache instead of loading incompatible machine code.
+        import hashlib
+        import platform
+
+        sig = platform.machine()
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith(("flags", "Features")):
+                        sig += " " + " ".join(sorted(line.split()[2:]))
+                        break
+        except OSError:  # pragma: no cover — non-Linux
+            sig += " " + platform.processor()
+        return hashlib.sha1(sig.encode()).hexdigest()[:12]
+
     try:
         import jax as _jax
 
         _jax.config.update(
             "jax_compilation_cache_dir",
-            _os.environ.get("HYDROLIM_CACHE_DIR", _default_cache_dir()))
+            _os.path.join(
+                _os.environ.get("HYDROLIM_CACHE_DIR", _default_cache_dir()),
+                f"host_{_host_fingerprint()}"))
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover — older jax without the knobs
         pass
