@@ -31,7 +31,13 @@ __version__ = "0.4.0"
 import os as _os
 
 if (_os.environ.get("HYDROLIM_NO_COMPILATION_CACHE", "") != "1"
-        and "JAX_COMPILATION_CACHE_DIR" not in _os.environ):
+        and "JAX_COMPILATION_CACHE_DIR" not in _os.environ
+        # the cache exists for minutes-long Mosaic/TPU tunnel compiles;
+        # CPU-only sessions get no benefit and on some hosts the XLA:CPU
+        # executable SERIALIZATION for the cache write segfaults
+        # intermittently (round-4 host, put_executable_and_time) — so a
+        # cpu-pinned session never engages the cache
+        and _os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu"):
     # Mosaic compiles of the fused multi-step kernels take minutes through
     # a remote-TPU tunnel (up to ~16 min for the scanned R-batched PDE
     # program); the persistent cache makes every repeat shape instant.

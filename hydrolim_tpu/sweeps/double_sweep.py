@@ -123,7 +123,8 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
     mid-scan checkpoints (utils.checkpoint), ``chunk_size`` IS part of the
     ledger hash here: it determines the key schedule, not just I/O layout.
     ``stop_after_chunks=k`` executes at most ``k`` new chunks and returns
-    ``None`` if incomplete (simulated-preemption test hook)."""
+    ``None`` if incomplete (simulated-preemption test hook; honored with
+    or without a ledger)."""
     import jax
 
     from hydrolim_tpu.sweeps.beta_sweep import (
@@ -197,44 +198,24 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
         # chunk ledger (see docstring): n_devices is deliberately NOT
         # hashed — the chunk stride and keys are mesh-independent, and the
         # on-device estimator agrees across shard layouts to ~1 ulp
-        # (docs/ROADMAP.md, float-record reassociation note)
+        # (docs/ROADMAP.md, float-record reassociation note).  Kwarg
+        # values go to config_hash unmangled (it normalizes ndarrays by
+        # value and callables by name — a repr() would truncate large
+        # arrays and let different grids collide).
         from hydrolim_tpu.sweeps.persistence import config_hash
-        from hydrolim_tpu.utils.checkpoint import (
-            _atomic_savez,
-            _read_manifest,
-            _write_manifest,
-        )
+        from hydrolim_tpu.utils.checkpoint import _atomic_savez, _resume_prefix
 
         ledger = Path(ckpt_dir)
         ledger.mkdir(parents=True, exist_ok=True)
         run_hash = config_hash({
             "beta_values": beta_values.tolist(),
             "list_N_part": list_N_part.tolist(), "nr": nr,
-            "base": {k: repr(v) for k, v in sorted(base.items())
-                     if not callable(v)},
-            "callable_keys": sorted(k for k, v in base.items()
-                                    if callable(v)),
-            "rk": {k: repr(v) for k, v in sorted(rk.items())},
+            "base": dict(base), "rk": dict(rk),
             "seed": seed, "chunk_size": Cs, "engine": engine})
-        manifest_path = ledger / "manifest.json"
-        if resume and manifest_path.exists():
-            manifest = _read_manifest(manifest_path)
-            if manifest is None:
-                raise ValueError(
-                    f"unreadable manifest at {manifest_path} — cannot "
-                    "verify the existing ledger belongs to this sweep; "
-                    "pass resume=False to start over or use a fresh dir")
-            if manifest.get("run_hash") != run_hash:
-                raise ValueError(
-                    f"chunk ledger at {ledger} belongs to a different "
-                    f"double sweep (hash {manifest.get('run_hash')!r} != "
-                    f"{run_hash!r}); pass resume=False to overwrite or "
-                    "use a fresh dir")
-        if not resume:
-            for p in ledger.glob("chunk_*.npz"):
-                p.unlink()
-        _write_manifest(manifest_path,
-                        {"run_hash": run_hash, "B": B, "chunk_size": Cs})
+        _resume_prefix(ledger, run_hash, what="double sweep",
+                       resume=resume, chunk_size=Cs, n_units=B,
+                       size_key="chunk_size", unit_key="B",
+                       adopt_chunk_size=False, scan_prefix=False)
     executed = 0
     incomplete = False
     for c0 in range(0, B, Cs):
@@ -245,10 +226,9 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
                     vals = z["p_block"]
                 p_block_flat[c0:c0 + len(vals)] = vals
                 continue
-            if (stop_after_chunks is not None
-                    and executed >= stop_after_chunks):
-                incomplete = True
-                break
+        if stop_after_chunks is not None and executed >= stop_after_chunks:
+            incomplete = True
+            break
         n_real = min(Cs, B - c0)
         sl = slice(c0, c0 + n_real)
         pad = Bp - n_real
@@ -293,7 +273,7 @@ def double_sweep_fused(beta_values, list_N_part: Sequence[float],
         if ledger is not None:
             _atomic_savez(ledger / f"chunk_{c0:07d}.npz",
                           p_block=p_block_flat[sl])
-            executed += 1
+        executed += 1
     if incomplete:
         return None
 

@@ -85,10 +85,13 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
     ops = build_pde_ops(config, make_pde_params(gamma=gamma, lam=lam,
                                                 beta=0.0))
     if ckpt_dir is not None:
-        assert engine == "xla", (
-            "ckpt_dir requires engine='xla' (the fused Pallas route runs "
-            "uncheckpointed)")
-    if engine != "xla":
+        # 'auto' composes with checkpointing: only the XLA path can
+        # checkpoint, so the fused routing below is skipped and 'auto'
+        # resolves to the checkpoint-capable engine instead of erroring
+        assert engine != "pallas", (
+            "ckpt_dir requires the XLA path (the fused Pallas kernel runs "
+            "uncheckpointed); use engine='xla' or 'auto'")
+    if engine != "xla" and ckpt_dir is None:
         from hydrolim_tpu.pde.fast_solve import (
             _kmax_rec,
             is_fused_pde_path,
@@ -134,7 +137,7 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
             "mesh placement); drop n_devices/mesh or the checkpoint")
         res = run_pde_ensemble_checkpointed(
             config, params_b, ops, rho_p, rho_m, tracers, solve_keys,
-            ckpt_dir=ckpt_dir)
+            ckpt_dir=ckpt_dir, keep_snapshots=fetch_snapshots)
     else:
         solve = jax.vmap(
             lambda p, rp, rm, tr, k: pde_solve(config, p, ops, rp, rm, tr,

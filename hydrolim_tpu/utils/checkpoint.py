@@ -116,6 +116,52 @@ def _chunk_path(ckpt_dir: Path, i: int) -> Path:
     return ckpt_dir / f"chunk_{i:05d}.npz"
 
 
+def _resume_prefix(ckpt_dir: Path, run_hash: str, *, what: str,
+                   resume: bool, chunk_size: int, n_units: int,
+                   size_key: str, unit_key: str,
+                   adopt_chunk_size: bool = True,
+                   scan_prefix: bool = True, extra: Optional[dict] = None):
+    """Shared manifest guard for every checkpoint driver.
+
+    Validates an existing manifest (raising on an unreadable file or a
+    foreign ``run_hash``), optionally adopts the stored chunk layout,
+    deletes **unvouched** chunk files (without a verified manifest, any
+    ``chunk_*.npz`` on disk is a relic of some other run and must never be
+    stitched), writes the fresh manifest, and returns
+    ``(chunk_size, n_chunks, done)`` where ``done`` is the longest
+    consecutive complete-chunk prefix (0 when ``scan_prefix=False`` —
+    callers with non-index chunk naming do their own per-chunk checks)."""
+    manifest_path = ckpt_dir / "manifest.json"
+    manifest = None
+    if resume and manifest_path.exists():
+        manifest = _read_manifest(manifest_path)
+        if manifest is None:
+            raise ValueError(
+                f"unreadable manifest at {manifest_path} — cannot verify "
+                f"the existing chunks belong to this {what}; pass "
+                "resume=False to start over or use a fresh dir")
+        if manifest.get("run_hash") != run_hash:
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} belongs to a different {what} "
+                f"(hash {manifest.get('run_hash')!r} != {run_hash!r}); "
+                "pass resume=False to overwrite or use a fresh dir")
+    if manifest is None:
+        for p in ckpt_dir.glob("chunk_*.npz"):
+            p.unlink()
+    elif adopt_chunk_size:
+        chunk_size = int(manifest.get(size_key, chunk_size))
+    n_chunks = -(-n_units // chunk_size)
+    done = 0
+    if manifest is not None and scan_prefix:
+        while done < n_chunks and _chunk_path(ckpt_dir, done).exists():
+            done += 1
+    _write_manifest(manifest_path,
+                    {"run_hash": run_hash, size_key: chunk_size,
+                     unit_key: n_units, "n_chunks": n_chunks,
+                     **(extra or {})})
+    return chunk_size, n_chunks, done
+
+
 def run_particles_checkpointed(
         config: ParticleConfig, params: ParticleParams,
         state0: ParticleState, *, T: float, obs_dt: float, dt: float,
@@ -158,37 +204,14 @@ def run_particles_checkpointed(
     run_hash = _run_hash(config, params, T=T, obs_dt=obs_dt, dt=dt,
                          record_pos=record_pos, record_fft=record_fft)
 
-    manifest_path = ckpt_dir / "manifest.json"
-    done = 0
-    if resume and manifest_path.exists():
-        manifest = _read_manifest(manifest_path)
-        if manifest is None:
-            raise ValueError(
-                f"unreadable manifest at {manifest_path} — cannot verify "
-                "the existing chunks belong to this run; pass resume=False "
-                "to start over or use a fresh dir")
-        if manifest.get("run_hash") != run_hash:
-            raise ValueError(
-                f"checkpoint at {ckpt_dir} belongs to a different run "
-                f"(hash {manifest.get('run_hash')!r} != {run_hash!r}); "
-                "pass resume=False to overwrite or use a fresh dir")
-        # adopt the stored chunk layout — the chunk size is an I/O knob,
-        # and honoring it lets a resume with a different argument reuse
-        # the completed prefix instead of discarding it
-        chunk_frames = int(manifest.get("chunk_frames", chunk_frames))
-        n_chunks = -(-n_frames // chunk_frames)
-        # longest consecutive prefix of complete chunk files
-        while done < n_chunks and _chunk_path(ckpt_dir, done).exists():
-            done += 1
-    else:
-        n_chunks = -(-n_frames // chunk_frames)
-    if not resume:
-        for p in ckpt_dir.glob("chunk_*.npz"):
-            p.unlink()
-    _write_manifest(manifest_path,
-                    {"run_hash": run_hash, "n_frames": n_frames,
-                     "chunk_frames": chunk_frames, "n_chunks": n_chunks,
-                     "obs_dt": obs_dt, "T": T})
+    # the stored chunk layout wins on resume — the chunk size is an I/O
+    # knob, and honoring it lets a resume with a different argument reuse
+    # the completed prefix instead of discarding it
+    chunk_frames, n_chunks, done = _resume_prefix(
+        ckpt_dir, run_hash, what="run", resume=resume,
+        chunk_size=chunk_frames, n_units=n_frames,
+        size_key="chunk_frames", unit_key="n_frames",
+        extra={"obs_dt": obs_dt, "T": T})
 
     if done > 0:
         _, state = _load_chunk(_chunk_path(ckpt_dir, done - 1))
@@ -340,33 +363,10 @@ def pde_solve_checkpointed(config, params, ops, rho_p0, rho_m0, tracers0,
     run_hash = _pde_run_hash(
         config, params, n_tracers=int(np.asarray(tracers0.pos).shape[-1]))
 
-    manifest_path = ckpt_dir / "manifest.json"
-    done = 0
-    if resume and manifest_path.exists():
-        manifest = _read_manifest(manifest_path)
-        if manifest is None:
-            raise ValueError(
-                f"unreadable manifest at {manifest_path} — cannot verify "
-                "the existing chunks belong to this solve; pass "
-                "resume=False to start over or use a fresh dir")
-        if manifest.get("run_hash") != run_hash:
-            raise ValueError(
-                f"checkpoint at {ckpt_dir} belongs to a different PDE "
-                f"solve (hash {manifest.get('run_hash')!r} != "
-                f"{run_hash!r}); pass resume=False to overwrite or use "
-                "a fresh dir")
-        chunk_blocks = int(manifest.get("chunk_blocks", chunk_blocks))
-        n_chunks = -(-n_blocks // chunk_blocks)
-        while done < n_chunks and _chunk_path(ckpt_dir, done).exists():
-            done += 1
-    else:
-        n_chunks = -(-n_blocks // chunk_blocks)
-    if not resume:
-        for p in ckpt_dir.glob("chunk_*.npz"):
-            p.unlink()
-    _write_manifest(manifest_path,
-                    {"run_hash": run_hash, "n_blocks": n_blocks,
-                     "chunk_blocks": chunk_blocks, "n_chunks": n_chunks})
+    chunk_blocks, n_chunks, done = _resume_prefix(
+        ckpt_dir, run_hash, what="PDE solve", resume=resume,
+        chunk_size=chunk_blocks, n_units=n_blocks,
+        size_key="chunk_blocks", unit_key="n_blocks")
 
     if done > 0:
         _, carry = _load_pde_chunk(_chunk_path(ckpt_dir, done - 1))
@@ -490,33 +490,10 @@ def _run_lg_family_checkpointed(
         rho0_minus=rho0_minus)
     carry_fields = eng["carry_fields"]
 
-    manifest_path = ckpt_dir / "manifest.json"
-    done = 0
-    if resume and manifest_path.exists():
-        manifest = _read_manifest(manifest_path)
-        if manifest is None:
-            raise ValueError(
-                f"unreadable manifest at {manifest_path} — cannot verify "
-                "the existing chunks belong to this run; pass resume=False "
-                "to start over or use a fresh dir")
-        if manifest.get("run_hash") != run_hash:
-            raise ValueError(
-                f"checkpoint at {ckpt_dir} belongs to a different "
-                f"lattice-gas run (hash {manifest.get('run_hash')!r} != "
-                f"{run_hash!r}); pass resume=False to overwrite or use a "
-                "fresh dir")
-        chunk_frames = int(manifest.get("chunk_frames", chunk_frames))
-        n_chunks = -(-n_frames // chunk_frames)
-        while done < n_chunks and _chunk_path(ckpt_dir, done).exists():
-            done += 1
-    else:
-        n_chunks = -(-n_frames // chunk_frames)
-    if not resume:
-        for p in ckpt_dir.glob("chunk_*.npz"):
-            p.unlink()
-    _write_manifest(manifest_path,
-                    {"run_hash": run_hash, "n_frames": n_frames,
-                     "chunk_frames": chunk_frames, "n_chunks": n_chunks})
+    chunk_frames, n_chunks, done = _resume_prefix(
+        ckpt_dir, run_hash, what="lattice-gas run", resume=resume,
+        chunk_size=chunk_frames, n_units=n_frames,
+        size_key="chunk_frames", unit_key="n_frames")
 
     if done > 0:
         _, carry, tr_valid = _load_lg_chunk(_chunk_path(ckpt_dir, done - 1),
@@ -645,7 +622,7 @@ def run_lattice_gas_checkpointed(
 # ---------------------------------------------------------------------------
 
 def _pde_ensemble_run_hash(config, params_b, rho_p0, rho_m0, tracers0,
-                           solve_keys) -> str:
+                           solve_keys, keep_snapshots: bool) -> str:
     """The initial fields / tracers / keys are hashed by digest — they
     capture seed, init mode and noise without re-deriving them here.
     Chunk size deliberately not hashed (I/O knob, see :func:`_run_hash`)."""
@@ -655,12 +632,14 @@ def _pde_ensemble_run_hash(config, params_b, rho_p0, rho_m0, tracers0,
     return config_hash({"pde_ensemble_config": cfg, "params": par,
                         "rho_p0": _digest(rho_p0), "rho_m0": _digest(rho_m0),
                         "tracer_pos0": _digest(tracers0.pos),
-                        "solve_keys": _digest(solve_keys)})
+                        "solve_keys": _digest(solve_keys),
+                        "keep_snapshots": keep_snapshots})
 
 
 def run_pde_ensemble_checkpointed(config, params_b, ops, rho_p0, rho_m0,
                                   tracers0, solve_keys, *, ckpt_dir,
                                   chunk_blocks: int = 8, resume: bool = True,
+                                  keep_snapshots: bool = True,
                                   stop_after_chunks: Optional[int] = None):
     """Checkpointed equivalent of the vmapped XLA grid inside
     :func:`hydrolim_tpu.sweeps.pde_sweeps.run_pde_ensemble` (same batched
@@ -671,7 +650,13 @@ def run_pde_ensemble_checkpointed(config, params_b, ops, rho_p0, rho_m0,
     replica's carry (fields + tracer ring buffer + key) plus the chunk's
     raw block stacks, so a preempted sweep resumes mid-grid-program and the
     stitched result is bit-identical to the uninterrupted vmapped solve.
-    Single-device by design (resume cannot restore mesh placement)."""
+    Single-device by design (resume cannot restore mesh placement).
+
+    ``keep_snapshots=False`` stores zero-width snapshot stacks in the chunk
+    files (the sweep facades discard them anyway — at reference scale the
+    per-interval ρ blocks dominate transfer/compression/disk for data that
+    is thrown away); the flag is part of the run hash, so chunks of mixed
+    snapshot width never stitch."""
     import math
 
     from hydrolim_tpu.pde.stepper import (
@@ -685,35 +670,12 @@ def run_pde_ensemble_checkpointed(config, params_b, ops, rho_p0, rho_m0,
     n_blocks = math.ceil((config.nsteps + 1) / config.snapshot_interval)
     assert chunk_blocks >= 1
     run_hash = _pde_ensemble_run_hash(config, params_b, rho_p0, rho_m0,
-                                      tracers0, solve_keys)
+                                      tracers0, solve_keys, keep_snapshots)
 
-    manifest_path = ckpt_dir / "manifest.json"
-    done = 0
-    if resume and manifest_path.exists():
-        manifest = _read_manifest(manifest_path)
-        if manifest is None:
-            raise ValueError(
-                f"unreadable manifest at {manifest_path} — cannot verify "
-                "the existing chunks belong to this ensemble; pass "
-                "resume=False to start over or use a fresh dir")
-        if manifest.get("run_hash") != run_hash:
-            raise ValueError(
-                f"checkpoint at {ckpt_dir} belongs to a different PDE "
-                f"ensemble (hash {manifest.get('run_hash')!r} != "
-                f"{run_hash!r}); pass resume=False to overwrite or use a "
-                "fresh dir")
-        chunk_blocks = int(manifest.get("chunk_blocks", chunk_blocks))
-        n_chunks = -(-n_blocks // chunk_blocks)
-        while done < n_chunks and _chunk_path(ckpt_dir, done).exists():
-            done += 1
-    else:
-        n_chunks = -(-n_blocks // chunk_blocks)
-    if not resume:
-        for p in ckpt_dir.glob("chunk_*.npz"):
-            p.unlink()
-    _write_manifest(manifest_path,
-                    {"run_hash": run_hash, "n_blocks": n_blocks,
-                     "chunk_blocks": chunk_blocks, "n_chunks": n_chunks})
+    chunk_blocks, n_chunks, done = _resume_prefix(
+        ckpt_dir, run_hash, what="PDE ensemble", resume=resume,
+        chunk_size=chunk_blocks, n_units=n_blocks,
+        size_key="chunk_blocks", unit_key="n_blocks")
 
     if done > 0:
         _, carry = _load_pde_chunk(_chunk_path(ckpt_dir, done - 1))
@@ -750,6 +712,9 @@ def run_pde_ensemble_checkpointed(config, params_b, ops, rho_p0, rho_m0,
         lo = c * chunk_blocks
         hi = min((c + 1) * chunk_blocks, n_blocks)
         carry, blocks = _ranged(carry, lo, hi - lo)
+        if not keep_snapshots:
+            recs_c, sn, msn, st = blocks
+            blocks = (recs_c, sn[:, :0], msn[:, :0], st[:, :0])
         _flush()
         pending = (c, blocks, carry)
         executed += 1

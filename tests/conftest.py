@@ -22,6 +22,12 @@ if not TPU_LANE:
         os.environ["XLA_FLAGS"] = (
             _flags + " --xla_force_host_platform_device_count=8").strip()
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # The persistent compilation cache exists for Mosaic/TPU tunnel
+    # compiles; on some hosts SERIALIZING XLA:CPU executables for the
+    # cache write segfaults intermittently (observed mid-suite in
+    # compilation_cache.put_executable_and_time on the round-4 host), so
+    # the CPU suite must never engage it.  Set BEFORE hydrolim_tpu import.
+    os.environ.setdefault("HYDROLIM_NO_COMPILATION_CACHE", "1")
 
 import jax  # noqa: E402
 import pytest  # noqa: E402

@@ -597,3 +597,68 @@ def test_pde_beta_sweep_ckpt_dir_matches_plain(tmp_path):
     np.testing.assert_array_equal(a["v_mean"], b["v_mean"])
     np.testing.assert_array_equal(a["D_mean"], b["D_mean"])
     assert (tmp_path / "ck" / "manifest.json").exists()
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions (round 4, session 6)
+# ---------------------------------------------------------------------------
+
+def test_double_sweep_unvouched_chunks_never_stitch(tmp_path):
+    """A ledger whose manifest is gone (user deleted it after a crash)
+    must NOT trust the surviving chunk files: a different grid re-using
+    the dir recomputes from scratch instead of stitching stale values."""
+    from hydrolim_tpu.sweeps.double_sweep import double_sweep_fused
+
+    betas = np.linspace(0.5, 2.0, 2)
+    Ns = [16.0, 24.0]
+    ck = tmp_path / "ck"
+    double_sweep_fused(betas, Ns, outdir=str(tmp_path / "a"), ckpt_dir=ck,
+                       **_DS_KW)
+    (ck / "manifest.json").unlink()
+    plain_s4 = double_sweep_fused(betas, Ns, outdir=str(tmp_path / "b"),
+                                  **dict(_DS_KW, seed=4))
+    relic = double_sweep_fused(betas, Ns, outdir=str(tmp_path / "c"),
+                               ckpt_dir=ck, **dict(_DS_KW, seed=4))
+    for pn_a, pn_b in zip(plain_s4["per_N"], relic["per_N"]):
+        np.testing.assert_array_equal(pn_a["block_means"],
+                                      pn_b["block_means"])
+
+
+def test_double_sweep_stop_after_chunks_without_ledger(tmp_path):
+    """The chunk budget is honored even without a ledger (the docstring
+    contract: at most k chunks execute, None when incomplete)."""
+    from hydrolim_tpu.sweeps.double_sweep import double_sweep_fused
+
+    res = double_sweep_fused(np.linspace(0.5, 2.0, 3), [16.0, 24.0],
+                             outdir=str(tmp_path), stop_after_chunks=1,
+                             **_DS_KW)
+    assert res is None
+
+
+def test_pde_ensemble_ckpt_discards_snapshots_when_unfetched(tmp_path):
+    """pde_beta_sweep(ckpt_dir=) passes fetch_snapshots=False; the chunk
+    files must then store zero-width snapshot stacks instead of the full
+    per-interval ρ blocks (they dominate disk/transfer at scale)."""
+    from hydrolim_tpu.sweeps.pde_sweeps import pde_beta_sweep
+
+    pde_beta_sweep(beta_values=np.asarray([1.0]), n_runs=2, T=0.2,
+                   t_min=0.1, t_max=0.2, L=64, dt=1e-3, n_tracers=20,
+                   plot_result=False, seed=5, outdir=str(tmp_path / "o"),
+                   ckpt_dir=tmp_path / "ck")
+    with np.load(tmp_path / "ck" / "chunk_00000.npz") as z:
+        assert z["snaps"].shape[1] == 0
+        assert z["m_snaps"].shape[1] == 0
+        assert z["recs__m_mean"].shape[1] > 0   # records still present
+
+
+def test_pde_ensemble_ckpt_engine_auto_routes_to_xla(tmp_path):
+    """engine='auto' composes with ckpt_dir: the fused route is skipped
+    and the checkpointed XLA path produces the plain-XLA result."""
+    from hydrolim_tpu.sweeps.pde_sweeps import run_pde_ensemble
+
+    config, kw = _pde_ens_kw(seed=31)
+    betas = np.asarray([1.0])
+    plain, _ = run_pde_ensemble(config, betas, engine="xla", **kw)
+    auto_ck, _ = run_pde_ensemble(config, betas, engine="auto",
+                                  ckpt_dir=tmp_path / "ck", **kw)
+    _assert_pde_results_equal(auto_ck, plain)
