@@ -20,7 +20,7 @@ from hydrolim_tpu.sweeps.beta_sweep import sweep_over_betas
 
 def main(outdir: str = "beta_sweep_out", small: bool = False,
          run: bool = True, engine: str = "particle", n_runs: int = None,
-         n_devices: int = None):
+         n_devices: int = None, ckpt_dir: str = None):
     beta_values = np.linspace(0, 3, 5 if small else 11)
     over = dict(L=200, N=100) if small else {}
     rk = dict(T=4.0, obs_dt=0.2) if small else None
@@ -29,7 +29,7 @@ def main(outdir: str = "beta_sweep_out", small: bool = False,
         n_runs_per_beta=n_runs or (2 if small else 3), run=run,
         ps_kwargs=over or None, run_kwargs=rk, engine=engine,
         npz_path=f"{outdir}/beta_sweep_results.npz", outdir=outdir, seed=0,
-        n_devices=n_devices)
+        n_devices=n_devices, ckpt_dir=ckpt_dir)
     print("v_eff(beta):", np.round(save["means"], 4))
     print("D_eff(beta):", np.round(save["D_means"], 4))
     print("p_block(beta):", np.round(save["block_means"], 4))
@@ -51,6 +51,8 @@ if __name__ == "__main__":
     p.add_argument("--n-devices", type=int, default=None,
                    help="shard the (beta x runs) batch over this many "
                         "devices ('sweep'-axis DP; see parallel.mesh)")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="mid-run checkpoint/resume dir (engine=lattice_gas)")
     a = p.parse_args()
     main(a.outdir, a.small, run=not a.replot, engine=a.engine,
-         n_runs=a.n_runs, n_devices=a.n_devices)
+         n_runs=a.n_runs, n_devices=a.n_devices, ckpt_dir=a.ckpt_dir)
