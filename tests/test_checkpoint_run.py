@@ -662,3 +662,68 @@ def test_pde_ensemble_ckpt_engine_auto_routes_to_xla(tmp_path):
     auto_ck, _ = run_pde_ensemble(config, betas, engine="auto",
                                   ckpt_dir=tmp_path / "ck", **kw)
     _assert_pde_results_equal(auto_ck, plain)
+
+
+# ---------------------------------------------------------------------------
+# true-kill preemption torture (SIGKILL mid-run, not the test hook)
+# ---------------------------------------------------------------------------
+
+_KILL_CHILD = r"""
+import sys
+import numpy as np
+from hydrolim_tpu import ParticleSystem
+from hydrolim_tpu.utils.checkpoint import run_particles_checkpointed
+
+ckpt_dir = sys.argv[1]
+kw = dict(L=64, xlim=1.0, rate_diffusion=0.5, rate_active=2.0, beta=1.2,
+          init="fixed", N=48, scale_rates=False, local_kernel_sigma=0.0,
+          periodic=True, site_capacity=1, k_on=0, k_off=0, k_exit=0, rng=11)
+ps = ParticleSystem(**kw)
+state0 = ps.init_particles()
+print("READY", flush=True)
+run_particles_checkpointed(ps.config, ps.params, state0, T=6.0, obs_dt=0.1,
+                           dt=ps.dt, ckpt_dir=ckpt_dir, chunk_frames=3,
+                           record_pos=True, record_fft=True)
+print("DONE", flush=True)
+"""
+
+
+@pytest.mark.parametrize("kill_after", [0.2, 1.5])
+def test_sigkill_mid_run_resumes_bit_identical(tmp_path, kill_after):
+    """A real SIGKILL at an arbitrary moment (possibly mid-npz-write) must
+    leave a consistent checkpoint prefix: the resume completes the run and
+    the stitched result equals the uninterrupted scan bit-for-bit.  This
+    exercises the tmp+os.replace atomicity the stop_after_chunks hook
+    cannot (the hook always stops BETWEEN chunk writes)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    ck = tmp_path / "ck"
+    env = dict(os.environ)
+    # never touch the axon plugin in the child (worker may be down and any
+    # backend init would block) — drop its sitecustomize, pin cpu
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    env["JAX_PLATFORMS"] = "cpu"
+    env["HYDROLIM_NO_COMPILATION_CACHE"] = "1"
+    child = subprocess.Popen(
+        [sys.executable, "-c", _KILL_CHILD, str(ck)], env=env,
+        stdout=subprocess.PIPE, text=True)
+    try:
+        assert child.stdout.readline().strip() == "READY"
+        time.sleep(kill_after)  # land somewhere inside the 60-frame run
+        child.send_signal(signal.SIGKILL)
+        child.wait(timeout=60)
+    finally:
+        if child.poll() is None:
+            child.kill()
+    # resume in-process from whatever prefix survived the kill
+    ps = _sys(rng=11, L=64, N=48)
+    straight, state0 = _straight_and_state0(ps, 6.0, 0.1)
+    resumed = run_particles_checkpointed(
+        ps.config, ps.params, state0, T=6.0, obs_dt=0.1, dt=ps.dt,
+        ckpt_dir=ck, chunk_frames=3, record_pos=True, record_fft=True)
+    _assert_results_equal(resumed, straight)
