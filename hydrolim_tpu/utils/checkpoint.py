@@ -47,7 +47,7 @@ from hydrolim_tpu.sweeps.persistence import config_hash
 __all__ = ["run_particles_checkpointed", "pde_solve_checkpointed",
            "run_lattice_gas_k_checkpointed",
            "run_lattice_gas_checkpointed",
-           "run_pde_ensemble_checkpointed"]
+           "run_pde_ensemble_checkpointed", "cleanup_ckpt_dir"]
 
 
 def _run_hash(config: ParticleConfig, params: ParticleParams, *, T: float,
@@ -740,3 +740,28 @@ def run_pde_ensemble_checkpointed(config, params_b, ops, rho_p0, rho_m0,
         rho_p=np.asarray(carry.rho_p), rho_m=np.asarray(carry.rho_m),
         records=recs, snapshots=snaps, m_snapshots=m_snaps,
         snap_times=snap_times)
+
+
+def cleanup_ckpt_dir(ckpt_dir, *, missing_ok: bool = True) -> int:
+    """Delete a checkpoint directory's chunk files, manifest, and any
+    write-interrupted ``*.tmp.npz`` relics; returns the number of files
+    removed.  Call after a checkpointed run has returned its stitched
+    result and the caller has persisted what it needs (the chunk stacks
+    can reach GBs for long record-heavy runs).  The directory itself is
+    removed when it ends up empty."""
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        if missing_ok:
+            return 0
+        raise FileNotFoundError(ckpt_dir)
+    n = 0
+    for pattern in ("chunk_*.npz", "chunk_*.tmp.npz", "manifest.json",
+                    "manifest.json.tmp"):
+        for p in ckpt_dir.glob(pattern):
+            p.unlink()
+            n += 1
+    try:
+        ckpt_dir.rmdir()          # only when nothing else lives there
+    except OSError:
+        pass
+    return n

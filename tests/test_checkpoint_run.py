@@ -727,3 +727,18 @@ def test_sigkill_mid_run_resumes_bit_identical(tmp_path, kill_after):
         ps.config, ps.params, state0, T=6.0, obs_dt=0.1, dt=ps.dt,
         ckpt_dir=ck, chunk_frames=3, record_pos=True, record_fft=True)
     _assert_results_equal(resumed, straight)
+
+
+def test_cleanup_ckpt_dir(tmp_path):
+    ps = _sys()
+    state0 = ps.init_particles()
+    ck = tmp_path / "ck"
+    from hydrolim_tpu.utils.checkpoint import cleanup_ckpt_dir
+
+    run_particles_checkpointed(
+        ps.config, ps.params, state0, T=0.3, obs_dt=0.1, dt=ps.dt,
+        ckpt_dir=ck, chunk_frames=2, record_pos=True, record_fft=True)
+    (ck / "chunk_00099.tmp.npz").write_bytes(b"relic")   # kill-time relic
+    assert cleanup_ckpt_dir(ck) >= 3
+    assert not ck.exists()
+    assert cleanup_ckpt_dir(ck) == 0                     # idempotent
