@@ -305,7 +305,7 @@ def _lattice_gas_out_accessor(frames, times, exit_log=None):
 def run_sweep_grid(beta_values, n_runs: int, ps_kwargs: Dict,
                    init_kwargs: Optional[Dict], run_kwargs: Dict,
                    seed: int = 0, chunk_size: int = 256, mesh=None,
-                   n_devices: Optional[int] = None):
+                   n_devices: Optional[int] = None, ckpt_dir=None):
     """Run the full (β × replicas) grid vmapped; returns
     (config, batched frames on host, dt).
 
@@ -319,7 +319,12 @@ def run_sweep_grid(beta_values, n_runs: int, ps_kwargs: Dict,
     fold_in(seed, c0) key) never depends on the mesh — each chunk's batch
     is padded up to the mesh multiple instead, so replicas are
     bit-identical to the 1-device run for any chunk_size/mesh combination
-    (prefix-stable key splits — parallel.mesh.pad_batch)."""
+    (prefix-stable key splits — parallel.mesh.pad_batch).
+
+    ``ckpt_dir=`` makes each in-flight replica chunk preemption-safe on
+    the TIME axis (utils.checkpoint.run_particle_ensemble_checkpointed,
+    one subdirectory per replica chunk); completed replica chunks resume
+    instantly from their stored frames.  Single-device, as elsewhere."""
     from hydrolim_tpu.parallel.mesh import (
         resolve_sweep_mesh,
         shard_batch,
@@ -356,12 +361,33 @@ def run_sweep_grid(beta_values, n_runs: int, ps_kwargs: Dict,
         params = broadcast_params(config, beta=bc, **rates)
         if mesh is not None:
             params = shard_batch(mesh, params, Bp)
-        res = run_particle_ensemble(
-            config, params,
-            jax.random.fold_in(jax.random.PRNGKey(seed), c0),
-            T=T, obs_dt=obs_dt, dt=dt, rho0_plus=rho0_p, rho0_minus=rho0_m,
-            record_pos=bool(run_kwargs.get("record_pos", True)),
-            record_fft=bool(run_kwargs.get("record_fft", True)))
+        ckey = jax.random.fold_in(jax.random.PRNGKey(seed), c0)
+        record_pos = bool(run_kwargs.get("record_pos", True))
+        record_fft = bool(run_kwargs.get("record_fft", True))
+        if ckpt_dir is not None:
+            from hydrolim_tpu.particles.init import init_particles
+            from hydrolim_tpu.utils.checkpoint import (
+                run_particle_ensemble_checkpointed,
+            )
+
+            assert mesh is None or mesh.size == 1, (
+                "sweep ckpt_dir is single-device (resume cannot restore "
+                "mesh placement); drop n_devices/mesh or the checkpoint")
+            # same init fan-out as run_particle_ensemble: per-replica key
+            # splits of the chunk key, then the batched chunked scan
+            keys = jax.random.split(ckey, Bp)
+            states = jax.vmap(
+                lambda k: init_particles(config, k, rho0_p, rho0_m))(keys)
+            res = run_particle_ensemble_checkpointed(
+                config, params, states, T=T, obs_dt=obs_dt, dt=dt,
+                ckpt_dir=Path(ckpt_dir) / f"replicas_{c0:05d}",
+                record_pos=record_pos, record_fft=record_fft)
+        else:
+            res = run_particle_ensemble(
+                config, params, ckey,
+                T=T, obs_dt=obs_dt, dt=dt, rho0_plus=rho0_p,
+                rho0_minus=rho0_m,
+                record_pos=record_pos, record_fft=record_fft)
         res = jax.device_get(res)
         if pad:  # every frames/final_state leaf carries the batch on axis 0
             res = jax.tree.map(lambda a: a[:n_real], res)
@@ -485,9 +511,9 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
         last_run_info.clear()
         lg_frames = None
         if ckpt_dir is not None:
-            assert engine == "lattice_gas", (
-                "ckpt_dir requires engine='lattice_gas' (the particle grid "
-                "and the fused Pallas route run uncheckpointed)")
+            assert engine in ("lattice_gas", "particle"), (
+                "ckpt_dir requires engine='lattice_gas' or 'particle' (the "
+                "fused Pallas route runs uncheckpointed)")
         if engine in ("lattice_gas", "pallas"):
             config, out_for, dt, lg_frames = run_sweep_grid_lattice_gas(
                 beta_values, n_runs_per_beta, ps_kwargs, init_kwargs,
@@ -498,7 +524,8 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
             config, res, dt = run_sweep_grid(beta_values, n_runs_per_beta,
                                              ps_kwargs, init_kwargs,
                                              run_kwargs, seed=seed,
-                                             mesh=mesh, n_devices=n_devices)
+                                             mesh=mesh, n_devices=n_devices,
+                                             ckpt_dir=ckpt_dir)
         ps = _PsShim(config)
         T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
         nb = len(beta_values)

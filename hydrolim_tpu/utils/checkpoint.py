@@ -47,7 +47,8 @@ from hydrolim_tpu.sweeps.persistence import config_hash
 __all__ = ["run_particles_checkpointed", "pde_solve_checkpointed",
            "run_lattice_gas_k_checkpointed",
            "run_lattice_gas_checkpointed",
-           "run_pde_ensemble_checkpointed", "cleanup_ckpt_dir"]
+           "run_pde_ensemble_checkpointed",
+           "run_particle_ensemble_checkpointed", "cleanup_ckpt_dir"]
 
 
 def _run_hash(config: ParticleConfig, params: ParticleParams, *, T: float,
@@ -765,3 +766,125 @@ def cleanup_ckpt_dir(ckpt_dir, *, missing_ok: bool = True) -> int:
     except OSError:
         pass
     return n
+
+
+# ---------------------------------------------------------------------------
+# particle ensemble (the vmapped (β × runs) grid, τ-leap engine)
+# ---------------------------------------------------------------------------
+
+def _particle_ensemble_run_hash(config, params_b, states0, *, T, obs_dt, dt,
+                                record_pos, record_fft) -> str:
+    """Initial states are hashed by per-leaf digest (they capture the init
+    draw, profiles and key fan-out without re-deriving them here).  Chunk
+    size deliberately not hashed — see :func:`_run_hash`."""
+    cfg = {f: repr(getattr(config, f)) for f in config.__dataclass_fields__
+           if f != "flip_rate_fn"}
+    cfg["has_flip_rate_fn"] = config.flip_rate_fn is not None
+    par = {f: np.asarray(getattr(params_b, f)).tolist()
+           for f in params_b._fields}
+    st = {f: _digest(getattr(states0, f)) for f in states0._fields}
+    return config_hash({"particle_ensemble_config": cfg, "params": par,
+                        "states0": st, "T": T, "obs_dt": obs_dt, "dt": dt,
+                        "record_pos": record_pos,
+                        "record_fft": record_fft})
+
+
+def run_particle_ensemble_checkpointed(
+        config: ParticleConfig, params_b: ParticleParams, states0,
+        *, T: float, obs_dt: float, dt: float, ckpt_dir,
+        chunk_frames: int = 64, record_pos: bool = True,
+        record_fft: bool = True, resume: bool = True,
+        stop_after_chunks: Optional[int] = None
+) -> Optional[ParticleRunResult]:
+    """Checkpointed equivalent of
+    :func:`hydrolim_tpu.sweeps.ensemble.run_particle_ensemble` on prebuilt
+    batched initial states (same batched ``ParticleRunResult`` contract).
+
+    The whole (β × runs) batch advances together through the frame scan in
+    ``chunk_frames``-frame chunks, checkpointing every replica's carry
+    state after each — the vmapped analogue of
+    :func:`run_particles_checkpointed`, with the same bit-identity and
+    resume guarantees.  Single-device by design (a resumed carry reloads
+    without mesh placement)."""
+    from hydrolim_tpu.particles.stepper import build_static_arrays
+
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    n_frames = len(np.arange(0.0, T, obs_dt))
+    assert n_frames >= 1, "T <= 0: nothing to checkpoint"
+    assert chunk_frames >= 1
+    n_sub = substeps_for(obs_dt, dt)
+    run_hash = _particle_ensemble_run_hash(
+        config, params_b, states0, T=T, obs_dt=obs_dt, dt=dt,
+        record_pos=record_pos, record_fft=record_fft)
+
+    chunk_frames, n_chunks, done = _resume_prefix(
+        ckpt_dir, run_hash, what="particle ensemble", resume=resume,
+        chunk_size=chunk_frames, n_units=n_frames,
+        size_key="chunk_frames", unit_key="n_frames",
+        extra={"obs_dt": obs_dt, "T": T})
+
+    if done > 0:
+        _, states = _load_chunk(_chunk_path(ckpt_dir, done - 1))
+    else:
+        states = states0
+
+    def _v_initial(sts):
+        return jax.vmap(lambda s: _record_initial(
+            config, s, statics_builder=build_static_arrays,
+            record_pos=record_pos, record_fft=record_fft))(sts)
+
+    def _v_range(sts, lo, length):
+        f = lambda p, s, lo_: _run_scan_range(
+            config, p, s, lo_, statics_builder=build_static_arrays,
+            length=length, n_sub=n_sub, obs_dt=obs_dt,
+            record_pos=record_pos, record_fft=record_fft)
+        return jax.vmap(f, in_axes=(0, 0, None))(params_b, sts,
+                                                 jax.numpy.int32(lo))
+
+    pending = None
+
+    def _flush():
+        nonlocal pending
+        if pending is None:
+            return
+        c_, parts, sts = pending
+        arrs = [jax.tree.map(np.asarray, p) for p in parts]
+        frames = arrs[0] if len(arrs) == 1 else jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=1), *arrs)
+        _save_chunk(_chunk_path(ckpt_dir, c_), frames,
+                    jax.tree.map(np.asarray, sts))
+        pending = None
+
+    executed = 0
+    for c in range(done, n_chunks):
+        if stop_after_chunks is not None and executed >= stop_after_chunks:
+            _flush()
+            return None
+        lo = c * chunk_frames
+        hi = min((c + 1) * chunk_frames, n_frames)
+        parts = []
+        if lo == 0:
+            # _record_initial already returns a (1, ...) frame stack, so
+            # the vmapped call is (B, 1, ...) — concat-ready on axis 1
+            parts.append(_v_initial(states))
+            if hi > 1:
+                res = _v_range(states, 1, hi - 1)
+                parts.append(res.frames)
+                states = res.final_state
+        else:
+            res = _v_range(states, lo, hi - lo)
+            parts.append(res.frames)
+            states = res.final_state
+        _flush()
+        pending = (c, parts, states)
+        executed += 1
+    _flush()
+
+    chunk_frames_list = []
+    for c in range(n_chunks):
+        f, states = _load_chunk(_chunk_path(ckpt_dir, c))
+        chunk_frames_list.append(f)
+    frames = jax.tree.map(
+        lambda *xs: np.concatenate(xs, axis=1), *chunk_frames_list)
+    return ParticleRunResult(frames=frames, final_state=states)

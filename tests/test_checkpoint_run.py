@@ -742,3 +742,65 @@ def test_cleanup_ckpt_dir(tmp_path):
     assert cleanup_ckpt_dir(ck) >= 3
     assert not ck.exists()
     assert cleanup_ckpt_dir(ck) == 0                     # idempotent
+
+
+# ---------------------------------------------------------------------------
+# particle ensemble (vmapped τ-leap grid)
+# ---------------------------------------------------------------------------
+
+def test_particle_ensemble_ckpt_bit_identical_and_resumes(tmp_path):
+    """The batched τ-leap grid checkpoints on the time axis; a simulated
+    preemption resumes mid-scan and the stitched batched result equals the
+    plain vmapped run bit-for-bit."""
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.particles.init import init_particles
+    from hydrolim_tpu.sweeps.ensemble import (
+        broadcast_params,
+        run_particle_ensemble,
+    )
+    from hydrolim_tpu.utils.checkpoint import (
+        run_particle_ensemble_checkpointed,
+    )
+
+    config = ParticleConfig(L=48, N=24, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.0, periodic=True,
+                            site_capacity=1)
+    params = broadcast_params(config, beta=[0.8, 2.0], n_runs=2,
+                              rate_diffusion=0.5, rate_active=2.0)
+    key = jax.random.PRNGKey(17)
+    T, obs_dt, dt = 1.1, 0.1, 0.02
+    plain = jax.device_get(run_particle_ensemble(
+        config, params, key, T=T, obs_dt=obs_dt, dt=dt))
+    keys = jax.random.split(key, 4)
+    states = jax.vmap(lambda k: init_particles(config, k, None, None))(keys)
+    ck = tmp_path / "ck"
+    partial = run_particle_ensemble_checkpointed(
+        config, params, states, T=T, obs_dt=obs_dt, dt=dt, ckpt_dir=ck,
+        chunk_frames=4, stop_after_chunks=1)
+    assert partial is None and (ck / "chunk_00000.npz").exists()
+    resumed = run_particle_ensemble_checkpointed(
+        config, params, states, T=T, obs_dt=obs_dt, dt=dt, ckpt_dir=ck,
+        chunk_frames=4)
+    _assert_results_equal(resumed, plain)
+
+
+def test_sweep_over_betas_particle_engine_ckpt_matches_plain(tmp_path):
+    """The facade accepts ckpt_dir with the particle engine now — results
+    equal the uncheckpointed sweep, one subdir per replica chunk."""
+    from hydrolim_tpu.sweeps.beta_sweep import sweep_over_betas
+
+    kw = dict(
+        beta_values=np.linspace(0.5, 2.0, 2), n_runs_per_beta=2,
+        ps_kwargs=dict(L=48, xlim=1, rate_diffusion=0.5, rate_active=2.0,
+                       N=24, init="fixed", scale_rates=False,
+                       local_kernel_sigma=0.0, periodic=True,
+                       site_capacity=1, k_on=0, k_off=0, k_exit=0),
+        run_kwargs=dict(T=0.4, obs_dt=0.1), outdir=str(tmp_path),
+        seed=2, engine="particle", plot_result=False, do_fit=False)
+    a = sweep_over_betas(npz_path=str(tmp_path / "a.npz"), **kw)
+    b = sweep_over_betas(npz_path=str(tmp_path / "b.npz"),
+                         ckpt_dir=tmp_path / "ck", **kw)
+    np.testing.assert_array_equal(a["means"], b["means"])
+    np.testing.assert_array_equal(a["m_means"], b["m_means"])
+    np.testing.assert_array_equal(a["D_means"], b["D_means"])
+    assert (tmp_path / "ck" / "replicas_00000" / "manifest.json").exists()
