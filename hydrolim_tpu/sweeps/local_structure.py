@@ -198,9 +198,9 @@ def sweep_betas_for_structures(beta_values, n_runs_per_beta: int,
         init_kwargs = dict(rho0_plus=g[0], rho0_minus=g[1])
     beta_values = np.asarray(beta_values, dtype=float)
     if ckpt_dir is not None:
-        assert engine == "lattice_gas", (
-            "ckpt_dir requires engine='lattice_gas' (the particle grid "
-            "and the fused Pallas route run uncheckpointed)")
+        assert engine in ("lattice_gas", "particle"), (
+            "ckpt_dir requires engine='lattice_gas' or 'particle' (the "
+            "fused Pallas route runs uncheckpointed)")
     if engine in ("lattice_gas", "pallas"):
         config, out_for = _lattice_gas_outs(
             beta_values, n_runs_per_beta, ps_kwargs, init_kwargs,
@@ -210,7 +210,8 @@ def sweep_betas_for_structures(beta_values, n_runs_per_beta: int,
     else:
         config, res, _ = run_sweep_grid(beta_values, n_runs_per_beta,
                                         ps_kwargs, init_kwargs, run_kwargs,
-                                        seed=seed, n_devices=n_devices)
+                                        seed=seed, n_devices=n_devices,
+                                        ckpt_dir=ckpt_dir)
     T, obs_dt = float(run_kwargs["T"]), float(run_kwargs["obs_dt"])
     results = {}
     for b_idx, beta in enumerate(beta_values):
