@@ -54,12 +54,15 @@ def _wait_for_backend(max_wait_s: float = 540.0) -> bool:
 
 import jax
 
-try:  # persistent compilation cache: repeat bench runs skip the recompile
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
-
+# Persistent compilation cache: repeat bench runs skip the recompile.  The
+# package install below (import hydrolim_tpu...) configures the per-user,
+# host-fingerprinted cache dir with the same policy as every other entry
+# point: OFF for cpu-pinned sessions and under HYDROLIM_NO_COMPILATION_CACHE
+# (XLA:CPU executable serialization for cache writes segfaults
+# intermittently on some hosts — this module is also exec'd in-process by
+# the test suite's importability check, which must not re-enable the cache
+# for the rest of the suite).
+import hydrolim_tpu  # noqa: F401  (side effect: cache config)
 import jax.numpy as jnp
 import numpy as np
 

@@ -163,6 +163,46 @@ def _resume_prefix(ckpt_dir: Path, run_hash: str, *, what: str,
     return chunk_size, n_chunks, done
 
 
+def _pipelined_chunks(ckpt_dir: Path, carry, *, done: int, n_chunks: int,
+                      chunk_size: int, n_units: int, run_chunk, save_chunk,
+                      stop_after_chunks: Optional[int]):
+    """Shared pipelined chunk loop: chunk c+1 is DISPATCHED (jax async)
+    before chunk c's payload is pulled to host and compressed — device
+    compute overlaps checkpoint I/O.  Saves still land strictly in order,
+    so a kill at any point leaves the same consistent prefix as a serial
+    loop.
+
+    ``run_chunk(carry, lo, hi) -> (payload, carry)`` executes units
+    ``[lo, hi)``; ``save_chunk(path, payload, carry)`` persists one chunk
+    (and is where device→host transfer belongs, so it happens AFTER the
+    next chunk was dispatched).  Returns the final carry, or ``None`` when
+    ``stop_after_chunks`` halted an incomplete run (the pending chunk is
+    flushed first, preserving the prefix)."""
+    pending = None
+
+    def _flush():
+        nonlocal pending
+        if pending is None:
+            return
+        c_, payload, carry_ = pending
+        save_chunk(_chunk_path(ckpt_dir, c_), payload, carry_)
+        pending = None
+
+    executed = 0
+    for c in range(done, n_chunks):
+        if stop_after_chunks is not None and executed >= stop_after_chunks:
+            _flush()
+            return None
+        lo = c * chunk_size
+        hi = min((c + 1) * chunk_size, n_units)
+        payload, carry = run_chunk(carry, lo, hi)
+        _flush()
+        pending = (c, payload, carry)
+        executed += 1
+    _flush()
+    return carry
+
+
 def run_particles_checkpointed(
         config: ParticleConfig, params: ParticleParams,
         state0: ParticleState, *, T: float, obs_dt: float, dt: float,
@@ -219,58 +259,35 @@ def run_particles_checkpointed(
     else:
         state = state0
 
-    # pipelined chunk loop: chunk c+1 is DISPATCHED (jax async) before
-    # chunk c's frames are pulled to host and compressed — device compute
-    # overlaps checkpoint I/O.  Saves still land strictly in order, so a
-    # kill at any point leaves the same consistent prefix as the serial
-    # loop.
-    pending = None          # (chunk index, [device frame pytrees], state)
-
-    def _flush():
-        nonlocal pending
-        if pending is None:
-            return
-        c_, parts, st = pending
-        arrs = [jax.tree.map(np.asarray, p) for p in parts]
-        frames = arrs[0] if len(arrs) == 1 else jax.tree.map(
-            lambda *xs: np.concatenate(xs, axis=0), *arrs)
-        _save_chunk(_chunk_path(ckpt_dir, c_), frames,
-                    jax.tree.map(np.asarray, st))
-        pending = None
-
-    executed = 0
-    for c in range(done, n_chunks):
-        if stop_after_chunks is not None and executed >= stop_after_chunks:
-            _flush()
-            return None
-        lo = c * chunk_frames
-        hi = min((c + 1) * chunk_frames, n_frames)
+    def run_chunk(state, lo, hi):
         parts = []
         if lo == 0:
             parts.append(_record_initial(config, state,
                                          statics_builder=build_static_arrays,
                                          record_pos=record_pos,
                                          record_fft=record_fft))
-            if hi > 1:
-                res = _run_scan_range(config, params, state, 1,
-                                      statics_builder=build_static_arrays,
-                                      length=hi - 1, n_sub=n_sub,
-                                      obs_dt=obs_dt, record_pos=record_pos,
-                                      record_fft=record_fft)
-                parts.append(res.frames)
-                state = res.final_state
-        else:
-            res = _run_scan_range(config, params, state, lo,
+        if hi > max(lo, 1):
+            res = _run_scan_range(config, params, state, max(lo, 1),
                                   statics_builder=build_static_arrays,
-                                  length=hi - lo, n_sub=n_sub,
+                                  length=hi - max(lo, 1), n_sub=n_sub,
                                   obs_dt=obs_dt, record_pos=record_pos,
                                   record_fft=record_fft)
             parts.append(res.frames)
             state = res.final_state
-        _flush()                 # save chunk c-1 while chunk c computes
-        pending = (c, parts, state)
-        executed += 1
-    _flush()
+        return parts, state
+
+    def save_parts(path, parts, st):
+        arrs = [jax.tree.map(np.asarray, p) for p in parts]
+        frames = arrs[0] if len(arrs) == 1 else jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=0), *arrs)
+        _save_chunk(path, frames, jax.tree.map(np.asarray, st))
+
+    state = _pipelined_chunks(ckpt_dir, state, done=done, n_chunks=n_chunks,
+                              chunk_size=chunk_frames, n_units=n_frames,
+                              run_chunk=run_chunk, save_chunk=save_parts,
+                              stop_after_chunks=stop_after_chunks)
+    if state is None:
+        return None
 
     # stitch all chunks (read back from disk so the returned result is
     # exactly what a resumed process would reconstruct)
@@ -374,33 +391,21 @@ def pde_solve_checkpointed(config, params, ops, rho_p0, rho_m0, tracers0,
     else:
         carry = PDECarry(rho_p0, rho_m0, tracers0, key)
 
-    # pipelined: dispatch chunk c+1 before saving chunk c (see the
-    # particle driver); saves land in order, prefix consistency unchanged
-    pending = None
-
-    def _flush():
-        nonlocal pending
-        if pending is None:
-            return
-        c_, blocks_, carry_ = pending
-        _save_pde_chunk(_chunk_path(ckpt_dir, c_),
-                        jax.tree.map(np.asarray, blocks_),
-                        jax.tree.map(np.asarray, carry_))
-        pending = None
-
-    executed = 0
-    for c in range(done, n_chunks):
-        if stop_after_chunks is not None and executed >= stop_after_chunks:
-            _flush()
-            return None
-        lo = c * chunk_blocks
-        hi = min((c + 1) * chunk_blocks, n_blocks)
+    def run_chunk(carry, lo, hi):
         carry, blocks = _pde_solve_range(config, params, ops, carry, lo,
                                          length=hi - lo)
-        _flush()
-        pending = (c, blocks, carry)
-        executed += 1
-    _flush()
+        return blocks, carry
+
+    def save_blocks(path, blocks, carry_):
+        _save_pde_chunk(path, jax.tree.map(np.asarray, blocks),
+                        jax.tree.map(np.asarray, carry_))
+
+    carry = _pipelined_chunks(ckpt_dir, carry, done=done, n_chunks=n_chunks,
+                              chunk_size=chunk_blocks, n_units=n_blocks,
+                              run_chunk=run_chunk, save_chunk=save_blocks,
+                              stop_after_chunks=stop_after_chunks)
+    if carry is None:
+        return None
 
     stacks = []
     for c in range(n_chunks):
@@ -520,46 +525,34 @@ def _run_lg_family_checkpointed(
             config, params_b, field0, keys, n_sub=n_sub, obs_dt=obs_dt,
             record_fft=record_fft, n_tracers=n_tracers)
 
-    # pipelined: dispatch chunk c+1 before saving chunk c (see the
-    # particle driver); saves land in order, prefix consistency unchanged
-    pending = None
+    def run_chunk(carry, lo, hi):
+        # frame 0 is the initial record; stepped frames are 1..n_frames-1
+        length = (hi - 1) if lo == 0 else (hi - lo)
+        frames = None
+        if length > 0:
+            carry, frames = eng["scan_range"](
+                config, params_b, carry, tr_valid, length=length,
+                n_sub=n_sub, obs_dt=obs_dt, record_fft=record_fft,
+                n_tracers=n_tracers)
+        return (frame0 if lo == 0 else None, frames), carry
 
-    def _flush():
-        nonlocal pending
-        if pending is None:
-            return
-        c_, f0_, frames_, carry_ = pending
+    def save_lg(path, payload, carry_):
+        f0_, frames_ = payload
         frames_ = None if frames_ is None else jax.tree.map(np.asarray,
                                                             frames_)
         if f0_ is not None:
             f0_ = jax.tree.map(lambda a: np.asarray(a)[:, None], f0_)
             frames_ = f0_ if frames_ is None else jax.tree.map(
                 lambda a, b: np.concatenate([a, b], axis=1), f0_, frames_)
-        _save_lg_chunk(_chunk_path(ckpt_dir, c_), frames_,
-                       jax.tree.map(np.asarray, carry_),
+        _save_lg_chunk(path, frames_, jax.tree.map(np.asarray, carry_),
                        np.asarray(tr_valid), carry_fields)
-        pending = None
 
-    executed = 0
-    for c in range(done, n_chunks):
-        if stop_after_chunks is not None and executed >= stop_after_chunks:
-            _flush()
-            return None
-        lo = c * chunk_frames
-        hi = min((c + 1) * chunk_frames, n_frames)
-        # frame 0 is the initial record; stepped frames are 1..n_frames-1
-        length = (hi - 1) if lo == 0 else (hi - lo)
-        if length > 0:
-            carry, frames = eng["scan_range"](
-                config, params_b, carry, tr_valid, length=length,
-                n_sub=n_sub, obs_dt=obs_dt, record_fft=record_fft,
-                n_tracers=n_tracers)
-        else:
-            frames = None
-        _flush()
-        pending = (c, frame0 if lo == 0 else None, frames, carry)
-        executed += 1
-    _flush()
+    carry = _pipelined_chunks(ckpt_dir, carry, done=done, n_chunks=n_chunks,
+                              chunk_size=chunk_frames, n_units=n_frames,
+                              run_chunk=run_chunk, save_chunk=save_lg,
+                              stop_after_chunks=stop_after_chunks)
+    if carry is None:
+        return None
 
     stacks = []
     for c in range(n_chunks):
@@ -693,33 +686,23 @@ def run_pde_ensemble_checkpointed(config, params_b, ops, rho_p0, rho_m0,
         return jax.vmap(f, in_axes=(0, 0, None))(params_b, carry_,
                                                  jax.numpy.int32(lo))
 
-    pending = None
-
-    def _flush():
-        nonlocal pending
-        if pending is None:
-            return
-        c_, blocks_, carry_ = pending
-        _save_pde_chunk(_chunk_path(ckpt_dir, c_),
-                        jax.tree.map(np.asarray, blocks_),
-                        jax.tree.map(np.asarray, carry_))
-        pending = None
-
-    executed = 0
-    for c in range(done, n_chunks):
-        if stop_after_chunks is not None and executed >= stop_after_chunks:
-            _flush()
-            return None
-        lo = c * chunk_blocks
-        hi = min((c + 1) * chunk_blocks, n_blocks)
+    def run_chunk(carry, lo, hi):
         carry, blocks = _ranged(carry, lo, hi - lo)
         if not keep_snapshots:
             recs_c, sn, msn, st = blocks
             blocks = (recs_c, sn[:, :0], msn[:, :0], st[:, :0])
-        _flush()
-        pending = (c, blocks, carry)
-        executed += 1
-    _flush()
+        return blocks, carry
+
+    def save_blocks(path, blocks, carry_):
+        _save_pde_chunk(path, jax.tree.map(np.asarray, blocks),
+                        jax.tree.map(np.asarray, carry_))
+
+    carry = _pipelined_chunks(ckpt_dir, carry, done=done, n_chunks=n_chunks,
+                              chunk_size=chunk_blocks, n_units=n_blocks,
+                              run_chunk=run_chunk, save_chunk=save_blocks,
+                              stop_after_chunks=stop_after_chunks)
+    if carry is None:
+        return None
 
     stacks = []
     for c in range(n_chunks):
@@ -842,44 +825,31 @@ def run_particle_ensemble_checkpointed(
         return jax.vmap(f, in_axes=(0, 0, None))(params_b, sts,
                                                  jax.numpy.int32(lo))
 
-    pending = None
-
-    def _flush():
-        nonlocal pending
-        if pending is None:
-            return
-        c_, parts, sts = pending
-        arrs = [jax.tree.map(np.asarray, p) for p in parts]
-        frames = arrs[0] if len(arrs) == 1 else jax.tree.map(
-            lambda *xs: np.concatenate(xs, axis=1), *arrs)
-        _save_chunk(_chunk_path(ckpt_dir, c_), frames,
-                    jax.tree.map(np.asarray, sts))
-        pending = None
-
-    executed = 0
-    for c in range(done, n_chunks):
-        if stop_after_chunks is not None and executed >= stop_after_chunks:
-            _flush()
-            return None
-        lo = c * chunk_frames
-        hi = min((c + 1) * chunk_frames, n_frames)
+    def run_chunk(states, lo, hi):
         parts = []
         if lo == 0:
             # _record_initial already returns a (1, ...) frame stack, so
             # the vmapped call is (B, 1, ...) — concat-ready on axis 1
             parts.append(_v_initial(states))
-            if hi > 1:
-                res = _v_range(states, 1, hi - 1)
-                parts.append(res.frames)
-                states = res.final_state
-        else:
-            res = _v_range(states, lo, hi - lo)
+        if hi > max(lo, 1):
+            res = _v_range(states, max(lo, 1), hi - max(lo, 1))
             parts.append(res.frames)
             states = res.final_state
-        _flush()
-        pending = (c, parts, states)
-        executed += 1
-    _flush()
+        return parts, states
+
+    def save_parts(path, parts, sts):
+        arrs = [jax.tree.map(np.asarray, p) for p in parts]
+        frames = arrs[0] if len(arrs) == 1 else jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=1), *arrs)
+        _save_chunk(path, frames, jax.tree.map(np.asarray, sts))
+
+    states = _pipelined_chunks(ckpt_dir, states, done=done,
+                               n_chunks=n_chunks, chunk_size=chunk_frames,
+                               n_units=n_frames, run_chunk=run_chunk,
+                               save_chunk=save_parts,
+                               stop_after_chunks=stop_after_chunks)
+    if states is None:
+        return None
 
     chunk_frames_list = []
     for c in range(n_chunks):

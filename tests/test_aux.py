@@ -102,13 +102,21 @@ def test_bench_module_importable():
     import importlib.util
     import pathlib
 
+    import jax
+
     path = pathlib.Path(__file__).parent.parent / "bench.py"
+    prior_cache = jax.config.jax_compilation_cache_dir
     spec = importlib.util.spec_from_file_location("bench", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     for fn in ("bench_particle_steps", "bench_particle_steps_pallas",
                "bench_lattice_gas", "bench_pde_steps", "main"):
         assert callable(getattr(mod, fn))
+    # the exec above must NOT have re-enabled the persistent compilation
+    # cache for the rest of the suite (XLA:CPU cache WRITES segfault
+    # intermittently on some hosts — the round-4 whole-suite rc=139)
+    assert jax.config.jax_compilation_cache_dir == prior_cache
+    assert jax.config.jax_compilation_cache_dir is None
 
 
 def test_bench_outage_emits_one_json_line():
