@@ -45,8 +45,9 @@ def sweep_over_sigmas(sigma_values: Sequence[float], beta_values,
     each σ's (β × replicas) grid program runs through the checkpointed
     slot engine (``utils.checkpoint``) with its own subdirectory
     ``<ckpt_dir>/sigma_<σ>``, so a kill mid-σ resumes from the newest
-    complete chunk instead of restarting that σ's grid.  Requires
-    ``engine='lattice_gas'`` (the sweep_over_betas ckpt contract)."""
+    complete chunk instead of restarting that σ's grid.  Works with
+    ``engine='lattice_gas'`` and ``'particle'`` (the sweep_over_betas
+    ckpt contract; the fused Pallas route runs uncheckpointed)."""
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
     beta_values = np.asarray(beta_values, dtype=float)
