@@ -718,24 +718,42 @@ def _watchdog() -> None:
     with HYDROLIM_BENCH_CHILD=1, relays the child's one JSON line, and on
     a blown deadline kills the child and emits the error record itself."""
     deadline = float(os.environ.get("HYDROLIM_BENCH_DEADLINE", 1680.0))
-    env = dict(os.environ, HYDROLIM_BENCH_CHILD="1")
-    proc = subprocess.Popen(
-        [sys.executable, "-u", os.path.abspath(__file__)],
-        stdout=subprocess.PIPE, text=True, env=env)  # stderr: inherited
-    timed_out = False
-    try:
-        out, _ = proc.communicate(timeout=deadline)
-    except subprocess.TimeoutExpired:
-        timed_out = True
-        proc.kill()
-        out = proc.communicate()[0] or ""
-    for line in reversed([l for l in out.splitlines() if l.strip()]):
+    t0 = time.time()
+    attempts = 0
+    while True:
+        attempts += 1
+        env = dict(os.environ, HYDROLIM_BENCH_CHILD="1")
+        if attempts > 1:
+            # a signal death (SIGSEGV/SIGILL) is the persistent-cache
+            # serialization fault seen on the round-4 host — retry once
+            # with the cache disabled before giving up
+            env["HYDROLIM_NO_COMPILATION_CACHE"] = "1"
+        proc = subprocess.Popen(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, text=True, env=env)  # stderr: inherited
+        timed_out = False
         try:
-            json.loads(line)
-        except ValueError:
+            out, _ = proc.communicate(timeout=deadline - (time.time() - t0))
+        except subprocess.TimeoutExpired:
+            timed_out = True
+            proc.kill()
+            out = proc.communicate()[0] or ""
+        for line in reversed([l for l in out.splitlines() if l.strip()]):
+            try:
+                json.loads(line)
+            except ValueError:
+                continue
+            print(line)
+            return
+        died_on_signal = (not timed_out and proc.returncode is not None
+                          and proc.returncode < 0)
+        if (died_on_signal and attempts == 1
+                and time.time() - t0 < 0.5 * deadline):
+            print(f"# bench child died on signal {-proc.returncode}; "
+                  "retrying once with the compilation cache disabled",
+                  file=sys.stderr)
             continue
-        print(line)
-        return
+        break
     if timed_out:
         _emit(_error_record(
             "bench timed out mid-run",
@@ -746,7 +764,7 @@ def _watchdog() -> None:
         _emit(_error_record(
             "bench child died without a record",
             detail=f"child exited rc={proc.returncode} with no parseable "
-                   "JSON line on stdout"))
+                   f"JSON line on stdout (attempts={attempts})"))
 
 
 if __name__ == "__main__":
@@ -754,6 +772,14 @@ if __name__ == "__main__":
             and os.environ.get("HYDROLIM_BENCH_NO_WATCHDOG", "") != "1"):
         _watchdog()
         sys.exit(0)
+    if (os.environ.get("HYDROLIM_BENCH_TEST_SIGNAL", "")
+            and os.environ.get("HYDROLIM_NO_COMPILATION_CACHE", "") != "1"):
+        # test hook for the watchdog's signal-death retry: the first child
+        # (cache on) kills itself; the retry (cache off) proceeds normally
+        import signal as _signal
+
+        os.kill(os.getpid(),
+                int(os.environ["HYDROLIM_BENCH_TEST_SIGNAL"]))
     try:
         main()
     except Exception as exc:  # one parseable line, no matter what broke

@@ -248,3 +248,30 @@ def test_every_experiment_driver_cli_wires_up():
                              capture_output=True, text=True, timeout=120,
                              cwd=str(d.parent.parent))
         assert out.returncode == 0, (d.name, out.stderr[-500:])
+
+
+def test_bench_watchdog_retries_signal_death_without_cache():
+    """A child that dies on a signal (the cache-write segfault mode seen on
+    the round-4 host) is retried ONCE with the compilation cache disabled;
+    the retry's record is relayed as the single JSON line, rc=0."""
+    import json
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    path = pathlib.Path(__file__).parent.parent / "bench.py"
+    env = dict(os.environ)
+    env["HYDROLIM_BENCH_TEST_SIGNAL"] = "11"     # first child: SIGSEGV
+    env["HYDROLIM_BENCH_PROBE_BUDGET"] = "0"     # retry: fast error record
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "nonexistent-platform"
+    env.pop("HYDROLIM_NO_COMPILATION_CACHE", None)
+    out = subprocess.run([sys.executable, str(path)], env=env,
+                         capture_output=True, text=True, timeout=240)
+    assert out.returncode == 0, out.stderr[-800:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, out.stdout
+    rec = json.loads(lines[0])
+    assert rec["error"] and rec["value"] is None
+    assert "retrying once with the compilation cache disabled" in out.stderr
