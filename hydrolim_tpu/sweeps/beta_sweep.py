@@ -229,11 +229,17 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
         )
 
         if is_pallas_exclusion_path(config):
+            if ckpt_dir is not None:
+                assert mesh is None or mesh.size == 1, (
+                    "sweep ckpt_dir is single-device (resume cannot "
+                    "restore mesh placement); drop n_devices/mesh or the "
+                    "checkpoint")
+                mesh = None
             frames, _ = run_exclusion_sweep(
                 config, params, key, T=T, obs_dt=obs_dt, dt=dt,
                 engine=kernel, rho0_plus=rho0_p, rho0_minus=rho0_m,
                 n_tracers=n_tracers, mesh=mesh, b_real=B,
-                record_fft=record_fft)
+                record_fft=record_fft, ckpt_dir=ckpt_dir)
             frames = unpad(frames)
             out_for = _lattice_gas_out_accessor(frames, times)
             return config, out_for, dt, frames
@@ -511,9 +517,9 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
         last_run_info.clear()
         lg_frames = None
         if ckpt_dir is not None:
-            assert engine in ("lattice_gas", "particle"), (
-                "ckpt_dir requires engine='lattice_gas' or 'particle' (the "
-                "fused Pallas route runs uncheckpointed)")
+            assert engine in ("lattice_gas", "particle", "pallas"), (
+                "ckpt_dir supports engine='lattice_gas', 'particle' and "
+                "'pallas' (the fused route checkpoints chunked too)")
         if engine in ("lattice_gas", "pallas"):
             config, out_for, dt, lg_frames = run_sweep_grid_lattice_gas(
                 beta_values, n_runs_per_beta, ps_kwargs, init_kwargs,

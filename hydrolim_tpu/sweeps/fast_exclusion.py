@@ -189,13 +189,140 @@ def _pick_r_batch_rb(B: int, config: Optional[ParticleConfig] = None) -> int:
 last_run_info: dict = {}
 
 
+def _run_fused_checkpointed(config, kernel_fn, rec, sl0, scal, seeds0,
+                            tags, valid, conv_j, *, engine, R, M, n_sub,
+                            dt_eff, bidi, use_local_m, record_fft,
+                            ckpt_dir, chunk_frames, resume,
+                            stop_after_chunks, interpret, noise):
+    """Chunked fused-kernel run (the ckpt_dir= mode of
+    :func:`run_exclusion_sweep`): the frame scan executes in
+    ``chunk_frames``-frame ranges — per-frame seeds ``seeds0 + f`` make a
+    range-split scan reproduce the unsplit draws exactly — with an atomic
+    checkpoint of each chunk's records/raw tracer sites plus the packed
+    slot-field carry.  Returns ``(sl, stacked, raws)`` (host) or ``None``
+    when ``stop_after_chunks`` halted an incomplete run."""
+    from pathlib import Path
+
+    from hydrolim_tpu.sweeps.persistence import config_hash
+    from hydrolim_tpu.utils.checkpoint import (
+        _atomic_savez,
+        _chunk_path,
+        _digest,
+        _pipelined_chunks,
+        _resume_prefix,
+    )
+
+    L, K = config.L, config.K
+    cfg = {f: repr(getattr(config, f))
+           for f in config.__dataclass_fields__ if f != "flip_rate_fn"}
+    run_hash = config_hash({
+        "fused_config": cfg, "engine": engine, "R": R, "M": M,
+        "n_sub": n_sub, "dt_eff": dt_eff, "record_fft": record_fft,
+        "interpret": bool(interpret),
+        "sl0": _digest(sl0), "scal": _digest(scal),
+        "seeds0": _digest(seeds0), "tags": _digest(tags),
+        "valid": _digest(valid), "conv": _digest(conv_j),
+        "noise": _digest(noise)})
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    chunk_frames, n_chunks, done = _resume_prefix(
+        ckpt_dir, run_hash, what="fused exclusion run", resume=resume,
+        chunk_size=chunk_frames, n_units=M,
+        size_key="chunk_frames", unit_key="n_frames")
+
+    prog_ids = jnp.arange(sl0.shape[0] // R, dtype=jnp.int32)
+
+    def _scan(sl, xs):
+        def frame_body(sl, x):
+            f, nz = x if noise is not None else (x, None)
+            sl = kernel_fn(
+                scal, seeds0 + f, sl, conv_j, L=L, K=K, k_steps=n_sub,
+                dt=dt_eff, periodic=config.periodic, bidirectional=bidi,
+                use_local_m=use_local_m, r_batch=R, prog_ids=prog_ids,
+                interpret=interpret, noise=nz)
+            return sl, sl
+        sl, sl_frames = jax.lax.scan(frame_body, sl, xs)
+        frames, raws = jax.lax.map(lambda s: rec(s, tags, valid), sl_frames)
+        return sl, frames, raws
+
+    ranged = jax.jit(_scan)
+
+    # generic tree persistence: leaves keyed by index, structure re-derived
+    # from an eval_shape template (the record pytree class stays private)
+    frame_tpl, raw_tpl = jax.eval_shape(
+        rec, jax.ShapeDtypeStruct(sl0.shape, sl0.dtype),
+        jax.ShapeDtypeStruct(tags.shape, tags.dtype),
+        jax.ShapeDtypeStruct(valid.shape, valid.dtype))
+    payload_struct = jax.tree.structure((frame_tpl, raw_tpl))
+    n_payload = payload_struct.num_leaves
+
+    def save_fused(path, payload, sl_):
+        leaves = jax.tree.leaves((payload, sl_))
+        assert len(leaves) == n_payload + 1
+        _atomic_savez(path, **{f"leaf_{i:03d}": np.asarray(x)
+                               for i, x in enumerate(leaves)})
+
+    def load_fused(path):
+        with np.load(path) as z:
+            leaves = [z[k] for k in sorted(z.files)]
+        assert len(leaves) == n_payload + 1
+        frames_, raws_ = jax.tree.unflatten(payload_struct,
+                                            leaves[:n_payload])
+        return (frames_, raws_), jnp.asarray(leaves[-1])
+
+    if done > 0:
+        _, sl = load_fused(_chunk_path(ckpt_dir, done - 1))
+    else:
+        sl = sl0
+
+    def run_chunk(sl, lo, hi):
+        segs = []
+        if lo == 0:
+            f0, r0 = rec(sl, tags, valid)           # sl == sl0 at lo == 0
+            segs.append((jax.tree.map(lambda a: a[None], f0), r0[None]))
+        lo1 = max(lo, 1)
+        if hi > lo1:
+            idx = jnp.arange(lo1, hi, dtype=jnp.int32)
+            xs = (idx, jnp.asarray(noise[lo1 - 1:hi - 1])) \
+                if noise is not None else idx
+            sl, fr, rw = ranged(sl, xs)
+            segs.append((fr, rw))
+        if len(segs) == 2:
+            fr = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
+                              segs[0][0], segs[1][0])
+            rw = jnp.concatenate([segs[0][1], segs[1][1]], axis=0)
+        else:
+            fr, rw = segs[0]
+        return (fr, rw), sl
+
+    sl = _pipelined_chunks(ckpt_dir, sl, done=done, n_chunks=n_chunks,
+                           chunk_size=chunk_frames, n_units=M,
+                           run_chunk=run_chunk, save_chunk=save_fused,
+                           stop_after_chunks=stop_after_chunks)
+    if sl is None:
+        return None
+
+    frs, rws = [], []
+    for c in range(n_chunks):
+        (fr, rw), sl = load_fused(_chunk_path(ckpt_dir, c))
+        frs.append(fr)
+        rws.append(rw)
+    stacked = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *frs)
+    raws = np.concatenate(rws, axis=0)
+    return np.asarray(sl), stacked, raws
+
+
 def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
                         key: jnp.ndarray, *, T: float, obs_dt: float,
                         dt: float, engine: str = "auto", rho0_plus=None,
                         rho0_minus=None, record_fft: bool = True,
                         n_tracers: int = 0, mesh=None,
                         b_real: Optional[int] = None,
-                        r_batch: Optional[int] = None
+                        r_batch: Optional[int] = None,
+                        ckpt_dir=None, chunk_frames: int = 64,
+                        resume: bool = True,
+                        stop_after_chunks: Optional[int] = None,
+                        _interpret: bool = False, _noise=None
                         ) -> Tuple[LatticeGasFrames, np.ndarray]:
     """Fused-kernel exclusion sweep over the batch of ``params_b``.
 
@@ -225,7 +352,26 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     ``engine='pallas_rb'`` routes through the replica-banked kernel
     (ops/pallas_exclusion_rb.py, (K, R, Lp) layout — 100% sublane
     occupancy); same contract, different PRNG draw shapes, so
-    trajectories at a fixed seed differ from ``'pallas'``/``'xla'``."""
+    trajectories at a fixed seed differ from ``'pallas'``/``'xla'``.
+
+    ``ckpt_dir=`` makes the run preemption-safe: the frame scan executes
+    in ``chunk_frames``-frame chunks with an atomic checkpoint of each
+    chunk's records plus the slot-field carry.  Per-frame PRNG seeds are
+    ``seeds0 + frame`` — a pure function of the global frame index — so a
+    range-split scan reproduces the unsplit scan's draws exactly: the
+    trajectory (slot states, tracer sites, counts) is **bit-identical**;
+    float records that pass through (·, L)·(L, L) matmuls (fft_amp, and
+    m_local under use_local_m) are computed in per-chunk record blocks and
+    agree to ~1 ulp (XLA matmul reassociation at different block shapes —
+    the same caveat as resharding, docs/ROADMAP.md).  Single-device; the
+    XLA fallback routes to ``run_lattice_gas_k_checkpointed`` (which IS
+    bit-identical throughout — its records are computed per frame inside
+    the scan).  Returns ``None`` when ``stop_after_chunks`` halted an
+    incomplete run.
+
+    ``_interpret``/``_noise`` are the CPU validation hooks (kernel under
+    ``interpret=True`` consuming an (M-1, G, k_steps, 2, R, Kp, Lp) block
+    of pre-drawn bits as scan xs) — production TPU runs use neither."""
     from hydrolim_tpu.particles.lattice_gas_k import lgk_init, run_lattice_gas_k
 
     assert is_pallas_exclusion_path(config), (
@@ -241,7 +387,7 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
         else:
             engine = "pallas" if default_device_is_tpu() else "xla"
     if engine in ("pallas", "pallas_rb") and not default_device_is_tpu() \
-            and mesh is None:
+            and mesh is None and not _interpret:
         # explicit pallas off-TPU cannot run (no Mosaic interpreter on the
         # production path) — keep the documented automatic XLA fallback
         engine = "xla"
@@ -249,6 +395,21 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     last_run_info.clear()
     last_run_info["engine"] = engine
     if engine == "xla":
+        if ckpt_dir is not None:
+            from hydrolim_tpu.utils.checkpoint import (
+                run_lattice_gas_k_checkpointed,
+            )
+
+            out = run_lattice_gas_k_checkpointed(
+                config, params_b, key, T=T, obs_dt=obs_dt, dt=dt,
+                ckpt_dir=ckpt_dir, chunk_frames=chunk_frames,
+                rho0_plus=rho0_plus, rho0_minus=rho0_minus,
+                record_fft=record_fft, n_tracers=n_tracers, resume=resume,
+                stop_after_chunks=stop_after_chunks)
+            if out is None:
+                return None
+            frames, slots = out
+            return frames, np.asarray(slots)
         frames, slots = run_lattice_gas_k(
             config, params_b, key, T=T, obs_dt=obs_dt, dt=dt,
             rho0_plus=rho0_plus, rho0_minus=rho0_minus,
@@ -385,15 +546,18 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
                 if mesh_ax is not None else 0)
         prog_ids = pid0 + jnp.arange(G_local, dtype=jnp.int32)
 
-        def frame_body(sl, f):
+        def frame_body(sl, x):
+            f, nz = x if _noise is not None else (x, None)
             sl = kernel_fn(
                 scal, seeds0 + f, sl, conv_j, L=L, K=K, k_steps=n_sub,
                 dt=dt_eff, periodic=config.periodic, bidirectional=bidi,
-                use_local_m=use_local_m, r_batch=R, prog_ids=prog_ids)
+                use_local_m=use_local_m, r_batch=R, prog_ids=prog_ids,
+                interpret=_interpret, noise=nz)
             return sl, sl
 
-        sl, sl_frames = jax.lax.scan(frame_body, sl0,
-                                     jnp.arange(1, M, dtype=jnp.int32))
+        idx = jnp.arange(1, M, dtype=jnp.int32)
+        xs = (idx, jnp.asarray(_noise)) if _noise is not None else idx
+        sl, sl_frames = jax.lax.scan(frame_body, sl0, xs)
 
         CH = min(_REC_CHUNK, M)
         pad = (-M) % CH
@@ -407,7 +571,23 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
         unblock = lambda x: x.reshape((M + pad,) + x.shape[2:])[:M]
         return sl, jax.tree.map(unblock, frames), unblock(raws)
 
-    if mesh is not None:
+    if ckpt_dir is not None:
+        # chunked fused route: seeds0 + f makes every frame's draws a pure
+        # function of the global frame index, so chunks stitch bit-identical
+        assert mesh is None, (
+            "fused ckpt_dir is single-device (resume cannot restore mesh "
+            "placement); drop mesh or the checkpoint")
+        out = _run_fused_checkpointed(
+            config, kernel_fn, rec, sl0, scal, seeds0, tags, valid, conv_j,
+            engine=engine, R=R, M=M, n_sub=n_sub, dt_eff=dt_eff, bidi=bidi,
+            use_local_m=use_local_m, record_fft=record_fft,
+            ckpt_dir=ckpt_dir, chunk_frames=chunk_frames, resume=resume,
+            stop_after_chunks=stop_after_chunks, interpret=_interpret,
+            noise=_noise)
+        if out is None:
+            return None
+        sl, stacked, raws = out
+    elif mesh is not None:
         # replica-axis shard_map: each shard runs the UNCHANGED fused kernel
         # program on its local batch rows — pure DP, no collectives, so the
         # wrapped kernel is bit-identical to the unwrapped one per replica
@@ -431,8 +611,9 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     else:
         runner = jax.jit(run_scanned)
 
-    sl, stacked, raws = jax.device_get(
-        runner(sl0, scal, seeds0, tags, valid, conv_j))
+    if ckpt_dir is None:
+        sl, stacked, raws = jax.device_get(
+            runner(sl0, scal, seeds0, tags, valid, conv_j))
     tracer_pos = unwrap_tracer_sites(raws, L, config.periodic)
     cut = lambda a: np.moveaxis(a, 0, 1)[:B]     # frame-major → (B, M, …)
     frames = LatticeGasFrames(

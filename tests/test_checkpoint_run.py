@@ -804,3 +804,84 @@ def test_sweep_over_betas_particle_engine_ckpt_matches_plain(tmp_path):
     np.testing.assert_array_equal(a["m_means"], b["m_means"])
     np.testing.assert_array_equal(a["D_means"], b["D_means"])
     assert (tmp_path / "ck" / "replicas_00000" / "manifest.json").exists()
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas exclusion route (interpret-mode on CPU; PRNG path in TPU lane)
+# ---------------------------------------------------------------------------
+
+def test_fused_exclusion_ckpt_chunked_matches_straight(tmp_path):
+    """run_exclusion_sweep(ckpt_dir=): the chunked fused run (range-split
+    kernel scan, per-frame seeds0+f) stitches bit-identical to the unsplit
+    run, survives a simulated preemption, and the XLA fallback routes to
+    the slot-engine checkpoint.  CPU drives the kernel under interpret=True
+    with injected noise (no Mosaic PRNG off-TPU); the on-core-PRNG bitwise
+    identity is the TPU lane's job."""
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.sweeps.ensemble import broadcast_params
+    from hydrolim_tpu.sweeps.fast_exclusion import run_exclusion_sweep
+
+    config = ParticleConfig(L=32, N=20, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.0, periodic=True,
+                            site_capacity=2)
+    params = broadcast_params(config, beta=[0.8, 2.0],
+                              rate_diffusion=0.5, rate_active=2.0)
+    key = jax.random.PRNGKey(5)
+    T, obs_dt, dt = 0.6, 0.1, 0.05          # M=6 frames, n_sub=2
+    M, n_sub, B, R = 6, 2, 2, 1
+    Kp = -(-config.K // 4) * 4
+    Lp = -(-config.L // 128) * 128
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 2 ** 32, (M - 1, B // R, n_sub, 2, R, Kp, Lp),
+                         dtype=np.uint32)
+
+    kw = dict(T=T, obs_dt=obs_dt, dt=dt, engine="pallas", r_batch=R,
+              n_tracers=4, _interpret=True, _noise=noise)
+    straight_frames, straight_slots = run_exclusion_sweep(
+        config, params, key, **kw)
+    ck = tmp_path / "ck"
+    partial = run_exclusion_sweep(config, params, key, ckpt_dir=ck,
+                                  chunk_frames=2, stop_after_chunks=1, **kw)
+    assert partial is None and (ck / "chunk_00000.npz").exists()
+    frames, slots = run_exclusion_sweep(config, params, key, ckpt_dir=ck,
+                                        chunk_frames=2, **kw)
+    for field in straight_frames._fields:
+        a = np.asarray(getattr(frames, field))
+        b = np.asarray(getattr(straight_frames, field))
+        if field in ("fft_amp", "m_local"):
+            # matmul-derived records are computed in per-chunk blocks and
+            # reassociate to ~1 ulp (documented run_exclusion_sweep
+            # contract; same caveat as resharding, docs/ROADMAP.md)
+            np.testing.assert_allclose(a, b, rtol=2e-6, atol=1e-5,
+                                       err_msg=field)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=field)
+    np.testing.assert_array_equal(np.asarray(slots), straight_slots)
+
+
+def test_fused_exclusion_ckpt_xla_fallback_routes_to_slot_ckpt(tmp_path):
+    """Off-TPU without the interpret hook, engine='pallas' falls back to
+    XLA — with ckpt_dir that must route through the slot-engine checkpoint
+    and still equal the plain fallback run."""
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.sweeps.ensemble import broadcast_params
+    from hydrolim_tpu.sweeps.fast_exclusion import run_exclusion_sweep
+
+    config = ParticleConfig(L=32, N=20, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.0, periodic=True,
+                            site_capacity=2)
+    params = broadcast_params(config, beta=[0.8, 2.0],
+                              rate_diffusion=0.5, rate_active=2.0)
+    key = jax.random.PRNGKey(9)
+    kw = dict(T=0.5, obs_dt=0.1, dt=0.05, engine="pallas", n_tracers=4)
+    plain_frames, plain_slots = run_exclusion_sweep(config, params, key,
+                                                    **kw)
+    frames, slots = run_exclusion_sweep(config, params, key,
+                                        ckpt_dir=tmp_path / "ck",
+                                        chunk_frames=2, **kw)
+    assert (tmp_path / "ck" / "manifest.json").exists()
+    for field in plain_frames._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(frames, field)),
+            np.asarray(getattr(plain_frames, field)), err_msg=field)
+    np.testing.assert_array_equal(np.asarray(slots), plain_slots)

@@ -702,3 +702,42 @@ def test_pallas_pde_per_step_spectra_match_xla():
     assert fa.shape == (B, config.nsteps + 1, 8, 2)
     assert np.all(np.isfinite(fa))
     np.testing.assert_allclose(fa, fb, rtol=5e-3, atol=5e-5)
+
+
+def test_fused_exclusion_ckpt_chunked_matches_straight_tpu(tmp_path):
+    """ckpt_dir= on the fused sweep, real HW-PRNG path: per-frame seeds are
+    seeds0 + f, so the chunked run's trajectory (slots, tracer sites,
+    counts) is bit-identical to the unsplit run; matmul-derived records
+    (fft_amp, local m) agree to ~1 ulp (per-chunk record blocks —
+    documented run_exclusion_sweep contract)."""
+    if not _tpu_is_default():
+        pytest.skip("needs a TPU device as default")
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.sweeps.ensemble import broadcast_params
+    from hydrolim_tpu.sweeps.fast_exclusion import run_exclusion_sweep
+
+    config = ParticleConfig(L=200, N=150, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.01, periodic=False,
+                            site_capacity=3, active_model="plus_forward")
+    params = broadcast_params(config, beta=[1.5], rate_diffusion=0.5,
+                              rate_active=3.0, n_runs=4)
+    kw = dict(T=1.5, obs_dt=0.25, dt=2e-3, engine="pallas", n_tracers=32,
+              r_batch=1)
+    straight_frames, straight_slots = run_exclusion_sweep(
+        config, params, jax.random.PRNGKey(3), **kw)
+    ck = tmp_path / "ck"
+    partial = run_exclusion_sweep(config, params, jax.random.PRNGKey(3),
+                                  ckpt_dir=ck, chunk_frames=2,
+                                  stop_after_chunks=1, **kw)
+    assert partial is None
+    frames, slots = run_exclusion_sweep(config, params, jax.random.PRNGKey(3),
+                                        ckpt_dir=ck, chunk_frames=2, **kw)
+    for field in straight_frames._fields:
+        a = np.asarray(getattr(frames, field))
+        b = np.asarray(getattr(straight_frames, field))
+        if field in ("fft_amp", "m_local"):
+            np.testing.assert_allclose(a, b, rtol=2e-6, atol=1e-4,
+                                       err_msg=field)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=field)
+    np.testing.assert_array_equal(np.asarray(slots), straight_slots)
