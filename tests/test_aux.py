@@ -275,3 +275,32 @@ def test_bench_watchdog_retries_signal_death_without_cache():
     rec = json.loads(lines[0])
     assert rec["error"] and rec["value"] is None
     assert "retrying once with the compilation cache disabled" in out.stderr
+
+
+def test_package_cli_launcher():
+    """python -m hydrolim_tpu: help lists every command, unknown commands
+    exit 2, and a real driver runs through the dispatcher."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    env["JAX_PLATFORMS"] = "cpu"
+    env["HYDROLIM_NO_COMPILATION_CACHE"] = "1"
+    out = subprocess.run([sys.executable, "-m", "hydrolim_tpu", "--help"],
+                         env=env, capture_output=True, text=True,
+                         timeout=120)
+    assert out.returncode == 0
+    for cmd in ("beta-sweep", "pde", "real-data", "large-lattice"):
+        assert cmd in out.stdout
+    bad = subprocess.run([sys.executable, "-m", "hydrolim_tpu", "nope"],
+                         env=env, capture_output=True, text=True,
+                         timeout=120)
+    assert bad.returncode == 2 and "unknown command" in bad.stderr
+    # the dispatcher must hand sys.argv through to the driver's own parser
+    helped = subprocess.run(
+        [sys.executable, "-m", "hydrolim_tpu", "beta-sweep", "--help"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert helped.returncode == 0 and "--ckpt-dir" in helped.stdout
