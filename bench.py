@@ -72,6 +72,13 @@ from hydrolim_tpu.particles.stepper import build_static_arrays, step
 from hydrolim_tpu.sweeps.ensemble import broadcast_params, ensemble_dt
 
 
+#: timing windows per bench row (VERDICT r4 #6): every row is measured as
+#: ``_SAMPLES`` independent pipelined windows (each window = ``reps`` chained
+#: dispatches, one sync), so the emitted record carries a spread and
+#: round-over-round diffs can tell a regression from axon session variance.
+_SAMPLES = int(os.environ.get("HYDROLIM_BENCH_SAMPLES", 3))
+
+
 def bench_particle_steps_pallas(B=64, N=100_000, L=1000, K_steps=1000,
                                 reps=3):
     """Fused multi-step Pallas kernel (state resident in VMEM across steps).
@@ -99,12 +106,17 @@ def bench_particle_steps_pallas(B=64, N=100_000, L=1000, K_steps=1000,
     np.asarray(p[0, 0])          # force completion
     # pipelined: chain reps invocations, one device→host sync at the end
     # (the final copy serializes behind the whole chain)
-    t0 = time.perf_counter()
-    for rep in range(reps):
-        p, s, w = run(rep + 1, p, s, w)
-    np.asarray(p[0, 0])          # device→host sync
-    wall = (time.perf_counter() - t0) / reps
-    return B * N * K_steps / wall, wall
+    vals, walls, frame = [], [], 1
+    for _ in range(_SAMPLES):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            p, s, w = run(frame, p, s, w)
+            frame += 1
+        np.asarray(p[0, 0])      # device→host sync
+        wall = (time.perf_counter() - t0) / reps
+        vals.append(B * N * K_steps / wall)
+        walls.append(wall)
+    return vals, float(np.mean(walls))
 
 
 def bench_particle_steps(B=64, N=100_000, L=1000, K_steps=100, reps=5):
@@ -134,12 +146,16 @@ def bench_particle_steps(B=64, N=100_000, L=1000, K_steps=100, reps=5):
     states = advance(params, states)          # compile + warm
     jax.block_until_ready(states.pos)
     # pipelined sustained-throughput timing (see bench_k3_flagship)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        states = advance(params, states)
-    jax.block_until_ready(states.pos)
-    wall = (time.perf_counter() - t0) / reps
-    return B * N * K_steps / wall, wall
+    vals, walls = [], []
+    for _ in range(_SAMPLES):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            states = advance(params, states)
+        jax.block_until_ready(states.pos)
+        wall = (time.perf_counter() - t0) / reps
+        vals.append(B * N * K_steps / wall)
+        walls.append(wall)
+    return vals, float(np.mean(walls))
 
 
 def bench_pde_steps(L=1000, nsteps=2000, reps=3, B=1):
@@ -167,12 +183,14 @@ def bench_pde_steps(L=1000, nsteps=2000, reps=3, B=1):
     p1, m1 = advance(p, m)
     jax.block_until_ready(p1)
     # pipelined sustained-throughput timing (see bench_k3_flagship)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        p1, m1 = advance(p1, m1)
-    jax.block_until_ready(p1)
-    wall = (time.perf_counter() - t0) / reps
-    return nsteps / wall
+    vals = []
+    for _ in range(_SAMPLES):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            p1, m1 = advance(p1, m1)
+        jax.block_until_ready(p1)
+        vals.append(nsteps / ((time.perf_counter() - t0) / reps))
+    return vals
 
 
 def bench_lattice_gas(B=64, L=1000, K_steps=500, reps=3):
@@ -208,12 +226,15 @@ def bench_lattice_gas(B=64, L=1000, K_steps=500, reps=3):
     occ, key = advance(occ, key)
     jax.block_until_ready(occ)
     # pipelined sustained-throughput timing (see bench_k3_flagship)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        occ, key = advance(occ, key)
-    jax.block_until_ready(occ)
-    wall = (time.perf_counter() - t0) / reps
-    return B * (L // 2) * K_steps / wall
+    vals = []
+    for _ in range(_SAMPLES):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            occ, key = advance(occ, key)
+        jax.block_until_ready(occ)
+        vals.append(B * (L // 2) * K_steps / ((time.perf_counter() - t0)
+                                              / reps))
+    return vals
 
 
 def bench_k3_flagship(B=16, reps=2):
@@ -244,12 +265,16 @@ def bench_k3_flagship(B=16, reps=2):
         # intermediate blocking so the tunnel's per-dispatch round-trip
         # (degrades to ~300 ms under sustained load — ROADMAP.md) overlaps
         # with device compute instead of being charged to every rep
-        t0 = time.perf_counter()
-        outs = [f(r + 1) for r in range(reps)]
-        for _, slots in outs:
-            jax.block_until_ready(slots)
-        wall = (time.perf_counter() - t0) / reps
-        return nb * 750 * nsteps / wall
+        vals, seed = [], 1
+        for _ in range(_SAMPLES):
+            t0 = time.perf_counter()
+            outs = [f(seed + r) for r in range(reps)]
+            seed += reps
+            for _, slots in outs:
+                jax.block_until_ready(slots)
+            vals.append(nb * 750 * nsteps / ((time.perf_counter() - t0)
+                                             / reps))
+        return vals
 
     return run_once(1), run_once(B)
 
@@ -291,12 +316,16 @@ def bench_k3_pallas(B=16, reps=2):
         jax.block_until_ready(sl)
         # pipelined: chain reps invocations (each consumes the previous
         # slots), block once — sustained throughput, dispatch overlapped
-        t0 = time.perf_counter()
-        for r in range(reps):
-            sl = run(r + 1, sl)
-        jax.block_until_ready(sl)
-        wall = (time.perf_counter() - t0) / reps
-        return nb * 750 * ksteps / wall
+        vals, frame = [], 1
+        for _ in range(_SAMPLES):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                sl = run(frame, sl)
+                frame += 1
+            jax.block_until_ready(sl)
+            vals.append(nb * 750 * ksteps / ((time.perf_counter() - t0)
+                                             / reps))
+        return vals
 
     return run_once(1), run_once(B)
 
@@ -333,12 +362,16 @@ def bench_k3_rb(B=16, reps=2):
             use_local_m=True, r_batch=R)
         sl = run(0, sl)
         jax.block_until_ready(sl)
-        t0 = time.perf_counter()
-        for r in range(reps):
-            sl = run(r + 1, sl)
-        jax.block_until_ready(sl)
-        wall = (time.perf_counter() - t0) / reps
-        return nb * 750 * ksteps / wall
+        vals, frame = [], 1
+        for _ in range(_SAMPLES):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                sl = run(frame, sl)
+                frame += 1
+            jax.block_until_ready(sl)
+            vals.append(nb * 750 * ksteps / ((time.perf_counter() - t0)
+                                             / reps))
+        return vals
 
     return run_once(1), run_once(B)
 
@@ -354,10 +387,15 @@ def bench_pde_sweep_fused(T=10.0, n_runs=3, reps=2):
     from hydrolim_tpu.pde.stepper import build_pde_ops
 
     beta_values = np.linspace(0, 3, 11).astype(np.float32)
+    # fft_kmax=8 is the sweep drivers' production value (sweeps/pde_sweeps.py)
+    # and keeps the per-step spectra inside the fused kernel's record rows;
+    # without it the kernel runs in its warned degraded mode (kmax=501 >
+    # 62: chunk-start-cadence spectra only) and the benched path is not the
+    # production one (VERDICT r4 #3/#4).
     config = PDEConfig(L=1000, T=T, dt=5e-4, bc="periodic",
                        gaussian_kernel=True, kernel_sigma=1e5 - 10,
                        snapshot_interval=1000, n_tracers=1000,
-                       tracer_window_time=0.25)
+                       tracer_window_time=0.25, fft_kmax=8)
     flat_beta = np.repeat(beta_values, n_runs)
     B = flat_beta.shape[0]
     params_b = PDEParams(gamma=jnp.full(B, 0.2), lam=jnp.full(B, 0.6),
@@ -372,12 +410,58 @@ def bench_pde_sweep_fused(T=10.0, n_runs=3, reps=2):
                                   engine="pallas")
     jax.block_until_ready(run().rho_p)        # compile + warm
     # pipelined sustained-throughput timing (see bench_k3_flagship)
-    t0 = time.perf_counter()
-    outs = [run() for _ in range(reps)]
-    for o in outs:
-        jax.block_until_ready(o.rho_p)
-    wall = (time.perf_counter() - t0) / reps
-    return B * config.nsteps / wall, wall
+    vals, walls = [], []
+    for _ in range(_SAMPLES):
+        t0 = time.perf_counter()
+        outs = [run() for _ in range(reps)]
+        for o in outs:
+            jax.block_until_ready(o.rho_p)
+        wall = (time.perf_counter() - t0) / reps
+        vals.append(B * config.nsteps / wall)
+        walls.append(wall)
+    return vals, float(np.mean(walls))
+
+
+def bench_pde_fused_bigbatch(B=512, T=2.0, reps=1):
+    """Fused PDE engine at chip-filling batch (VERDICT r4 #3): B replicas
+    (e.g. a 32 β × 16 λ phase-diagram grid) in ONE fused-kernel program —
+    the regime where the launch-bound small-batch overhead (~4% MXU at
+    B=33) amortizes.  Reference per-replica physics scale (L=1000,
+    dt=5e-4, near-global kernel); shorter horizon + trimmed tracer ring so
+    the per-step record block (B × nsteps × 128 lanes) stays in HBM.
+    Returns (list of aggregate replica-steps/s samples, mean warm wall)."""
+    from hydrolim_tpu.core.config import PDEConfig, PDEParams, make_pde_params
+    from hydrolim_tpu.pde.fast_solve import pde_solve_fused
+    from hydrolim_tpu.pde.init import pde_initialize
+    from hydrolim_tpu.pde.stepper import build_pde_ops
+
+    config = PDEConfig(L=1000, T=T, dt=5e-4, bc="periodic",
+                       gaussian_kernel=True, kernel_sigma=1e5 - 10,
+                       snapshot_interval=1000, n_tracers=256,
+                       tracer_window_time=0.05, fft_kmax=8)
+    beta = np.repeat(np.linspace(0.0, 3.0, 32), B // 32).astype(np.float32)
+    lam = np.tile(np.linspace(0.1, 1.2, B // 32), 32).astype(np.float32)
+    params_b = PDEParams(gamma=jnp.full(B, 0.2), lam=jnp.asarray(lam),
+                         beta=jnp.asarray(beta))
+    ops = build_pde_ops(config, make_pde_params(gamma=0.2, lam=0.6, beta=0.0))
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    init = jax.vmap(lambda k: pde_initialize(config, k, mode="homogeneous",
+                                             noise=0.3, n_tracers=256))
+    rp, rm, tr = init(keys)
+    key = jax.random.PRNGKey(7)
+    run = lambda: pde_solve_fused(config, params_b, ops, rp, rm, tr, key,
+                                  engine="pallas", keep_snapshots=False)
+    jax.block_until_ready(run().rho_p)        # compile + warm
+    vals, walls = [], []
+    for _ in range(_SAMPLES):
+        t0 = time.perf_counter()
+        outs = [run() for _ in range(reps)]
+        for o in outs:
+            jax.block_until_ready(o.rho_p)
+        wall = (time.perf_counter() - t0) / reps
+        vals.append(B * config.nsteps / wall)
+        walls.append(wall)
+    return vals, float(np.mean(walls))
 
 
 def bench_pde_banded_large_L(L=8192, nsteps=2000, B=4, reps=2):
@@ -405,19 +489,24 @@ def bench_pde_banded_large_L(L=8192, nsteps=2000, B=4, reps=2):
     rp, rm, tr = init(keys)
     key = jax.random.PRNGKey(3)
 
-    def timed(engine):
+    def timed(engine, samples):
         run = lambda: pde_solve_fused(config, params_b, ops, rp, rm, tr,
                                       key, engine=engine,
                                       keep_snapshots=False)
         jax.block_until_ready(run().rho_p)
-        t0 = time.perf_counter()
-        outs = [run() for _ in range(reps)]
-        for o in outs:
-            jax.block_until_ready(o.rho_p)
-        wall = (time.perf_counter() - t0) / reps
-        return B * config.nsteps / wall
+        vals = []
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            outs = [run() for _ in range(reps)]
+            for o in outs:
+                jax.block_until_ready(o.rho_p)
+            vals.append(B * config.nsteps / ((time.perf_counter() - t0)
+                                             / reps))
+        return vals
 
-    return timed("pallas"), timed("xla")
+    # the XLA banded batch is ~16 s per rep — cap its windows so the
+    # comparison row doesn't eat the watchdog deadline
+    return timed("pallas", _SAMPLES), timed("xla", min(2, _SAMPLES))
 
 
 def bench_pde_solve_full():
@@ -431,11 +520,15 @@ def bench_pde_solve_full():
                   seed=58, outdir="/tmp/bench_pde")
     pde.initialize("poisson", noise=0.05, n_tracers=1000)
     pde.solve()                       # compile + warm
-    pde.initialize("poisson", noise=0.05, n_tracers=1000)
-    t0 = time.perf_counter()
-    pde.solve()
-    dt_wall = time.perf_counter() - t0
-    return pde.config.nsteps / dt_wall, dt_wall
+    vals, walls = [], []
+    for _ in range(max(2, _SAMPLES - 1)):    # ~9.5 s per solve
+        pde.initialize("poisson", noise=0.05, n_tracers=1000)
+        t0 = time.perf_counter()
+        pde.solve()
+        dt_wall = time.perf_counter() - t0
+        vals.append(pde.config.nsteps / dt_wall)
+        walls.append(dt_wall)
+    return vals, float(np.mean(walls))
 
 
 # per-particle-step VPU lane-op estimate for the fused Pallas kernel body
@@ -525,6 +618,29 @@ def _emit(record):
     print(json.dumps(record))
 
 
+def _row(vals):
+    """Engine record row (VERDICT r4 #6): mean over the independent timing
+    windows plus the relative peak-to-peak spread, so round-over-round
+    diffs can tell a real regression from axon session variance (k1
+    lattice-gas measured 4.0e8-6.5e8 across sessions at identical code)."""
+    vals = [float(v) for v in vals]
+    v = float(np.mean(vals))
+    spread = float((max(vals) - min(vals)) / v) if len(vals) > 1 and v else 0.0
+    return {"value": v, "spread": round(spread, 4), "samples": len(vals)}
+
+
+def _dispatch_latency_ms(n=5):
+    """Round-trip latency of a trivial dispatch — the worker-freshness
+    probe: a fresh axon worker answers in ~1-10 ms, a degraded session in
+    ~300 ms (ROADMAP).  Recorded at bench start and end so the engines'
+    spread has an environment covariate."""
+    jax.block_until_ready(jnp.zeros(()) + 1)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        jax.block_until_ready(jnp.zeros(()) + 1)
+    return round((time.perf_counter() - t0) / n * 1e3, 3)
+
+
 def main():
     # probe in main(), NOT at import: tests exec the module to check the
     # entry points exist, and an import-time probe would block them for
@@ -549,7 +665,12 @@ def main():
     # None = that engine's bench failed/unavailable (reason on stderr).
     # Timing methodology for every number: pipelined mean (one sync after
     # `reps` chained dispatches), NOT min-of-reps — see README/VALIDATION.
+    # Each numeric row is {value, spread, samples} over _SAMPLES independent
+    # timing windows (VERDICT r4 #6).
     engines = {}
+    worker = {"dispatch_ms_start": _dispatch_latency_ms()}
+    print(f"# worker freshness: {worker['dispatch_ms_start']} ms/dispatch "
+          f"at bench start", file=sys.stderr)
 
     # Ordering: once any LARGE program has run, this remote worker's eager
     # dispatches degrade to ~300 ms synchronous round-trips (bisected: the
@@ -560,24 +681,24 @@ def main():
     # is printed at the end regardless of ordering.
     try:
         k3_1, k3_b = bench_k3_flagship()
-        engines["k3_slot_single"] = k3_1
-        engines["k3_slot_b16"] = k3_b
-        print(f"# K=3 flagship (site-centric slot engine): {k3_1:.3e} "
-              f"particle-steps/sec single replica, {k3_b:.3e} at B=16",
-              file=sys.stderr)
+        engines["k3_slot_single"] = _row(k3_1)
+        engines["k3_slot_b16"] = _row(k3_b)
+        print(f"# K=3 flagship (site-centric slot engine): "
+              f"{np.mean(k3_1):.3e} particle-steps/sec single replica, "
+              f"{np.mean(k3_b):.3e} at B=16", file=sys.stderr)
     except Exception as e:
         engines["k3_slot_single"] = engines["k3_slot_b16"] = None
         print(f"# K=3 flagship bench failed: {e}", file=sys.stderr)
     try:
         k3p_1, k3p_b = bench_k3_pallas()
-        engines["k3_fused_single"] = k3p_1
-        engines["k3_fused_b16"] = k3p_b
+        engines["k3_fused_single"] = _row(k3p_1)
+        engines["k3_fused_b16"] = _row(k3p_b)
         # roofline: lane-elements/s = replica-steps/s x Kp x Lp (slot tiles)
         ops = _exclusion_ops_per_lane(3)
-        vpu_frac = (k3p_b / 750) * 4 * 1024 * ops / _V5E_VPU_PEAK
+        vpu_frac = (np.mean(k3p_b) / 750) * 4 * 1024 * ops / _V5E_VPU_PEAK
         print(f"# K=3 flagship (fused Pallas exclusion kernel): "
-              f"{k3p_1:.3e} single replica, {k3p_b:.3e} at B=16 "
-              f"(R-batched grid; ~{100 * vpu_frac:.0f}% of v5e VPU "
+              f"{np.mean(k3p_1):.3e} single replica, {np.mean(k3p_b):.3e} "
+              f"at B=16 (R-batched grid; ~{100 * vpu_frac:.0f}% of v5e VPU "
               f"roofline at {ops} lane-ops/slot-element est.)",
               file=sys.stderr)
     except Exception as e:
@@ -585,22 +706,24 @@ def main():
         print(f"# K=3 pallas bench unavailable: {e}", file=sys.stderr)
     try:
         k3r_1, k3r_b = bench_k3_rb()
-        engines["k3_rb_single"] = k3r_1
-        engines["k3_rb_b16"] = k3r_b
+        engines["k3_rb_single"] = _row(k3r_1)
+        engines["k3_rb_b16"] = _row(k3r_b)
         print(f"# K=3 flagship (replica-banked fused kernel): "
-              f"{k3r_1:.3e} single replica, {k3r_b:.3e} at B=16 "
-              f"((K, R, Lp) sublane-packed layout)", file=sys.stderr)
+              f"{np.mean(k3r_1):.3e} single replica, {np.mean(k3r_b):.3e} "
+              f"at B=16 ((K, R, Lp) sublane-packed layout)", file=sys.stderr)
     except Exception as e:
         engines["k3_rb_single"] = engines["k3_rb_b16"] = None
         print(f"# K=3 replica-banked bench unavailable: {e}", file=sys.stderr)
-    pps, step_time = bench_particle_steps()
-    engines["meanfield_xla"] = pps
+    pps_v, step_time = bench_particle_steps()
+    engines["meanfield_xla"] = _row(pps_v)
+    pps = float(np.mean(pps_v))
     print(f"# particle bench (XLA path): {pps:.3e} particle-steps/sec/chip "
           f"(64x1e5 batch, {step_time * 1e3:.1f} ms / 100 steps)",
           file=sys.stderr)
     try:
-        pps_pl, t_pl = bench_particle_steps_pallas()
-        engines["meanfield_pallas"] = pps_pl
+        pps_pl_v, t_pl = bench_particle_steps_pallas()
+        engines["meanfield_pallas"] = _row(pps_pl_v)
+        pps_pl = float(np.mean(pps_pl_v))
         vpu_frac = pps_pl * _PALLAS_OPS_PER_STEP / _V5E_VPU_PEAK
         print(f"# particle bench (Pallas fused): {pps_pl:.3e} "
               f"particle-steps/sec/chip ({t_pl * 1e3:.1f} ms / 1000 steps); "
@@ -613,28 +736,30 @@ def main():
         print(f"# pallas bench unavailable: {e}", file=sys.stderr)
     try:
         lg = bench_lattice_gas()
-        engines["lattice_gas_k1"] = lg
+        engines["lattice_gas_k1"] = _row(lg)
         print(f"# lattice-gas bench (K=1 exclusion, local kernel): "
-              f"{lg:.3e} particle-equivalent steps/sec", file=sys.stderr)
+              f"{np.mean(lg):.3e} particle-equivalent steps/sec",
+              file=sys.stderr)
     except Exception as e:
         engines["lattice_gas_k1"] = None
         print(f"# lattice-gas bench failed: {e}", file=sys.stderr)
     try:
         pde_sps = bench_pde_steps()
-        engines["pde_imex_single"] = pde_sps
-        print(f"# pde bench: {pde_sps:.3e} IMEX steps/sec (L=1000)",
+        engines["pde_imex_single"] = _row(pde_sps)
+        print(f"# pde bench: {np.mean(pde_sps):.3e} IMEX steps/sec (L=1000)",
               file=sys.stderr)
         pde_sps_b = bench_pde_steps(B=32)
-        engines["pde_imex_b32_aggregate"] = 32 * pde_sps_b
-        print(f"# pde bench (batched B=32): {32 * pde_sps_b:.3e} aggregate "
-              f"replica-steps/sec", file=sys.stderr)
+        engines["pde_imex_b32_aggregate"] = _row([32 * v for v in pde_sps_b])
+        print(f"# pde bench (batched B=32): {32 * np.mean(pde_sps_b):.3e} "
+              f"aggregate replica-steps/sec", file=sys.stderr)
     except Exception as e:  # secondary metric must not kill the headline
         engines.setdefault("pde_imex_single", None)
         engines.setdefault("pde_imex_b32_aggregate", None)
         print(f"# pde bench failed: {e}", file=sys.stderr)
     try:
-        fsw_sps, fsw_wall = bench_pde_sweep_fused()
-        engines["pde_fused_sweep_aggregate"] = fsw_sps
+        fsw_v, fsw_wall = bench_pde_sweep_fused()
+        engines["pde_fused_sweep_aggregate"] = _row(fsw_v)
+        fsw_sps = float(np.mean(fsw_v))
         # roofline: the dense implicit solve is the FLOPs hog — one
         # (2, Lp)@(Lp, Lp) f32-HIGHEST matmul per replica-step (global-m
         # route: no smoothing matmul); everything else is ~60 VPU
@@ -643,7 +768,8 @@ def main():
         mxu_frac = fsw_sps * 2 * 2 * Lp * Lp / _V5E_MXU_F32
         vpu_frac = fsw_sps * 60 * Lp / _V5E_VPU_PEAK
         print(f"# pde fused sweep (11 beta x 3 runs, 20k steps, 1000 "
-              f"tracers, Pallas kernel): {fsw_sps:.3e} aggregate "
+              f"tracers, per-step kmax=8 spectra, Pallas kernel): "
+              f"{fsw_sps:.3e} aggregate "
               f"replica-steps/sec, {fsw_wall:.1f} s warm wall "
               f"(~{100 * mxu_frac:.0f}% of f32 MXU roofline on the solve "
               f"matmul + ~{100 * vpu_frac:.0f}% VPU on the step body; "
@@ -652,21 +778,36 @@ def main():
         engines["pde_fused_sweep_aggregate"] = None
         print(f"# pde fused-sweep bench unavailable: {e}", file=sys.stderr)
     try:
-        full_sps, full_wall = bench_pde_solve_full()
-        engines["pde_full_solve"] = full_sps
+        big_v, big_wall = bench_pde_fused_bigbatch()
+        engines["pde_fused_b512_aggregate"] = _row(big_v)
+        big = float(np.mean(big_v))
+        Lp = 1024
+        mxu_frac = big * 2 * 2 * Lp * Lp / _V5E_MXU_F32
+        print(f"# pde fused big-batch (B=512: 32 beta x 16 lambda grid, "
+              f"4k steps, one program): {big:.3e} aggregate "
+              f"replica-steps/sec, {big_wall:.1f} s warm wall "
+              f"(~{100 * mxu_frac:.0f}% of f32 MXU roofline on the solve "
+              f"matmul)", file=sys.stderr)
+    except Exception as e:
+        engines["pde_fused_b512_aggregate"] = None
+        print(f"# pde fused big-batch bench unavailable: {e}",
+              file=sys.stderr)
+    try:
+        full_v, full_wall = bench_pde_solve_full()
+        engines["pde_full_solve"] = _row(full_v)
         print(f"# pde full solve (reference single-run scale, records + "
-              f"1000 tracers): {full_sps:.3e} steps/sec, {full_wall:.1f} s "
-              f"wall for 40k steps", file=sys.stderr)
+              f"1000 tracers): {np.mean(full_v):.3e} steps/sec, "
+              f"{full_wall:.1f} s wall for 40k steps", file=sys.stderr)
     except Exception as e:
         engines["pde_full_solve"] = None
         print(f"# pde full-solve bench failed: {e}", file=sys.stderr)
     try:
         bl_p, bl_x = bench_pde_banded_large_L()
-        engines["pde_banded_l8192_fused"] = bl_p
-        engines["pde_banded_l8192_xla"] = bl_x
+        engines["pde_banded_l8192_fused"] = _row(bl_p)
+        engines["pde_banded_l8192_xla"] = _row(bl_x)
         print(f"# pde banded large-L (L=8192, in-kernel rolled solve): "
-              f"{bl_p:.3e} aggregate replica-steps/sec fused vs "
-              f"{bl_x:.3e} XLA banded batch", file=sys.stderr)
+              f"{np.mean(bl_p):.3e} aggregate replica-steps/sec fused vs "
+              f"{np.mean(bl_x):.3e} XLA banded batch", file=sys.stderr)
     except Exception as e:
         engines["pde_banded_l8192_fused"] = None
         engines["pde_banded_l8192_xla"] = None
@@ -687,12 +828,17 @@ def main():
         engines["multichip_sweep_ok"] = None
         print(f"# multi-device sweep bench unavailable: {e}", file=sys.stderr)
 
+    worker["dispatch_ms_end"] = _dispatch_latency_ms()
+    print(f"# worker freshness: {worker['dispatch_ms_end']} ms/dispatch "
+          f"at bench end", file=sys.stderr)
     _emit({
         "metric": "particle-steps/sec/chip (N=1e5, 64-point beta sweep)",
         "value": pps,
         "unit": "particle-steps/s",
         "vs_baseline": pps / 1e9,
         "timing": "pipelined-mean",
+        "samples_per_row": _SAMPLES,
+        "worker": worker,
         "engines": engines,
     })
 
