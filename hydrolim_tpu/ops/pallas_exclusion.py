@@ -203,7 +203,10 @@ def _kernel(scal_ref, seed_ref, gid_ref, slots_ref, conv_ref, slots_out, *,
             u_bits = pltpu.prng_random_bits((R, Kp, Lp))
         else:
             u_bits = noise_ref[pl.ds(step, 1)][0, 0]
-        u = (u_bits & np.uint32(0x00FFFFFF)
+        # int32 before the float cast: Mosaic rejects uint32->f32 (hit on
+        # the injected-noise path; hw prng bits already arrive signed), and
+        # the masked value fits 24 bits so the detour is value-identical
+        u = (u_bits.astype(jnp.int32) & np.int32(0x00FFFFFF)
              ).astype(jnp.float32) * jnp.float32(2.0 ** -24)
         ev_left = u < t1
         ev_right = (u >= t1) & (u < t2)

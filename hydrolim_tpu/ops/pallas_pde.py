@@ -122,8 +122,10 @@ def _kernel(scalv_ref, seed_ref, step0_ref, wts_ref, swts_ref, rhop_ref,
             bits = pltpu.prng_random_bits((R, Ntp))
         else:
             bits = noise_ref[pl.ds(s, 1)][0, j]
-        return (bits & np.uint32(0x00FFFFFF)).astype(jnp.float32) * \
-            jnp.float32(2.0 ** -24)
+        # int32 before the float cast: Mosaic rejects uint32->f32 (hit on
+        # the injected-noise path); value-identical after the 24-bit mask
+        return (bits.astype(jnp.int32) & np.int32(0x00FFFFFF)
+                ).astype(jnp.float32) * jnp.float32(2.0 ** -24)
 
     def row_sum(x, mask):
         return jnp.sum(x * mask, axis=1, keepdims=True)     # (R, 1)

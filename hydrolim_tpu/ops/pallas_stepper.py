@@ -70,9 +70,12 @@ def _kernel(scal_ref, seed_ref, pos_ref, sigma_ref, wind_ref,
             bits = noise_ref[pl.ds(step, 1)][0]
         # mask the LOW 24 bits: Mosaic lowers `bits >> 8` as an ARITHMETIC
         # shift (sign-extends the top bit), which made u negative for half
-        # the draws and fired the u < t1 left-hop branch ~50% of the time
-        u = (bits & np.uint32(0x00FFFFFF)).astype(jnp.float32) \
-            * jnp.float32(2.0 ** -24)
+        # the draws and fired the u < t1 left-hop branch ~50% of the time.
+        # int32 before the float cast: Mosaic rejects uint32->f32 (hit on
+        # the injected-noise path); the masked value fits 24 bits, so the
+        # detour is value-identical
+        u = (bits.astype(jnp.int32) & np.int32(0x00FFFFFF)
+             ).astype(jnp.float32) * jnp.float32(2.0 ** -24)
 
         is_plus = sigma > 0
         t1 = p_dif

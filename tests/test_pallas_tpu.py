@@ -735,7 +735,10 @@ def test_fused_exclusion_ckpt_chunked_matches_straight_tpu(tmp_path):
     for field in straight_frames._fields:
         a = np.asarray(getattr(frames, field))
         b = np.asarray(getattr(straight_frames, field))
-        if field in ("fft_amp", "m_local"):
+        # var joins the ~1-ulp set (r5): the lattice-variance reduction is
+        # also lowered per record-block shape, and per-chunk blocks differ
+        # from the straight run's _REC_CHUNK blocks (observed 2.2e-7 rel)
+        if field in ("fft_amp", "m_local", "var"):
             np.testing.assert_allclose(a, b, rtol=2e-6, atol=1e-4,
                                        err_msg=field)
         else:
