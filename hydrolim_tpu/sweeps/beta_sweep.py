@@ -229,12 +229,6 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
         )
 
         if is_pallas_exclusion_path(config):
-            if ckpt_dir is not None:
-                assert mesh is None or mesh.size == 1, (
-                    "sweep ckpt_dir is single-device (resume cannot "
-                    "restore mesh placement); drop n_devices/mesh or the "
-                    "checkpoint")
-                mesh = None
             frames, _ = run_exclusion_sweep(
                 config, params, key, T=T, obs_dt=obs_dt, dt=dt,
                 engine=kernel, rho0_plus=rho0_p, rho0_minus=rho0_m,
@@ -247,23 +241,20 @@ def run_sweep_grid_lattice_gas(beta_values, n_runs: int, ps_kwargs: Dict,
             "kernel='pallas' requires the fused-kernel configuration class")
     if ckpt_dir is not None:
         # mid-run preemption safety for the whole in-flight grid program
-        # (the npz cache only skips COMPLETED sweeps); single-device —
-        # a resumed carry reloads without mesh placement, so the sharded
-        # path keeps the uncheckpointed runner
+        # (the npz cache only skips COMPLETED sweeps); composes with mesh=
+        # — the restored carry is re-placed with the run's sweep sharding
+        # (utils.checkpoint._place), trajectories bit-identical either way
         from hydrolim_tpu.utils.checkpoint import (
             run_lattice_gas_checkpointed,
             run_lattice_gas_k_checkpointed,
         )
 
-        assert mesh is None or mesh.size == 1, (
-            "sweep ckpt_dir is single-device (resume cannot restore mesh "
-            "placement); drop n_devices/mesh or the checkpoint")
         ck_runner = (run_lattice_gas_k_checkpointed if config.K > 1
                      else run_lattice_gas_checkpointed)
         frames, _ = ck_runner(
             config, params, key, T=T, obs_dt=obs_dt, dt=dt,
             rho0_plus=rho0_p, rho0_minus=rho0_m, n_tracers=n_tracers,
-            record_fft=record_fft, ckpt_dir=ckpt_dir)
+            record_fft=record_fft, ckpt_dir=ckpt_dir, mesh=mesh)
     else:
         frames, _ = run_lattice_gas(config, params, key,
                                     T=T, obs_dt=obs_dt, dt=dt,
@@ -330,7 +321,8 @@ def run_sweep_grid(beta_values, n_runs: int, ps_kwargs: Dict,
     ``ckpt_dir=`` makes each in-flight replica chunk preemption-safe on
     the TIME axis (utils.checkpoint.run_particle_ensemble_checkpointed,
     one subdirectory per replica chunk); completed replica chunks resume
-    instantly from their stored frames.  Single-device, as elsewhere."""
+    instantly from their stored frames.  Composes with ``mesh=`` (the
+    restored carry is re-placed with the run's sweep sharding)."""
     from hydrolim_tpu.parallel.mesh import (
         resolve_sweep_mesh,
         shard_batch,
@@ -376,18 +368,16 @@ def run_sweep_grid(beta_values, n_runs: int, ps_kwargs: Dict,
                 run_particle_ensemble_checkpointed,
             )
 
-            assert mesh is None or mesh.size == 1, (
-                "sweep ckpt_dir is single-device (resume cannot restore "
-                "mesh placement); drop n_devices/mesh or the checkpoint")
             # same init fan-out as run_particle_ensemble: per-replica key
-            # splits of the chunk key, then the batched chunked scan
+            # splits of the chunk key, then the batched chunked scan;
+            # mesh= composes (the checkpoint driver re-places the carry)
             keys = jax.random.split(ckey, Bp)
             states = jax.vmap(
                 lambda k: init_particles(config, k, rho0_p, rho0_m))(keys)
             res = run_particle_ensemble_checkpointed(
                 config, params, states, T=T, obs_dt=obs_dt, dt=dt,
                 ckpt_dir=Path(ckpt_dir) / f"replicas_{c0:05d}",
-                record_pos=record_pos, record_fft=record_fft)
+                record_pos=record_pos, record_fft=record_fft, mesh=mesh)
         else:
             res = run_particle_ensemble(
                 config, params, ckey,

@@ -189,11 +189,40 @@ def _pick_r_batch_rb(B: int, config: Optional[ParticleConfig] = None) -> int:
 last_run_info: dict = {}
 
 
+def _shard_mapped_runner(fn, mesh, rec, sl0, tags, valid, *, has_noise):
+    """``jit(shard_map(fn))`` over the sweep mesh's replica axis for the
+    fused scan runners (signature ``fn(sl0, scal, seeds0, tags, valid,
+    conv_j, xs) -> (sl, frames, raws)``): batched operands split on the
+    mesh axis, the conv matrix replicated, and — with injected noise — the
+    noise's program axis (dim 1 of the xs noise block) split with the
+    replicas so each shard consumes exactly its own programs' pre-drawn
+    bits."""
+    from jax.sharding import PartitionSpec as P
+
+    ax = mesh.axis_names[0]
+    bspec, fspec, repl = P(ax), P(None, ax), P()
+    example_frames, _ = jax.eval_shape(
+        rec, jax.ShapeDtypeStruct(sl0.shape, sl0.dtype),
+        jax.ShapeDtypeStruct(tags.shape, tags.dtype),
+        jax.ShapeDtypeStruct(valid.shape, valid.dtype))
+    frames_spec = jax.tree.map(lambda _: fspec, example_frames)
+    xs_spec = (repl, P(None, ax)) if has_noise else repl
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(bspec, bspec, bspec, bspec, bspec, repl, xs_spec),
+        out_specs=(bspec, frames_spec, fspec),
+        # pallas_call's out ShapeDtypeStructs carry no vma annotation;
+        # the wrapper is pure per-shard DP, so the varying-across-mesh
+        # check has nothing to verify anyway
+        check_vma=False))
+
+
 def _run_fused_checkpointed(config, kernel_fn, rec, sl0, scal, seeds0,
                             tags, valid, conv_j, *, engine, R, M, n_sub,
                             dt_eff, bidi, use_local_m, record_fft,
                             ckpt_dir, chunk_frames, resume,
-                            stop_after_chunks, interpret, noise):
+                            stop_after_chunks, interpret, noise,
+                            mesh=None):
     """Chunked fused-kernel run (the ckpt_dir= mode of
     :func:`run_exclusion_sweep`): the frame scan executes in
     ``chunk_frames``-frame ranges — per-frame seeds ``seeds0 + f`` make a
@@ -230,9 +259,16 @@ def _run_fused_checkpointed(config, kernel_fn, rec, sl0, scal, seeds0,
         chunk_size=chunk_frames, n_units=M,
         size_key="chunk_frames", unit_key="n_frames")
 
-    prog_ids = jnp.arange(sl0.shape[0] // R, dtype=jnp.int32)
+    mesh_ax = None if mesh is None else mesh.axis_names[0]
 
-    def _scan(sl, xs):
+    def _scan(sl, scal, seeds0, tags, valid, conv_j, xs):
+        # global program ids per shard — same contract as run_scanned in
+        # :func:`run_exclusion_sweep` (sharded chunks bit-match unsharded)
+        G_local = sl.shape[0] // R
+        pid0 = (jax.lax.axis_index(mesh_ax) * G_local
+                if mesh_ax is not None else 0)
+        prog_ids = pid0 + jnp.arange(G_local, dtype=jnp.int32)
+
         def frame_body(sl, x):
             f, nz = x if noise is not None else (x, None)
             sl = kernel_fn(
@@ -245,7 +281,11 @@ def _run_fused_checkpointed(config, kernel_fn, rec, sl0, scal, seeds0,
         frames, raws = jax.lax.map(lambda s: rec(s, tags, valid), sl_frames)
         return sl, frames, raws
 
-    ranged = jax.jit(_scan)
+    if mesh is not None:
+        ranged = _shard_mapped_runner(_scan, mesh, rec, sl0, tags, valid,
+                                      has_noise=noise is not None)
+    else:
+        ranged = jax.jit(_scan)
 
     # generic tree persistence: leaves keyed by index, structure re-derived
     # from an eval_shape template (the record pytree class stays private)
@@ -285,7 +325,9 @@ def _run_fused_checkpointed(config, kernel_fn, rec, sl0, scal, seeds0,
             idx = jnp.arange(lo1, hi, dtype=jnp.int32)
             xs = (idx, jnp.asarray(noise[lo1 - 1:hi - 1])) \
                 if noise is not None else idx
-            sl, fr, rw = ranged(sl, xs)
+            # under mesh=, ranged is jit(shard_map(...)) whose in_specs
+            # re-place the (possibly host-restored) carry on the mesh
+            sl, fr, rw = ranged(sl, scal, seeds0, tags, valid, conv_j, xs)
             segs.append((fr, rw))
         if len(segs) == 2:
             fr = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
@@ -360,14 +402,17 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     ``seeds0 + frame`` — a pure function of the global frame index — so a
     range-split scan reproduces the unsplit scan's draws exactly: the
     trajectory (slot states, tracer sites, counts) is **bit-identical**;
-    float records that pass through (·, L)·(L, L) matmuls (fft_amp, and
-    m_local under use_local_m) are computed in per-chunk record blocks and
-    agree to ~1 ulp (XLA matmul reassociation at different block shapes —
-    the same caveat as resharding, docs/ROADMAP.md).  Single-device; the
-    XLA fallback routes to ``run_lattice_gas_k_checkpointed`` (which IS
-    bit-identical throughout — its records are computed per frame inside
-    the scan).  Returns ``None`` when ``stop_after_chunks`` halted an
-    incomplete run.
+    float records whose reductions are lowered per record-block shape
+    (fft_amp and m_local via (·, L)·(L, L) matmuls, var via the lattice
+    variance) are computed in per-chunk record blocks and agree to ~1 ulp
+    (XLA reassociation at different block shapes — the same caveat as
+    resharding, docs/ROADMAP.md).  Composes with ``mesh=`` (the chunked
+    scan runs under the same shard_map and the restored carry is re-placed
+    by the program's in_specs; resume must use the same mesh SIZE — the
+    padded batch depends on it); the XLA fallback routes to
+    ``run_lattice_gas_k_checkpointed`` (which IS bit-identical throughout —
+    its records are computed per frame inside the scan).  Returns ``None``
+    when ``stop_after_chunks`` halted an incomplete run.
 
     ``_interpret``/``_noise`` are the CPU validation hooks (kernel under
     ``interpret=True`` consuming an (M-1, G, k_steps, 2, R, Kp, Lp) block
@@ -405,7 +450,7 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
                 ckpt_dir=ckpt_dir, chunk_frames=chunk_frames,
                 rho0_plus=rho0_plus, rho0_minus=rho0_minus,
                 record_fft=record_fft, n_tracers=n_tracers, resume=resume,
-                stop_after_chunks=stop_after_chunks)
+                stop_after_chunks=stop_after_chunks, mesh=mesh)
             if out is None:
                 return None
             frames, slots = out
@@ -536,11 +581,14 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
     #   (M, B, Kp, Lp) slot-frame ys remain the only O(M) buffer.
     mesh_ax = None if mesh is None else mesh.axis_names[0]
 
-    def run_scanned(sl0, scal, seeds0, tags, valid, conv_j):
+    def run_scanned(sl0, scal, seeds0, tags, valid, conv_j, xs):
         # GLOBAL program ids for this shard's programs: replicas group into
         # consecutive R-rows from global row 0, so shard i's local program
         # g is global program i*G_local + g — passed as the kernel's second
-        # PRNG seed word so per-replica streams match the unsharded run
+        # PRNG seed word so per-replica streams match the unsharded run.
+        # ``xs`` is the scan input: the frame-index vector, or (idx, noise)
+        # with injected noise — an ARGUMENT (not a closure capture) so the
+        # noise's program axis shards with the replicas under shard_map.
         G_local = sl0.shape[0] // R
         pid0 = (jax.lax.axis_index(mesh_ax) * G_local
                 if mesh_ax is not None else 0)
@@ -555,8 +603,6 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
                 interpret=_interpret, noise=nz)
             return sl, sl
 
-        idx = jnp.arange(1, M, dtype=jnp.int32)
-        xs = (idx, jnp.asarray(_noise)) if _noise is not None else idx
         sl, sl_frames = jax.lax.scan(frame_body, sl0, xs)
 
         CH = min(_REC_CHUNK, M)
@@ -573,17 +619,17 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
 
     if ckpt_dir is not None:
         # chunked fused route: seeds0 + f makes every frame's draws a pure
-        # function of the global frame index, so chunks stitch bit-identical
-        assert mesh is None, (
-            "fused ckpt_dir is single-device (resume cannot restore mesh "
-            "placement); drop mesh or the checkpoint")
+        # function of the global frame index, so chunks stitch bit-identical.
+        # Composes with mesh= (VERDICT r4 #2): chunks persist host-side and
+        # the carry is re-placed on the mesh per chunk; resume requires the
+        # same mesh SIZE (the padded batch Bp depends on it).
         out = _run_fused_checkpointed(
             config, kernel_fn, rec, sl0, scal, seeds0, tags, valid, conv_j,
             engine=engine, R=R, M=M, n_sub=n_sub, dt_eff=dt_eff, bidi=bidi,
             use_local_m=use_local_m, record_fft=record_fft,
             ckpt_dir=ckpt_dir, chunk_frames=chunk_frames, resume=resume,
             stop_after_chunks=stop_after_chunks, interpret=_interpret,
-            noise=_noise)
+            noise=_noise, mesh=mesh)
         if out is None:
             return None
         sl, stacked, raws = out
@@ -591,29 +637,16 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
         # replica-axis shard_map: each shard runs the UNCHANGED fused kernel
         # program on its local batch rows — pure DP, no collectives, so the
         # wrapped kernel is bit-identical to the unwrapped one per replica
-        from jax.sharding import PartitionSpec as P
-
-        ax = mesh.axis_names[0]
-        bspec, fspec, repl = P(ax), P(None, ax), P()
-        example_frames, _ = jax.eval_shape(
-            rec, jax.ShapeDtypeStruct(sl0.shape, sl0.dtype),
-            jax.ShapeDtypeStruct(tags.shape, tags.dtype),
-            jax.ShapeDtypeStruct(valid.shape, valid.dtype))
-        frames_spec = jax.tree.map(lambda _: fspec, example_frames)
-        runner = jax.jit(jax.shard_map(
-            run_scanned, mesh=mesh,
-            in_specs=(bspec, bspec, bspec, bspec, bspec, repl),
-            out_specs=(bspec, frames_spec, fspec),
-            # pallas_call's out ShapeDtypeStructs carry no vma annotation;
-            # the wrapper is pure per-shard DP, so the varying-across-mesh
-            # check has nothing to verify anyway
-            check_vma=False))
+        runner = _shard_mapped_runner(run_scanned, mesh, rec, sl0, tags,
+                                      valid, has_noise=_noise is not None)
     else:
         runner = jax.jit(run_scanned)
 
     if ckpt_dir is None:
+        idx = jnp.arange(1, M, dtype=jnp.int32)
+        xs = (idx, jnp.asarray(_noise)) if _noise is not None else idx
         sl, stacked, raws = jax.device_get(
-            runner(sl0, scal, seeds0, tags, valid, conv_j))
+            runner(sl0, scal, seeds0, tags, valid, conv_j, xs))
     tracer_pos = unwrap_tracer_sites(raws, L, config.periodic)
     cut = lambda a: np.moveaxis(a, 0, 1)[:B]     # frame-major → (B, M, …)
     frames = LatticeGasFrames(

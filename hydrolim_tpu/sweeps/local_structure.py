@@ -89,7 +89,8 @@ def _lattice_gas_outs(beta_values, n_runs, ps_kwargs, init_kwargs,
     the fused Pallas slot kernel on TPU (structure observables need no
     particle identity, so n_tracers=0).  ``ckpt_dir=`` routes the grid
     through the checkpointed runners (utils.checkpoint) for mid-run
-    preemption safety — single-device XLA only, as in beta_sweep."""
+    preemption safety — XLA engines; composes with ``n_devices=`` (the
+    resumed carry is re-placed with the run's sweep sharding)."""
     import jax
 
     from hydrolim_tpu.particles.init import eval_profile
@@ -143,12 +144,9 @@ def _lattice_gas_outs(beta_values, n_runs, ps_kwargs, init_kwargs,
         assert kernel == "xla", (
             "ckpt_dir requires the XLA lattice-gas engines (the fused "
             "Pallas route runs uncheckpointed)")
-        assert mesh is None or mesh.size == 1, (
-            "structure-sweep ckpt_dir is single-device (resume cannot "
-            "restore mesh placement); drop n_devices or the checkpoint")
         run_lattice_gas = functools.partial(
             run_lattice_gas_k_checkpointed if config.K > 1
-            else run_lattice_gas_checkpointed, ckpt_dir=ckpt_dir)
+            else run_lattice_gas_checkpointed, ckpt_dir=ckpt_dir, mesh=mesh)
     frames, _ = run_lattice_gas(config, params, jax.random.PRNGKey(seed),
                                 T=T, obs_dt=obs_dt, dt=dt,
                                 rho0_plus=rho0_p, rho0_minus=rho0_m)

@@ -64,8 +64,9 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
     ``ckpt_dir=`` makes the in-flight grid program preemption-safe: the
     batched snapshot-block scan runs through
     :func:`~hydrolim_tpu.utils.checkpoint.run_pde_ensemble_checkpointed`
-    (bit-identical stitched result).  XLA engine, single-device — as with
-    the particle sweeps, a resumed carry reloads without mesh placement."""
+    (bit-identical stitched result).  XLA engine; composes with
+    ``n_devices=``/``mesh=`` — a resumed carry is re-placed with the run's
+    sweep sharding."""
     from hydrolim_tpu.parallel.mesh import pad_and_shard, resolve_sweep_mesh
 
     if float(gamma) == 0.0 and config.diffusion_solver == "auto":
@@ -132,12 +133,9 @@ def run_pde_ensemble(config: PDEConfig, beta_values, *, gamma: float,
             run_pde_ensemble_checkpointed,
         )
 
-        assert mesh is None or mesh.size == 1, (
-            "PDE-ensemble ckpt_dir is single-device (resume cannot restore "
-            "mesh placement); drop n_devices/mesh or the checkpoint")
         res = run_pde_ensemble_checkpointed(
             config, params_b, ops, rho_p, rho_m, tracers, solve_keys,
-            ckpt_dir=ckpt_dir, keep_snapshots=fetch_snapshots)
+            ckpt_dir=ckpt_dir, keep_snapshots=fetch_snapshots, mesh=mesh)
     else:
         solve = jax.vmap(
             lambda p, rp, rm, tr, k: pde_solve(config, p, ops, rp, rm, tr,

@@ -117,6 +117,20 @@ def _chunk_path(ckpt_dir: Path, i: int) -> Path:
     return ckpt_dir / f"chunk_{i:05d}.npz"
 
 
+def _place(mesh, tree):
+    """Re-place a batched carry on the run's sweep mesh (VERDICT r4 #2):
+    resume restores host arrays from npz, so the carry must be put back on
+    the mesh — batch-leading leaves on the 'sweep' axis, everything else
+    replicated (the same placement the uncheckpointed sharded run uses).
+    No-op without a mesh; keys are prefix-stable under padding, so the
+    resharded run stays bit-identical to the single-device one."""
+    if mesh is None:
+        return tree
+    from hydrolim_tpu.parallel.mesh import shard_batch
+
+    return shard_batch(mesh, tree)
+
+
 def _resume_prefix(ckpt_dir: Path, run_hash: str, *, what: str,
                    resume: bool, chunk_size: int, n_units: int,
                    size_key: str, unit_key: str,
@@ -474,7 +488,7 @@ def _run_lg_family_checkpointed(
         eng: dict, config, params_b, key, *, T: float, obs_dt: float,
         dt: float, ckpt_dir, chunk_frames: int, rho0_plus, rho0_minus,
         record_fft: bool, n_tracers: int, occ_sharding, resume: bool,
-        stop_after_chunks: Optional[int]):
+        stop_after_chunks: Optional[int], mesh=None):
     """Shared checkpoint driver for the batched lattice-gas engines.
 
     ``eng`` describes one engine: ``tag`` (hash namespace), ``init``
@@ -504,6 +518,7 @@ def _run_lg_family_checkpointed(
     if done > 0:
         _, carry, tr_valid = _load_lg_chunk(_chunk_path(ckpt_dir, done - 1),
                                             carry_fields)
+        carry, tr_valid = _place(mesh, (carry, tr_valid))
         frame0 = None
     else:
         # prologue identical to the engine's runner (key fan-out, init)
@@ -524,6 +539,7 @@ def _run_lg_family_checkpointed(
         carry, tr_valid, frame0 = eng["carry0"](
             config, params_b, field0, keys, n_sub=n_sub, obs_dt=obs_dt,
             record_fft=record_fft, n_tracers=n_tracers)
+        carry, tr_valid = _place(mesh, (carry, tr_valid))
 
     def run_chunk(carry, lo, hi):
         # frame 0 is the initial record; stepped frames are 1..n_frames-1
@@ -567,7 +583,8 @@ def run_lattice_gas_k_checkpointed(
         config, params_b, key, *, T: float, obs_dt: float, dt: float,
         ckpt_dir, chunk_frames: int = 64, rho0_plus=None, rho0_minus=None,
         record_fft: bool = True, n_tracers: int = 0, occ_sharding=None,
-        resume: bool = True, stop_after_chunks: Optional[int] = None):
+        resume: bool = True, stop_after_chunks: Optional[int] = None,
+        mesh=None):
     """Checkpointed equivalent of
     :func:`hydrolim_tpu.particles.lattice_gas_k.run_lattice_gas_k` (same
     argument and return contract: batched ``(frames, final_slots)``).
@@ -587,14 +604,15 @@ def run_lattice_gas_k_checkpointed(
         ckpt_dir=ckpt_dir, chunk_frames=chunk_frames, rho0_plus=rho0_plus,
         rho0_minus=rho0_minus, record_fft=record_fft, n_tracers=n_tracers,
         occ_sharding=occ_sharding, resume=resume,
-        stop_after_chunks=stop_after_chunks)
+        stop_after_chunks=stop_after_chunks, mesh=mesh)
 
 
 def run_lattice_gas_checkpointed(
         config, params_b, key, *, T: float, obs_dt: float, dt: float,
         ckpt_dir, chunk_frames: int = 64, rho0_plus=None, rho0_minus=None,
         record_fft: bool = True, n_tracers: int = 0, occ_sharding=None,
-        resume: bool = True, stop_after_chunks: Optional[int] = None):
+        resume: bool = True, stop_after_chunks: Optional[int] = None,
+        mesh=None):
     """Checkpointed equivalent of the K=1 site-centric engine
     :func:`hydrolim_tpu.particles.lattice_gas.run_lattice_gas` — same
     contract and bit-identity guarantee as the slot-engine variant."""
@@ -608,7 +626,7 @@ def run_lattice_gas_checkpointed(
         ckpt_dir=ckpt_dir, chunk_frames=chunk_frames, rho0_plus=rho0_plus,
         rho0_minus=rho0_minus, record_fft=record_fft, n_tracers=n_tracers,
         occ_sharding=occ_sharding, resume=resume,
-        stop_after_chunks=stop_after_chunks)
+        stop_after_chunks=stop_after_chunks, mesh=mesh)
 
 
 # ---------------------------------------------------------------------------
@@ -634,7 +652,8 @@ def run_pde_ensemble_checkpointed(config, params_b, ops, rho_p0, rho_m0,
                                   tracers0, solve_keys, *, ckpt_dir,
                                   chunk_blocks: int = 8, resume: bool = True,
                                   keep_snapshots: bool = True,
-                                  stop_after_chunks: Optional[int] = None):
+                                  stop_after_chunks: Optional[int] = None,
+                                  mesh=None):
     """Checkpointed equivalent of the vmapped XLA grid inside
     :func:`hydrolim_tpu.sweeps.pde_sweeps.run_pde_ensemble` (same batched
     ``PDESolveResult`` contract).
@@ -644,7 +663,10 @@ def run_pde_ensemble_checkpointed(config, params_b, ops, rho_p0, rho_m0,
     replica's carry (fields + tracer ring buffer + key) plus the chunk's
     raw block stacks, so a preempted sweep resumes mid-grid-program and the
     stitched result is bit-identical to the uninterrupted vmapped solve.
-    Single-device by design (resume cannot restore mesh placement).
+    ``mesh=`` composes (VERDICT r4 #2): the restored host carry is
+    re-placed with the run's sweep sharding (:func:`_place`), so a
+    preempted sharded sweep resumes sharded; trajectories stay
+    bit-identical to the single-device run.
 
     ``keep_snapshots=False`` stores zero-width snapshot stacks in the chunk
     files (the sweep facades discard them anyway — at reference scale the
@@ -677,6 +699,7 @@ def run_pde_ensemble_checkpointed(config, params_b, ops, rho_p0, rho_m0,
         carry = PDECarry(jax.numpy.asarray(rho_p0),
                          jax.numpy.asarray(rho_m0), tracers0,
                          jax.numpy.asarray(solve_keys))
+    carry = _place(mesh, carry)
 
     def _ranged(carry_, lo, length):
         # vmap over (params, carry); the traced block start is broadcast so
@@ -777,7 +800,7 @@ def run_particle_ensemble_checkpointed(
         *, T: float, obs_dt: float, dt: float, ckpt_dir,
         chunk_frames: int = 64, record_pos: bool = True,
         record_fft: bool = True, resume: bool = True,
-        stop_after_chunks: Optional[int] = None
+        stop_after_chunks: Optional[int] = None, mesh=None
 ) -> Optional[ParticleRunResult]:
     """Checkpointed equivalent of
     :func:`hydrolim_tpu.sweeps.ensemble.run_particle_ensemble` on prebuilt
@@ -787,8 +810,8 @@ def run_particle_ensemble_checkpointed(
     ``chunk_frames``-frame chunks, checkpointing every replica's carry
     state after each — the vmapped analogue of
     :func:`run_particles_checkpointed`, with the same bit-identity and
-    resume guarantees.  Single-device by design (a resumed carry reloads
-    without mesh placement)."""
+    resume guarantees.  ``mesh=`` composes: the (restored) carry is
+    re-placed with the run's sweep sharding (:func:`_place`)."""
     from hydrolim_tpu.particles.stepper import build_static_arrays
 
     ckpt_dir = Path(ckpt_dir)
@@ -811,6 +834,7 @@ def run_particle_ensemble_checkpointed(
         _, states = _load_chunk(_chunk_path(ckpt_dir, done - 1))
     else:
         states = states0
+    states = _place(mesh, states)
 
     def _v_initial(sts):
         return jax.vmap(lambda s: _record_initial(

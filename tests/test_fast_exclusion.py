@@ -167,3 +167,80 @@ def test_pick_r_batch_rb_vmem_gate():
                          local_kernel_sigma=0.002, periodic=False,
                          site_capacity=8, active_model="plus_forward")
     assert _pick_r_batch_rb(32, big) <= 8
+
+
+# ---------------------------------------------------------------------------
+# shard_map'd fused path at n>1 (VERDICT r4 #5): the one multi-device
+# configuration that previously had no correctness pin.  The kernel runs
+# under interpret=True with injected noise whose program axis shards with
+# the replicas; per-replica trajectories must match the mesh-of-1 run.
+# ---------------------------------------------------------------------------
+
+def _mesh_noise_setup(n_betas=4, M=6, n_sub=2):
+    config = _cfg(L=32, N=20, local_kernel_sigma=0.0)
+    params = broadcast_params(
+        config, beta=np.linspace(0.6, 2.2, n_betas),
+        rate_diffusion=0.5, rate_active=2.0)
+    Kp = -(-config.K // 4) * 4
+    Lp = -(-config.L // 128) * 128
+    rng = np.random.default_rng(13)
+    noise = rng.integers(0, 2 ** 32,
+                         (M - 1, n_betas, n_sub, 2, 1, Kp, Lp),
+                         dtype=np.uint32)
+    kw = dict(T=0.6, obs_dt=0.1, dt=0.05, engine="pallas", r_batch=1,
+              n_tracers=4, _interpret=True, _noise=noise)
+    return config, params, kw
+
+
+def _assert_frames_equal(frames, ref_frames, slots, ref_slots):
+    for field in ref_frames._fields:
+        a = np.asarray(getattr(frames, field))
+        b = np.asarray(getattr(ref_frames, field))
+        if field in ("fft_amp", "m_local"):
+            # matmul-derived records reassociate at different shard-local
+            # batch shapes (~1 ulp; documented run_exclusion_sweep caveat)
+            np.testing.assert_allclose(a, b, rtol=2e-6, atol=1e-5,
+                                       err_msg=field)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=field)
+    np.testing.assert_array_equal(np.asarray(slots), np.asarray(ref_slots))
+
+
+def test_fused_shardmap_n4_interpret_matches_mesh1():
+    """run_exclusion_sweep(mesh=4-device CPU mesh) under interpret+noise
+    is bit-identical (up to the documented matmul-record ulp caveat) to
+    the unsharded run: global prog_ids and the sharded noise program axis
+    give every replica the same draws either way."""
+    from hydrolim_tpu.parallel.mesh import sweep_mesh
+
+    if len(jax.devices("cpu")) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    config, params, kw = _mesh_noise_setup()
+    key = jax.random.PRNGKey(21)
+    ref_frames, ref_slots = run_exclusion_sweep(config, params, key, **kw)
+    frames, slots = run_exclusion_sweep(
+        config, params, key, mesh=sweep_mesh(4), **kw)
+    _assert_frames_equal(frames, ref_frames, slots, ref_slots)
+
+
+def test_fused_shardmap_ckpt_mesh_resumes_bit_identical(tmp_path):
+    """ckpt_dir= × mesh= on the fused route (VERDICT r4 #2+#5 composed):
+    a preempted sharded chunked run resumes on the mesh (the restored
+    host carry is re-placed by the shard_map in_specs) and stitches to
+    the unsharded straight run's trajectory."""
+    from hydrolim_tpu.parallel.mesh import sweep_mesh
+
+    if len(jax.devices("cpu")) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    config, params, kw = _mesh_noise_setup()
+    key = jax.random.PRNGKey(22)
+    ref_frames, ref_slots = run_exclusion_sweep(config, params, key, **kw)
+    ck = tmp_path / "ck"
+    mesh = sweep_mesh(4)
+    partial = run_exclusion_sweep(config, params, key, mesh=mesh,
+                                  ckpt_dir=ck, chunk_frames=2,
+                                  stop_after_chunks=1, **kw)
+    assert partial is None and (ck / "chunk_00000.npz").exists()
+    frames, slots = run_exclusion_sweep(config, params, key, mesh=mesh,
+                                        ckpt_dir=ck, chunk_frames=2, **kw)
+    _assert_frames_equal(frames, ref_frames, slots, ref_slots)
