@@ -16,6 +16,11 @@ component ablation, which answers the adjudication question directly:
 Writes one JSON dict per row to stdout; run on the real TPU:
     python experiments/profile_exclusion_kernels.py [--quick]
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -74,8 +74,8 @@ if __name__ == "__main__":
                    help="shard the (beta x runs) batch over this many "
                         "devices (XLA engine; 'sweep'-axis DP)")
     p.add_argument("--ckpt-dir", default=None,
-                   help="mid-run checkpoint/resume dir (XLA engine, "
-                        "single-device)")
+                   help="mid-run checkpoint/resume dir (XLA engine; "
+                        "composes with --n-devices)")
     a = p.parse_args()
     main(a.which, a.small, a.outdir, engine=a.engine,
          n_devices=a.n_devices, ckpt_dir=a.ckpt_dir)
