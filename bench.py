@@ -285,7 +285,9 @@ def bench_k3_pallas(B=16, reps=2):
     from hydrolim_tpu.core.config import ParticleConfig
     from hydrolim_tpu.ops.pallas_exclusion import (
         build_conv_matrix,
+        build_narrow_smooth,
         exclusion_multi_step,
+        narrow_smooth_radius,
         pack_slots,
     )
     from hydrolim_tpu.particles.lattice_gas_k import lgk_init
@@ -293,7 +295,11 @@ def bench_k3_pallas(B=16, reps=2):
     config = ParticleConfig(L=1000, N=750, init="fixed", scale_rates=False,
                             local_kernel_sigma=0.002, periodic=False,
                             site_capacity=3, active_model="plus_forward")
-    conv = build_conv_matrix(config)
+    # production smoothing route (sweeps/fast_exclusion.py): the flagship's
+    # σ_grid=2 takes the narrow rolled path, not the dense (Lp, Lp) matmul
+    sr = narrow_smooth_radius(config)
+    conv = build_narrow_smooth(config, sr) if sr else build_conv_matrix(
+        config)
     ksteps = 10_000
 
     def run_once(nb):
@@ -311,7 +317,7 @@ def bench_k3_pallas(B=16, reps=2):
         run = lambda f, s: exclusion_multi_step(
             jnp.asarray(scal), seeds + f, s, conv, L=1000, K=3,
             k_steps=ksteps, dt=2e-3, periodic=False, bidirectional=False,
-            use_local_m=True, r_batch=R)
+            use_local_m=True, smooth_radius=sr, r_batch=R)
         sl = run(0, sl)
         jax.block_until_ready(sl)
         # pipelined: chain reps invocations (each consumes the previous
@@ -337,7 +343,9 @@ def bench_k3_rb(B=16, reps=2):
     from hydrolim_tpu.core.config import ParticleConfig
     from hydrolim_tpu.ops.pallas_exclusion_rb import (
         build_conv_matrix,
+        build_narrow_smooth,
         exclusion_multi_step_rb,
+        narrow_smooth_radius,
         pack_slots_rb,
     )
     from hydrolim_tpu.particles.lattice_gas_k import lgk_init
@@ -345,7 +353,9 @@ def bench_k3_rb(B=16, reps=2):
     config = ParticleConfig(L=1000, N=750, init="fixed", scale_rates=False,
                             local_kernel_sigma=0.002, periodic=False,
                             site_capacity=3, active_model="plus_forward")
-    conv = build_conv_matrix(config)
+    sr = narrow_smooth_radius(config)    # production smoothing route
+    conv = build_narrow_smooth(config, sr) if sr else build_conv_matrix(
+        config)
     ksteps = 10_000
 
     def run_once(nb):
@@ -359,7 +369,7 @@ def bench_k3_rb(B=16, reps=2):
         run = lambda f, s: exclusion_multi_step_rb(
             jnp.asarray(scal), seeds + f, s, conv, L=1000, K=3,
             k_steps=ksteps, dt=2e-3, periodic=False, bidirectional=False,
-            use_local_m=True, r_batch=R)
+            use_local_m=True, smooth_radius=sr, r_batch=R)
         sl = run(0, sl)
         jax.block_until_ready(sl)
         vals, frame = [], 1

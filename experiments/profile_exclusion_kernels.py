@@ -56,27 +56,37 @@ def _time_pipelined(run, state, reps, samples):
     return float(np.median(vals)), float(np.ptp(vals))
 
 
-def bench_fused(variant, nb, R, ksteps, use_local_m, reps, samples):
-    """variant in {'plain', 'rb'} — per-invocation seconds at the flagship
-    config with the smoothing toggled."""
+def bench_fused(variant, nb, R, ksteps, smooth, reps, samples):
+    """variant in {'plain', 'rb'}; smooth in {'dense', 'narrow', 'off'} —
+    per-invocation seconds at the flagship config with the smoothing mode
+    ablated (dense (Lp, Lp) matmul / rolled narrow taps / global m)."""
     config = _flagship()
     if variant == "plain":
         from hydrolim_tpu.ops.pallas_exclusion import (
-            build_conv_matrix,
             exclusion_multi_step,
             pack_slots,
         )
         step, pack = exclusion_multi_step, pack_slots
     else:
         from hydrolim_tpu.ops.pallas_exclusion_rb import (
-            build_conv_matrix,
             exclusion_multi_step_rb,
             pack_slots_rb,
         )
         step, pack = exclusion_multi_step_rb, pack_slots_rb
+    from hydrolim_tpu.ops.pallas_exclusion import (
+        build_conv_matrix,
+        build_narrow_smooth,
+        narrow_smooth_radius,
+    )
     from hydrolim_tpu.particles.lattice_gas_k import lgk_init
 
-    conv = build_conv_matrix(config)
+    if smooth == "narrow":
+        sr = narrow_smooth_radius(config)
+        assert sr > 0, "flagship config must qualify for the narrow path"
+        conv = build_narrow_smooth(config, sr)
+    else:
+        sr = 0
+        conv = build_conv_matrix(config)
     keys = jax.random.split(jax.random.PRNGKey(0), nb)
     sl = pack(np.stack([np.asarray(lgk_init(config, k)) for k in keys]))
     scal = np.zeros((nb, 3), np.float32)
@@ -85,10 +95,10 @@ def bench_fused(variant, nb, R, ksteps, use_local_m, reps, samples):
     run = lambda f, s: step(
         jnp.asarray(scal), seeds + f, s, conv, L=1000, K=3, k_steps=ksteps,
         dt=2e-3, periodic=False, bidirectional=False,
-        use_local_m=use_local_m, r_batch=R)
+        use_local_m=smooth != "off", smooth_radius=sr, r_batch=R)
     sec, spread = _time_pipelined(run, sl, reps, samples)
     return dict(engine=f"fused_{variant}", B=nb, R=R, k_steps=ksteps,
-                use_local_m=use_local_m, sec=sec, spread=spread,
+                smooth=smooth, sec=sec, spread=spread,
                 us_per_step=sec / ksteps * 1e6,
                 psteps_per_s=nb * 750 * ksteps / sec)
 
@@ -138,22 +148,24 @@ def main():
         rec(bench_slot(16, 10_000, lm, reps, samples))
     for variant in ("plain", "rb"):
         R16 = 16 if variant == "rb" else 8    # plain picks R from VMEM gate
-        for lm in (True, False):
-            rec(bench_fused(variant, 16, R16, 10_000, lm, reps, samples))
+        for smooth in ("dense", "narrow", "off"):
+            rec(bench_fused(variant, 16, R16, 10_000, smooth, reps,
+                            samples))
 
     # --- launch/grid overhead: short vs long unrolls ----------------------
     for variant in ("plain", "rb"):
         R16 = 16 if variant == "rb" else 8
-        rec(bench_fused(variant, 16, R16, 1_000, True, reps, samples))
+        rec(bench_fused(variant, 16, R16, 1_000, "narrow", reps, samples))
 
     # --- sublane-occupancy thesis: R sweep at fixed B=32 ------------------
     for R in (8, 16, 32):
-        rec(bench_fused("rb", 32, R, 10_000, True, reps, samples))
+        rec(bench_fused("rb", 32, R, 10_000, "narrow", reps, samples))
 
     print("#", "-" * 68)
     for r in rows:
+        lbl = r.get("smooth", "local" if r.get("use_local_m") else "off")
         print(f"# {r['engine']:12s} B={r['B']:<3d} R={str(r['R']):>4s} "
-              f"k={r['k_steps']:<6d} local_m={str(r['use_local_m']):5s} "
+              f"k={r['k_steps']:<6d} smooth={lbl:6s} "
               f"{r['us_per_step']:8.2f} us/step  "
               f"{r['psteps_per_s']:.3e} psteps/s")
 

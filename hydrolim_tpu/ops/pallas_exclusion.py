@@ -94,10 +94,125 @@ def build_conv_matrix(config: ParticleConfig) -> np.ndarray:
     return M
 
 
+def narrow_smooth_radius(config: ParticleConfig) -> int:
+    """Bucketed roll radius for the NARROW smoothing path, or 0 when the
+    dense (Lp, Lp) matmul stays the right call.
+
+    The flagship exclusion configs smooth with σ_grid ≈ 2 (17 true taps), yet
+    the fused kernels paid a full (2R, Lp) @ (Lp, Lp) HIGHEST-precision MXU
+    matmul per Δt step — the dominant per-step cost at L=1000 (see
+    docs/ROADMAP.md round-5 adjudication).  Narrow kernels instead run
+    2r+1 lane rolls (pure f32 VPU FMAs — *more* accurate than the bf16x3
+    MXU decomposition) plus one small exact corner matmul.  The radius is
+    bucketed to ×16 (zero-weight pad taps) so nearby σ share one compiled
+    Mosaic kernel, mirroring ``pde/fast_solve._narrow_radius``.
+
+    Applicability gates: local m, Lp ≥ 768 (the two 384-lane corner input
+    windows must not overlap), bucketed radius ≤ 48 (the tap loop is an
+    unrolled straight-line body — Mosaic allocates stack per op, so very
+    wide kernels stay on the single-matmul path)."""
+    if config.local_kernel_sigma <= 0:
+        return 0
+    if _pad_lanes(config.L) < 6 * LANE:
+        return 0
+    if config.periodic:
+        # the dense path uses the FULL normalized circulant, so the rolled
+        # taps must cover its mass to a negligible tail (< 1e-7, like
+        # pde/fast_solve._narrow_radius) — a bare 4σ cut leaves ~1e-4
+        from hydrolim_tpu.ops.convolve import periodic_gaussian_kernel
+
+        k = np.abs(np.asarray(periodic_gaussian_kernel(
+            config.L, config.dx, config.local_kernel_sigma), np.float64))
+        total = k.sum()
+        r_true = 1
+        while r_true <= 48:
+            d = np.arange(-r_true, r_true + 1)
+            if total - k[d % config.L].sum() <= 1e-7 * total:
+                break
+            r_true += 1
+    else:
+        # scipy-convention weights: the dense matrix itself is 4σ-truncated,
+        # so the rolled taps reproduce it EXACTLY at the same radius
+        from hydrolim_tpu.ops.convolve import gaussian_filter_weights
+
+        r_true = (len(gaussian_filter_weights(config.sigma_grid, 4.0))
+                  - 1) // 2
+    rb = -(-max(r_true, 1) // 16) * 16
+    return rb if rb <= 48 else 0
+
+
+def build_narrow_smooth(config: ParticleConfig, radius: int) -> np.ndarray:
+    """(776, 512) float32 packed narrow-smoothing operand.
+
+    Rows 0:768 — the exact corner-override matrix: the dense conv matrix
+    (``build_conv_matrix``) restricted to input lanes [0:384) ∪ [Lp-384:Lp)
+    (rows) × output lanes [0:256) ∪ [Lp-256:Lp) (columns).  The kernel
+    computes the first/last 256 output lanes by this small matmul — every
+    reflect/wrap boundary weight exact — and the interior by plain cyclic
+    rolls (whose Lp-wraparound artifacts land only in the overridden
+    corner tiles).
+
+    Row 768 — the 2·radius+1 symmetric taps at columns [0:2r+1) (zero
+    pad taps outside the true support, so bucketed radii share compiled
+    kernels at zero numeric cost)."""
+    assert radius >= 1 and 2 * radius + 1 <= 512
+    L, Lp = config.L, _pad_lanes(config.L)
+    assert Lp >= 6 * LANE, (L, Lp)
+    M = build_conv_matrix(config)
+    P = np.zeros((776, 512), np.float32)
+    rows = np.r_[0:384, Lp - 384:Lp]
+    cols = np.r_[0:256, Lp - 256:Lp]
+    P[:768, :] = M[np.ix_(rows, cols)]
+    if config.periodic:
+        from hydrolim_tpu.ops.convolve import periodic_gaussian_kernel
+
+        k = np.asarray(periodic_gaussian_kernel(
+            L, config.dx, config.local_kernel_sigma))
+        d = np.arange(-radius, radius + 1)
+        P[768, 0:2 * radius + 1] = k[d % L]
+    else:
+        from hydrolim_tpu.ops.convolve import gaussian_filter_weights
+
+        w = gaussian_filter_weights(config.sigma_grid, 4.0)
+        r_true = (len(w) - 1) // 2
+        assert r_true <= radius, (r_true, radius)
+        P[768, radius - r_true:radius + r_true + 1] = w
+    return P
+
+
+def _narrow_conv(pack, conv_ref, taps_ref, *, Lp: int, rb: int, rows2: int):
+    """Shared narrow-smoothing body for both fused exclusion kernels:
+    ``pack`` carries the (signed counts, total counts) field pair with the
+    lane axis LAST and ``rows2`` total leading rows (2R for either layout);
+    ``conv_ref`` is the (768, 512) corner block and ``taps_ref`` the
+    (1, LANE) SMEM tap row (both sliced from the ``build_narrow_smooth``
+    operand by the wrapper — SMEM scalar reads are the Mosaic-proven
+    broadcast pattern, pallas_pde.py:198; a (1, 1) VMEM slice broadcast
+    into both sublanes and lanes does not lower).  Interior output lanes
+    accumulate 2rb+1 cyclic rolls in ascending-input-index order (matching
+    the dense matmul's accumulation order); the first/last 256 lanes are
+    overridden by the exact corner matmul."""
+    ax = pack.ndim - 1
+    acc = taps_ref[0, 2 * rb] * pltpu.roll(pack, rb, axis=ax)
+    for d in range(rb - 1, -rb - 1, -1):
+        acc = acc + taps_ref[0, rb + d] * pltpu.roll(
+            pack, d if d >= 0 else Lp + d, axis=ax)
+    win = jnp.concatenate(
+        [pack[..., 0:384], pack[..., Lp - 384:Lp]], axis=ax)
+    corners = jnp.dot(win.reshape(rows2, 768), conv_ref[:],
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32
+                      ).reshape(pack.shape[:-1] + (512,))
+    return jnp.concatenate(
+        [corners[..., 0:256], acc[..., 256:Lp - 256], corners[..., 256:512]],
+        axis=ax)
+
+
 def _kernel(scal_ref, seed_ref, gid_ref, slots_ref, conv_ref, slots_out, *,
             L: int, Lp: int, K: int, Kp: int, R: int, k_steps: int,
             dt: float, periodic: bool, bidirectional: bool,
-            use_local_m: bool, noise_ref=None):
+            use_local_m: bool, smooth_radius: int = 0, taps_ref=None,
+            noise_ref=None):
     """R replicas per grid program (VERDICT r2 #6): state is (R, Kp, Lp)
     with the (Kp, Lp) tiles stacked on the leading axis — per-replica
     reductions run over axis 1 (the sublane axis of each tile), rolls over
@@ -165,13 +280,21 @@ def _kernel(scal_ref, seed_ref, gid_ref, slots_ref, conv_ref, slots_out, *,
 
         if use_local_m:
             pack = jnp.concatenate([counts_s, tot], axis=1)     # (R, 2, Lp)
-            # HIGHEST: the default lowers the smoothing operands to bf16
-            # (~2e-3 relative m error — perturbs every CW flip rate and
-            # breaks parity with the XLA engines' f32 convolutions)
-            conv = jnp.dot(pack.reshape(2 * R, Lp), conv_ref[:],
-                           precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32
-                           ).reshape(R, 2, Lp)
+            if smooth_radius > 0:
+                # narrow σ (the flagship class): 2r+1 rolled FMAs + exact
+                # corner matmul — ~80× fewer MXU FLOPs than the dense
+                # (Lp, Lp) product, and full-f32 VPU arithmetic
+                conv = _narrow_conv(pack, conv_ref, taps_ref, Lp=Lp,
+                                    rb=smooth_radius, rows2=2 * R)
+            else:
+                # HIGHEST: the default lowers the smoothing operands to
+                # bf16 (~2e-3 relative m error — perturbs every CW flip
+                # rate and breaks parity with the XLA engines' f32
+                # convolutions)
+                conv = jnp.dot(pack.reshape(2 * R, Lp), conv_ref[:],
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32
+                               ).reshape(R, 2, Lp)
             m = jnp.where(conv[:, 1:2] > 0.0, conv[:, 0:1] / jnp.where(
                 conv[:, 1:2] > 0.0, conv[:, 1:2], 1.0), 0.0)
             m = jnp.clip(m, -1.0, 1.0)                          # (R, 1, Lp)
@@ -272,12 +395,14 @@ def _kernel(scal_ref, seed_ref, gid_ref, slots_ref, conv_ref, slots_out, *,
 @functools.partial(
     jax.jit,
     static_argnames=("L", "K", "k_steps", "r_batch", "dt", "periodic",
-                     "bidirectional", "use_local_m", "interpret"))
+                     "bidirectional", "use_local_m", "smooth_radius",
+                     "interpret"))
 def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
                          slots: jnp.ndarray, conv_mat: jnp.ndarray, *,
                          L: int, K: int, k_steps: int, dt: float,
                          periodic: bool, bidirectional: bool,
                          use_local_m: bool, r_batch: int = 1,
+                         smooth_radius: int = 0,
                          prog_ids: jnp.ndarray = None,
                          interpret: bool = False,
                          noise=None):
@@ -298,6 +423,10 @@ def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
         single-replica program occupies K..2K of 8 sublanes; row-batching
         stacks R (Kp, Lp) tiles per program and shares the conv matrix
         across one (2R, Lp) matmul (the pallas_pde (G, R, …) trick).
+      smooth_radius: > 0 switches local-m smoothing to the NARROW rolled
+        path (``narrow_smooth_radius``/``build_narrow_smooth``):
+        ``conv_mat`` must then be the packed (776, 512) corner+taps
+        operand instead of the dense (Lp, Lp) matrix.
       prog_ids: (G,) int32 GLOBAL program ids used as the second PRNG seed
         word (default arange(G)).  A shard_map caller passes its shard's
         global offset + arange so every replica's bit stream matches the
@@ -315,7 +444,16 @@ def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
     if not use_local_m:
         # minimal tiling-aligned placeholder — shipping a (Lp, Lp) zero
         # matrix would waste ~4 MB of VMEM per program at L=1000
+        assert smooth_radius == 0, "smooth_radius requires use_local_m"
         conv_mat = jnp.zeros((8, LANE), jnp.float32)
+    elif smooth_radius > 0:
+        assert Lp >= 6 * LANE and 1 <= smooth_radius <= 48, (Lp,
+                                                             smooth_radius)
+        if conv_mat.shape != (776, 512):
+            raise ValueError(
+                f"smooth_radius={smooth_radius} requires the packed "
+                f"(776, 512) narrow operand (build_narrow_smooth); got "
+                f"shape {tuple(conv_mat.shape)}")
     elif conv_mat.shape != (Lp, Lp):
         # an empty/mis-shaped matrix with use_local_m would previously be
         # replaced by ZEROS: m ≡ 0 and every occupied slot flips with
@@ -329,19 +467,34 @@ def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
     kernel = functools.partial(
         _kernel, L=L, Lp=Lp, K=K, Kp=Kp, R=R, k_steps=k_steps, dt=dt,
         periodic=periodic, bidirectional=bidirectional,
-        use_local_m=use_local_m)
+        use_local_m=use_local_m, smooth_radius=smooth_radius)
 
     inject = noise is not None
+    narrow = smooth_radius > 0
 
     def squeeze(scal, seed, gid, sl, conv, *rest):
+        taps = None
+        if narrow:
+            taps, rest = rest[0], rest[1:]
         if inject:
             nz, out = rest
             kernel(scal.at[0], seed, gid, sl.at[0], conv, out.at[0],
-                   noise_ref=nz.at[0])
+                   taps_ref=taps, noise_ref=nz.at[0])
         else:
             (out,) = rest
-            kernel(scal.at[0], seed, gid, sl.at[0], conv, out.at[0])
+            kernel(scal.at[0], seed, gid, sl.at[0], conv, out.at[0],
+                   taps_ref=taps)
 
+    if narrow:
+        # split the packed operand: corner block → VMEM matmul operand,
+        # tap row → SMEM (scalar reads broadcast into (R, ·, Lp) tiles;
+        # a (1, 1) VMEM slice would not lower — see _narrow_conv)
+        conv_mat = jnp.asarray(conv_mat, jnp.float32)
+        taps_arr = conv_mat[768:769, 0:LANE]
+        conv_ship = conv_mat[0:768, :]
+    else:
+        taps_arr = None
+        conv_ship = jnp.asarray(conv_mat, jnp.float32)
     slot_spec = pl.BlockSpec((1, R, Kp, Lp), lambda g: (g, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     scal_g = jnp.pad(jnp.asarray(scalars, jnp.float32),
@@ -356,11 +509,15 @@ def exclusion_multi_step(scalars: jnp.ndarray, seeds: jnp.ndarray,
         smem_vec,
         smem_vec,
         slot_spec,
-        pl.BlockSpec(conv_mat.shape, lambda g: (0, 0),
+        pl.BlockSpec(conv_ship.shape, lambda g: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     inputs = [scal_g, seeds_g, gids_g, slots.reshape(G, R, Kp, Lp),
-              jnp.asarray(conv_mat, jnp.float32)]
+              conv_ship]
+    if narrow:
+        in_specs.append(pl.BlockSpec((1, LANE), lambda g: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        inputs.append(taps_arr)
     if inject:
         in_specs.append(pl.BlockSpec(
             (1, k_steps, 2, R, Kp, Lp), lambda g: (g, 0, 0, 0, 0, 0),

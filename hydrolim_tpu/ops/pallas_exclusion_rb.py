@@ -45,15 +45,18 @@ from hydrolim_tpu.ops.pallas_exclusion import (  # shared layout helpers
     LANE,
     _MASK_HI,
     _SENT,
+    _narrow_conv,
     _pad_lanes,
     build_conv_matrix,  # noqa: F401  (re-exported: same conv matrix)
+    build_narrow_smooth,  # noqa: F401  (re-exported: same packed operand)
+    narrow_smooth_radius,  # noqa: F401
 )
 
 
 def _kernel(scal_ref, seed_ref, gid_ref, slots_ref, conv_ref, slots_out, *,
             L: int, Lp: int, K: int, R: int, k_steps: int, dt: float,
             periodic: bool, bidirectional: bool, use_local_m: bool,
-            noise_ref=None):
+            smooth_radius: int = 0, taps_ref=None, noise_ref=None):
     g = pl.program_id(0)
     # per-replica scalars live on the sublane axis: (R, 1) slices broadcast
     # against both (R, Lp) and (K, R, Lp) operands
@@ -105,10 +108,16 @@ def _kernel(scal_ref, seed_ref, gid_ref, slots_ref, conv_ref, slots_out, *,
 
         if use_local_m:
             pack = jnp.stack([counts_s, tot], axis=0)   # (2, R, Lp)
-            conv = jnp.dot(pack.reshape(2 * R, Lp), conv_ref[:],
-                           precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32
-                           ).reshape(2, R, Lp)
+            if smooth_radius > 0:
+                # narrow σ: rolled FMAs + exact corner matmul (see
+                # pallas_exclusion._narrow_conv)
+                conv = _narrow_conv(pack, conv_ref, taps_ref, Lp=Lp,
+                                    rb=smooth_radius, rows2=2 * R)
+            else:
+                conv = jnp.dot(pack.reshape(2 * R, Lp), conv_ref[:],
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32
+                               ).reshape(2, R, Lp)
             m = jnp.where(conv[1] > 0.0,
                           conv[0] / jnp.where(conv[1] > 0.0, conv[1], 1.0),
                           0.0)
@@ -208,12 +217,14 @@ def _kernel(scal_ref, seed_ref, gid_ref, slots_ref, conv_ref, slots_out, *,
 @functools.partial(
     jax.jit,
     static_argnames=("L", "K", "k_steps", "r_batch", "dt", "periodic",
-                     "bidirectional", "use_local_m", "interpret"))
+                     "bidirectional", "use_local_m", "smooth_radius",
+                     "interpret"))
 def exclusion_multi_step_rb(scalars: jnp.ndarray, seeds: jnp.ndarray,
                             slots: jnp.ndarray, conv_mat: jnp.ndarray, *,
                             L: int, K: int, k_steps: int, dt: float,
                             periodic: bool, bidirectional: bool,
                             use_local_m: bool, r_batch: int = 8,
+                            smooth_radius: int = 0,
                             prog_ids: jnp.ndarray = None,
                             interpret: bool = False,
                             noise=None):
@@ -240,7 +251,16 @@ def exclusion_multi_step_rb(scalars: jnp.ndarray, seeds: jnp.ndarray,
     assert 2 * K <= 16, 'row-id priority bits support K <= 8'
     assert B % R == 0, (B, R)
     if not use_local_m:
+        assert smooth_radius == 0, "smooth_radius requires use_local_m"
         conv_mat = jnp.zeros((8, LANE), jnp.float32)
+    elif smooth_radius > 0:
+        assert Lp >= 6 * LANE and 1 <= smooth_radius <= 48, (Lp,
+                                                             smooth_radius)
+        if conv_mat.shape != (776, 512):
+            raise ValueError(
+                f"smooth_radius={smooth_radius} requires the packed "
+                f"(776, 512) narrow operand (build_narrow_smooth); got "
+                f"shape {tuple(conv_mat.shape)}")
     elif conv_mat.shape != (Lp, Lp):
         raise ValueError(
             f"use_local_m=True requires a ({Lp}, {Lp}) smoothing matrix "
@@ -249,19 +269,32 @@ def exclusion_multi_step_rb(scalars: jnp.ndarray, seeds: jnp.ndarray,
     kernel = functools.partial(
         _kernel, L=L, Lp=Lp, K=K, R=R, k_steps=k_steps, dt=dt,
         periodic=periodic, bidirectional=bidirectional,
-        use_local_m=use_local_m)
+        use_local_m=use_local_m, smooth_radius=smooth_radius)
 
     inject = noise is not None
+    narrow = smooth_radius > 0
 
     def squeeze(scal, seed, gid, sl, conv, *rest):
+        taps = None
+        if narrow:
+            taps, rest = rest[0], rest[1:]
         if inject:
             nz, out = rest
             kernel(scal.at[0], seed, gid, sl.at[0], conv, out.at[0],
-                   noise_ref=nz.at[0])
+                   taps_ref=taps, noise_ref=nz.at[0])
         else:
             (out,) = rest
-            kernel(scal.at[0], seed, gid, sl.at[0], conv, out.at[0])
+            kernel(scal.at[0], seed, gid, sl.at[0], conv, out.at[0],
+                   taps_ref=taps)
 
+    if narrow:
+        # corner block → VMEM; tap row → SMEM (see pallas_exclusion)
+        conv_mat = jnp.asarray(conv_mat, jnp.float32)
+        taps_arr = conv_mat[768:769, 0:LANE]
+        conv_ship = conv_mat[0:768, :]
+    else:
+        taps_arr = None
+        conv_ship = jnp.asarray(conv_mat, jnp.float32)
     # replica-banked packing: replica b = g*R + r lands at [g, :, r, :]
     slots_g = slots.reshape(G, R, K, Lp).transpose(0, 2, 1, 3)
     slot_spec = pl.BlockSpec((1, K, R, Lp), lambda g: (g, 0, 0, 0),
@@ -278,11 +311,14 @@ def exclusion_multi_step_rb(scalars: jnp.ndarray, seeds: jnp.ndarray,
         smem_vec,
         smem_vec,
         slot_spec,
-        pl.BlockSpec(conv_mat.shape, lambda g: (0, 0),
+        pl.BlockSpec(conv_ship.shape, lambda g: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    inputs = [scal_g, seeds_g, gids_g, slots_g,
-              jnp.asarray(conv_mat, jnp.float32)]
+    inputs = [scal_g, seeds_g, gids_g, slots_g, conv_ship]
+    if narrow:
+        in_specs.append(pl.BlockSpec((1, LANE), lambda g: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        inputs.append(taps_arr)
     if inject:
         in_specs.append(pl.BlockSpec(
             (1, k_steps, 2, K, R, Lp), lambda g: (g, 0, 0, 0, 0, 0),

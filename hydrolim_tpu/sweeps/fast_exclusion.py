@@ -145,14 +145,29 @@ def _pick_r_batch(config: ParticleConfig, B: int) -> int:
     of VMEM."""
     from hydrolim_tpu.ops.pallas_exclusion import _pad_lanes, _pad_rows
 
+    from hydrolim_tpu.ops.pallas_exclusion import narrow_smooth_radius
+
     Kp, Lp = _pad_rows(config.K), _pad_lanes(config.L)
     budget = 14 * 2 ** 20
-    fixed = 4 * Lp * Lp if config.local_kernel_sigma > 0 else 0
+    fixed = _conv_vmem_bytes(config, narrow_smooth_radius(config))
     per_rep = 40 * Kp * Lp * 4
     for cand in (8, 4, 2):
         if cand <= B and fixed + cand * per_rep + 2 * 2 ** 20 <= budget:
             return cand
     return 1
+
+
+def _conv_vmem_bytes(config: ParticleConfig, smooth_radius: int) -> int:
+    """VMEM bytes of the resident smoothing operand: the packed (776, 512)
+    narrow slab, the dense (Lp, Lp) matrix, or nothing (global m)."""
+    from hydrolim_tpu.ops.pallas_exclusion import _pad_lanes
+
+    if config.local_kernel_sigma <= 0:
+        return 0
+    if smooth_radius > 0:
+        return 776 * 512 * 4
+    Lp = _pad_lanes(config.L)
+    return 4 * Lp * Lp
 
 
 def _pick_r_batch_rb(B: int, config: Optional[ParticleConfig] = None) -> int:
@@ -166,11 +181,14 @@ def _pick_r_batch_rb(B: int, config: Optional[ParticleConfig] = None) -> int:
     same ~14 MB budget so K=8 configs don't blow VMEM at R=32."""
     r_max = 32
     if config is not None:
-        from hydrolim_tpu.ops.pallas_exclusion import _pad_lanes
+        from hydrolim_tpu.ops.pallas_exclusion import (
+            _pad_lanes,
+            narrow_smooth_radius,
+        )
 
         Lp = _pad_lanes(config.L)
         budget = 14 * 2 ** 20
-        fixed = 4 * Lp * Lp if config.local_kernel_sigma > 0 else 0
+        fixed = _conv_vmem_bytes(config, narrow_smooth_radius(config))
         per_rep = 40 * config.K * Lp * 4
         while r_max > 8 and fixed + r_max * per_rep + 2 * 2 ** 20 > budget:
             r_max //= 2
@@ -222,7 +240,7 @@ def _run_fused_checkpointed(config, kernel_fn, rec, sl0, scal, seeds0,
                             dt_eff, bidi, use_local_m, record_fft,
                             ckpt_dir, chunk_frames, resume,
                             stop_after_chunks, interpret, noise,
-                            mesh=None):
+                            smooth_radius=0, mesh=None):
     """Chunked fused-kernel run (the ckpt_dir= mode of
     :func:`run_exclusion_sweep`): the frame scan executes in
     ``chunk_frames``-frame ranges — per-frame seeds ``seeds0 + f`` make a
@@ -247,6 +265,7 @@ def _run_fused_checkpointed(config, kernel_fn, rec, sl0, scal, seeds0,
     run_hash = config_hash({
         "fused_config": cfg, "engine": engine, "R": R, "M": M,
         "n_sub": n_sub, "dt_eff": dt_eff, "record_fft": record_fft,
+        "smooth_radius": smooth_radius,
         "interpret": bool(interpret),
         "sl0": _digest(sl0), "scal": _digest(scal),
         "seeds0": _digest(seeds0), "tags": _digest(tags),
@@ -274,7 +293,8 @@ def _run_fused_checkpointed(config, kernel_fn, rec, sl0, scal, seeds0,
             sl = kernel_fn(
                 scal, seeds0 + f, sl, conv_j, L=L, K=K, k_steps=n_sub,
                 dt=dt_eff, periodic=config.periodic, bidirectional=bidi,
-                use_local_m=use_local_m, r_batch=R, prog_ids=prog_ids,
+                use_local_m=use_local_m, smooth_radius=smooth_radius,
+                r_batch=R, prog_ids=prog_ids,
                 interpret=interpret, noise=nz)
             return sl, sl
         sl, sl_frames = jax.lax.scan(frame_body, sl, xs)
@@ -529,7 +549,20 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
                                 dtype=jnp.int32)
 
     use_local_m = config.local_kernel_sigma > 0
-    conv = build_conv_matrix(config) if use_local_m else np.zeros((0, 0))
+    # narrow σ (the flagship class) smooths via rolled taps + an exact
+    # corner matmul instead of the dense (Lp, Lp) MXU product — the round-5
+    # adjudication found the dense matmul dominating the fused kernels'
+    # step time (docs/ROADMAP.md)
+    from hydrolim_tpu.ops.pallas_exclusion import (
+        build_narrow_smooth,
+        narrow_smooth_radius,
+    )
+
+    smooth_radius = narrow_smooth_radius(config) if use_local_m else 0
+    if smooth_radius > 0:
+        conv = build_narrow_smooth(config, smooth_radius)
+    else:
+        conv = build_conv_matrix(config) if use_local_m else np.zeros((0, 0))
     bidi = config.active_model == "bidirectional"
     rec = _record_fn(config, record_fft)
 
@@ -599,7 +632,8 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
             sl = kernel_fn(
                 scal, seeds0 + f, sl, conv_j, L=L, K=K, k_steps=n_sub,
                 dt=dt_eff, periodic=config.periodic, bidirectional=bidi,
-                use_local_m=use_local_m, r_batch=R, prog_ids=prog_ids,
+                use_local_m=use_local_m, smooth_radius=smooth_radius,
+                r_batch=R, prog_ids=prog_ids,
                 interpret=_interpret, noise=nz)
             return sl, sl
 
@@ -629,7 +663,7 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
             use_local_m=use_local_m, record_fft=record_fft,
             ckpt_dir=ckpt_dir, chunk_frames=chunk_frames, resume=resume,
             stop_after_chunks=stop_after_chunks, interpret=_interpret,
-            noise=_noise, mesh=mesh)
+            noise=_noise, smooth_radius=smooth_radius, mesh=mesh)
         if out is None:
             return None
         sl, stacked, raws = out

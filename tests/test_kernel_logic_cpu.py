@@ -538,3 +538,127 @@ def test_exclusion_rb_kernel_fuzzed_configs_match_slot_engine(idx):
     for final in finals:
         assert np.abs(np.sign(final)).sum() == N
         assert (final != 0).sum(0).max() <= K
+
+
+# ---------------------------------------------------------------------------
+# narrow smoothing path (round 5: rolled taps + exact corner matmul)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_narrow_smooth_operand_matches_dense_matrix(periodic):
+    """The packed narrow operand reproduces the dense conv matrix: a
+    float64 emulation of the kernel's rolled-interior + corner-override
+    computation must match x @ M to float32-roundoff for random fields,
+    both boundary conditions."""
+    from hydrolim_tpu.ops.pallas_exclusion import (
+        _pad_lanes,
+        build_conv_matrix,
+        build_narrow_smooth,
+        narrow_smooth_radius,
+    )
+
+    L = 1000
+    config = ParticleConfig(L=L, N=100, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.004, periodic=periodic,
+                            site_capacity=3, active_model="plus_forward")
+    rb = narrow_smooth_radius(config)
+    assert rb > 0
+    P = build_narrow_smooth(config, rb)
+    M = build_conv_matrix(config)
+    Lp = _pad_lanes(L)
+
+    rng = np.random.default_rng(3)
+    x = np.zeros((4, Lp))
+    x[:, :L] = rng.uniform(0, 3, (4, L))
+    want = x @ M                                 # dense reference
+
+    # interior: 2rb+1 cyclic rolls, ascending input index per output
+    taps = P[768, :2 * rb + 1]
+    acc = taps[2 * rb] * np.roll(x, rb, axis=1)
+    for d in range(rb - 1, -rb - 1, -1):
+        acc = acc + taps[rb + d] * np.roll(x, d, axis=1)
+    # corners: exact small matmul over the packed windows
+    win = np.concatenate([x[:, 0:384], x[:, Lp - 384:Lp]], axis=1)
+    corners = win @ P[:768]
+    got = np.concatenate(
+        [corners[:, 0:256], acc[:, 256:Lp - 256], corners[:, 256:512]],
+        axis=1)
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)
+    # padding output lanes are exactly zero on the dense path; the narrow
+    # kernel's pad-lane values are unread (occupancy masks every rate)
+    assert np.abs(want[:, L:]).max() == 0.0
+
+
+@pytest.mark.parametrize("variant", ["plain", "rb"])
+def test_exclusion_narrow_matches_dense_interpret(variant):
+    """Matched-draw trajectory equality of the NARROW smoothing path vs the
+    dense-matmul path on the same kernel (interpret mode, injected noise):
+    the m fields agree to f32 roundoff, so on a fixed seed no event
+    threshold flips and the integer slot trajectories are EQUAL.  Chained
+    with the existing dense-vs-XLA matched-draw pins, this covers the
+    production narrow route end-to-end."""
+    from hydrolim_tpu.ops.pallas_exclusion import (
+        build_conv_matrix,
+        build_narrow_smooth,
+        narrow_smooth_radius,
+    )
+    from hydrolim_tpu.particles.lattice_gas_k import lgk_init
+
+    if variant == "plain":
+        from hydrolim_tpu.ops.pallas_exclusion import (
+            exclusion_multi_step as step,
+            pack_slots as pack,
+        )
+        R = 1
+    else:
+        from hydrolim_tpu.ops.pallas_exclusion_rb import (
+            exclusion_multi_step_rb as step,
+            pack_slots_rb as pack,
+        )
+        R = 2
+    L, K, k_steps, dt = 768, 3, 6, 2e-3
+    config = ParticleConfig(L=L, N=800, init="fixed", scale_rates=False,
+                            local_kernel_sigma=0.005, periodic=False,
+                            site_capacity=K, active_model="bidirectional")
+    sr = narrow_smooth_radius(config)
+    assert sr > 0
+    Kp = -(-K // 4) * 4 if variant == "plain" else K
+    rng = np.random.default_rng(11)
+    slots0 = np.stack([np.asarray(lgk_init(config, jax.random.PRNGKey(r)))
+                       for r in range(R)])
+    sl0 = pack(slots0)
+    scal = np.array([[1.3, 0.6, 3.0]] * R, np.float32)
+    # plain layout noise: (G, k_steps, 2, R, Kp, Lp); banked: (…, K, R, Lp)
+    nshape = ((1, k_steps, 2, K, R, 768) if variant == "rb"
+              else (1, k_steps, 2, R, Kp, 768))
+    noise = rng.integers(0, 2 ** 32, nshape, dtype=np.uint32)
+    kw = dict(L=L, K=K, k_steps=k_steps, dt=dt, periodic=False,
+              bidirectional=True, use_local_m=True, r_batch=R,
+              interpret=True, noise=jnp.asarray(noise))
+    seeds = np.zeros(R, np.int32)
+    out_dense = step(jnp.asarray(scal), seeds, sl0,
+                     jnp.asarray(build_conv_matrix(config)),
+                     smooth_radius=0, **kw)
+    out_narrow = step(jnp.asarray(scal), seeds, sl0,
+                      jnp.asarray(build_narrow_smooth(config, sr)),
+                      smooth_radius=sr, **kw)
+    np.testing.assert_array_equal(np.asarray(out_dense),
+                                  np.asarray(out_narrow))
+    # the dynamics actually moved
+    assert (np.asarray(out_dense) != np.asarray(sl0)).any()
+
+
+def test_narrow_smooth_radius_gates():
+    """Routing gates: small lattices and wide kernels stay dense; the
+    flagship class (σ_grid ≈ 2, L = 1000) routes narrow."""
+    from hydrolim_tpu.ops.pallas_exclusion import narrow_smooth_radius
+
+    mk = lambda L, sig, per=False: ParticleConfig(
+        L=L, N=10, init="fixed", scale_rates=False, local_kernel_sigma=sig,
+        periodic=per, site_capacity=3, active_model="plus_forward")
+    assert narrow_smooth_radius(mk(1000, 0.002)) == 16      # flagship
+    assert narrow_smooth_radius(mk(1000, 0.002, per=True)) == 16
+    assert narrow_smooth_radius(mk(1000, 0.0)) == 0         # global m
+    assert narrow_smooth_radius(mk(512, 0.002)) == 0        # Lp < 768
+    assert narrow_smooth_radius(mk(1000, 0.05)) == 0        # σ_grid 50: wide
+    assert narrow_smooth_radius(mk(1000, 0.012)) == 48      # boundary bucket

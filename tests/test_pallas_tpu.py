@@ -744,3 +744,59 @@ def test_fused_exclusion_ckpt_chunked_matches_straight_tpu(tmp_path):
         else:
             np.testing.assert_array_equal(a, b, err_msg=field)
     np.testing.assert_array_equal(np.asarray(slots), straight_slots)
+
+
+def test_pallas_exclusion_narrow_mosaic_matches_interpret():
+    """NARROW smoothing path (round 5): Mosaic lowering of the rolled-taps
+    + corner-override smoothing vs the interpreter at injected noise, bit
+    equal — the CPU suite already pins interpret-narrow ≡ interpret-dense ≡
+    XLA slot engine at matched draws, so this isolates the Mosaic lowering
+    of the tap rolls, the (1, 1) weight-slice broadcasts and the corner
+    matmul.  Both kernels (plain (R, Kp, Lp) and banked (K, R, Lp))."""
+    if not _tpu_is_default():
+        pytest.skip("needs a TPU device as default")
+    import jax.numpy as jnp
+    from hydrolim_tpu.core.config import ParticleConfig
+    from hydrolim_tpu.ops.pallas_exclusion import (
+        build_narrow_smooth,
+        exclusion_multi_step,
+        narrow_smooth_radius,
+        pack_slots,
+    )
+    from hydrolim_tpu.ops.pallas_exclusion_rb import (
+        exclusion_multi_step_rb,
+        pack_slots_rb,
+    )
+    from hydrolim_tpu.particles.lattice_gas_k import lgk_init
+
+    L, K, k_steps, dt = 768, 3, 12, 2e-3
+    for periodic in (False, True):
+        config = ParticleConfig(
+            L=L, N=700, init="fixed", scale_rates=False,
+            local_kernel_sigma=0.005, periodic=periodic,
+            site_capacity=K, active_model="bidirectional")
+        sr = narrow_smooth_radius(config)
+        assert sr > 0
+        conv = jnp.asarray(build_narrow_smooth(config, sr))
+        rng = np.random.default_rng(21)
+        for variant, step, pack, R, Kx in (
+                ("plain", exclusion_multi_step, pack_slots, 2, 4),
+                ("rb", exclusion_multi_step_rb, pack_slots_rb, 8, 3)):
+            keys = jax.random.split(jax.random.PRNGKey(5), R)
+            sl = pack(np.stack([np.asarray(lgk_init(config, k))
+                                for k in keys]))
+            scal = np.tile(np.array([[1.2, 0.8, 3.0]], np.float32), (R, 1))
+            nshape = ((1, k_steps, 2, Kx, R, 768) if variant == "rb"
+                      else (1, k_steps, 2, R, Kx, 768))
+            noise = rng.integers(0, 2 ** 32, nshape, dtype=np.uint32)
+            kw = dict(L=L, K=K, k_steps=k_steps, dt=dt, periodic=periodic,
+                      bidirectional=True, use_local_m=True,
+                      smooth_radius=sr, r_batch=R,
+                      noise=jnp.asarray(noise))
+            out_hw = step(jnp.asarray(scal), np.zeros(R, np.int32), sl,
+                          conv, **kw)
+            out_it = step(jnp.asarray(scal), np.zeros(R, np.int32), sl,
+                          conv, interpret=True, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(out_hw), np.asarray(out_it),
+                err_msg=f"{variant} periodic={periodic}")
