@@ -137,7 +137,10 @@ def narrow_smooth_radius(config: ParticleConfig) -> int:
 
         r_true = (len(gaussian_filter_weights(config.sigma_grid, 4.0))
                   - 1) // 2
-    rb = -(-max(r_true, 1) // 16) * 16
+    # bucket ×8 (not the PDE's ×16): the tap rolls are now the smoothing
+    # cost, and the flagship's 17 true taps would pay double at ×16 —
+    # measured 2.4 → ~1.2 µs/step residual at B=16 R=16
+    rb = -(-max(r_true, 1) // 8) * 8
     return rb if rb <= 48 else 0
 
 

@@ -600,12 +600,14 @@ def sweep_over_betas(beta_values, n_runs_per_beta: int = 10, run: bool = True,
         arrays = {k: np.asarray(v) for k, v in per_beta.items()}
         save_dict = {"beta_values": beta_values, **arrays,
                      "ps_kwargs": ps_kwargs, "dt": dt}
-        if last_run_info.get("engine") == "pallas":
+        if last_run_info.get("engine") in ("pallas", "pallas_rb"):
             # reproducibility record (ADVICE r3): fused-kernel trajectories
-            # at a fixed seed depend on the replica-row batch R; persist it
-            # so a reload can replay with an explicit r_batch= even if the
-            # VMEM heuristic changes
+            # at a fixed seed depend on the replica-row batch R AND the
+            # kernel variant the auto-router picked (plain vs replica-
+            # banked draw shapes differ); persist both so a reload can
+            # replay exactly even if the heuristics change
             save_dict["r_batch"] = np.int32(last_run_info["r_batch"])
+            save_dict["fused_engine"] = np.str_(last_run_info["engine"])
         Path(npz_path).parent.mkdir(parents=True, exist_ok=True)
         np.savez(npz_path, **{k: v for k, v in save_dict.items()
                               if k != "ps_kwargs"},

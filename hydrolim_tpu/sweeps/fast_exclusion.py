@@ -444,13 +444,21 @@ def run_exclusion_sweep(config: ParticleConfig, params_b: ParticleParams,
         "(K<=8 exclusion, no anchors/crowding, default flip rate)")
 
     if engine == "auto":
+        # batched exclusion routes to the replica-banked kernel: with the
+        # round-5 narrow smoothing it beats both the plain fused kernel
+        # and the XLA slot engine at B >= 8 (5.1 vs 17.0 vs 7.5 us/step at
+        # the B=16 flagship — docs/ROADMAP.md round-5 adjudication); the
+        # plain (R, Kp, Lp) kernel keeps single/small-replica latency
+        # (R=1 rb would idle 7/8 sublanes where plain fills Kp of 8)
+        B_route = params_b.beta.shape[0] if b_real is None else b_real
+        fused = "pallas_rb" if B_route >= 8 else "pallas"
         if mesh is not None:
             # the kernel must run where the mesh lives (Mosaic has no CPU
             # interpreter): a CPU/virtual mesh routes to the XLA engine
-            engine = ("pallas" if all(d.platform == "tpu"
-                                      for d in mesh.devices.flat) else "xla")
+            engine = (fused if all(d.platform == "tpu"
+                                   for d in mesh.devices.flat) else "xla")
         else:
-            engine = "pallas" if default_device_is_tpu() else "xla"
+            engine = fused if default_device_is_tpu() else "xla"
     if engine in ("pallas", "pallas_rb") and not default_device_is_tpu() \
             and mesh is None and not _interpret:
         # explicit pallas off-TPU cannot run (no Mosaic interpreter on the

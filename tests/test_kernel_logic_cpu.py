@@ -656,7 +656,8 @@ def test_narrow_smooth_radius_gates():
     mk = lambda L, sig, per=False: ParticleConfig(
         L=L, N=10, init="fixed", scale_rates=False, local_kernel_sigma=sig,
         periodic=per, site_capacity=3, active_model="plus_forward")
-    assert narrow_smooth_radius(mk(1000, 0.002)) == 16      # flagship
+    assert narrow_smooth_radius(mk(1000, 0.002)) == 8       # flagship
+    # periodic uses the full-circulant 1e-7 tail criterion (~5.5σ), not 4σ
     assert narrow_smooth_radius(mk(1000, 0.002, per=True)) == 16
     assert narrow_smooth_radius(mk(1000, 0.0)) == 0         # global m
     assert narrow_smooth_radius(mk(512, 0.002)) == 0        # Lp < 768
