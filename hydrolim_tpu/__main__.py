@@ -30,6 +30,15 @@ _COMMANDS = {
     "critical-scaling": ("run_critical_scaling",
                          "critical fluctuation exponent"),
     "large-lattice": ("run_large_lattice", "L=65536 sharded lattice"),
+    "pde-phase-diagram": ("run_pde_phase_diagram",
+                          "(β, σ) PDE phase plane, 1024 replicas"),
+    "particle-phase-diagram": ("run_particle_phase_diagram",
+                               "(β, σ) particle phase plane + "
+                               "micro↔macro boundary overlay"),
+    "profile-kernels": ("profile_exclusion_kernels",
+                        "exclusion-engine ablation profiler (TPU)"),
+    "ckpt-overhead": ("measure_ckpt_overhead",
+                      "checkpointing wall-time overhead"),
 }
 
 

@@ -293,8 +293,12 @@ def test_package_cli_launcher():
                          env=env, capture_output=True, text=True,
                          timeout=120)
     assert out.returncode == 0
-    for cmd in ("beta-sweep", "pde", "real-data", "large-lattice"):
+    from hydrolim_tpu.__main__ import _COMMANDS, _experiments_dir
+
+    for cmd, (module_name, _) in _COMMANDS.items():
         assert cmd in out.stdout
+        assert os.path.exists(
+            os.path.join(_experiments_dir(), module_name + ".py")), cmd
     bad = subprocess.run([sys.executable, "-m", "hydrolim_tpu", "nope"],
                          env=env, capture_output=True, text=True,
                          timeout=120)
