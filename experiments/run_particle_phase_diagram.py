@@ -24,9 +24,13 @@ operand entirely.  On CPU the same call falls back to the XLA slot engine
 (`--small` smoke).
 
 Physics read-outs per (β, σ), mirroring the PDE driver exactly:
-- order parameter ⟨|m_global|⟩ over the late-time window (t ≥ 0.6 T):
-  the Curie–Weiss flip law gives m = tanh(β m) in the mean-field row,
-  so β_c = 1 there; finite interaction range shifts/broadens it,
+- order parameter |⟨m_global⟩_t| (abs of the late-window time mean,
+  t ≥ 0.6 T — the same convention as the PDE driver, so the overlay
+  compares like with like; a replica that breaks into sign-wandering
+  domains time-averages toward 0, which is exactly the "no global
+  order" read-out): the Curie–Weiss flip law gives m = tanh(β m) in
+  the mean-field row, so β_c = 1 there; finite interaction range
+  shifts/broadens it,
 - band contrast ⟨std_x(ρ_total)/mean_x(ρ_total)⟩ over the same window —
   spatial structure (narrow kernels in the ordered phase; note the
   microscopic field keeps shot noise ~ sqrt(L/N) even when uniform,
@@ -137,17 +141,29 @@ def plot_grid(data, outdir=".", pde_json=None):
 
     beta = np.asarray(data["beta"])
     sigma = np.asarray(data["sigma"])
-    # the global-m row (σ <= 0) is the σ → ∞ mean-field limit: plot it at
-    # one log-decade above the widest finite σ, like the PDE's sentinel
-    sig_plot = sigma.copy()
-    finite = sig_plot[sig_plot > 0]
+    pde = None
+    if pde_json:
+        with open(pde_json) as f:
+            pde = json.load(f)
+    # the global-m row (σ <= 0) is the σ → ∞ mean-field limit: plot it one
+    # log-decade above the widest finite σ OF EITHER dataset, so the PDE's
+    # quasi-global sentinel (σ ~ 1e5) maps to the same rung and neither
+    # mean-field point lands inside the other's finite-σ band
+    def _finite(vals):
+        v = np.asarray(vals, float)
+        return v[(v > 0) & (v < 100)]
+
+    finite = _finite(sigma)
+    if pde is not None:
+        finite = np.concatenate([finite, _finite(pde["sigma"])])
     top = (finite.max() * 10.0) if finite.size else 1.0
+    sig_plot = sigma.copy()
     sig_plot[sig_plot <= 0] = top
 
     n_panels = 3 if pde_json else 2
     fig, axes = plt.subplots(1, n_panels, figsize=(5.5 * n_panels, 4.2))
     for ax, key, title in (
-            (axes[0], "m", r"order parameter  $\langle|m|\rangle$"),
+            (axes[0], "m", r"order parameter  $|\langle m\rangle_t|$"),
             (axes[1], "band",
              r"band contrast  std$_x\rho\,/\,$mean$_x\rho$")):
         grid = np.asarray(data[key])
@@ -159,9 +175,7 @@ def plot_grid(data, outdir=".", pde_json=None):
         ax.set_ylabel(r"kernel width $\sigma$" if ax is axes[0] else "")
         ax.set_title(title)
         fig.colorbar(pm, ax=ax)
-    if pde_json:
-        with open(pde_json) as f:
-            pde = json.load(f)
+    if pde is not None:
         ax = axes[2]
         pc = crossing_curve(data["beta"], data["m"])
         ax.plot(pc, sig_plot, "o-", label=f"particles (N={data['N']}, "
@@ -199,7 +213,7 @@ def check_physics(data):
     top = m[-1]
     lo = top[beta <= 0.3].mean()
     hi = top[beta >= 2.5].mean()
-    print(f"# global-m row: <|m|>(beta<=0.3)={lo:.3f}, (beta>=2.5)={hi:.3f} "
+    print(f"# global-m row: |<m>_t|(beta<=0.3)={lo:.3f}, (beta>=2.5)={hi:.3f} "
           f"(shot floor ~{1.0 / np.sqrt(N_eff):.3f})")
     assert hi > 0.7, f"ordered phase missing in the mean-field row ({hi:.3f})"
     assert lo < max(0.25, 4.0 / np.sqrt(N_eff)), \

@@ -10,7 +10,7 @@ the batch regime one chip holds, where the fused Pallas PDE kernel
 serial scipy loop is most thoroughly beaten.
 
 Physics read-outs per (β, σ):
-- order parameter ⟨|m|⟩ over the late-time window — the flocking
+- order parameter |⟨m⟩_t| (abs of the late-window time mean) — the flocking
   transition: m = tanh(β m) gives β_c = 1 in the mean-field (σ → ∞)
   limit; finite interaction range shifts/broadens the transition,
 - band contrast std_x(ρ)/mean_x(ρ) at final time — spatial structure
@@ -97,7 +97,7 @@ def plot_grid(data, outdir="."):
     beta = np.asarray(data["beta"])
     sigma = np.asarray(data["sigma"])
     fig, axes = plt.subplots(1, 2, figsize=(11, 4.2), sharey=True)
-    for ax, key, title in ((axes[0], "m", r"order parameter  $\langle|m|\rangle$"),
+    for ax, key, title in ((axes[0], "m", r"order parameter  $|\langle m\rangle_t|$"),
                            (axes[1], "band",
                             r"band contrast  std$_x\rho\,/\,$mean$_x\rho$")):
         grid = np.asarray(data[key])
@@ -131,7 +131,7 @@ def check_physics(data):
     top = m[-1]
     lo = top[beta <= 0.3].mean()
     hi = top[beta >= 2.5].mean()
-    print(f"# widest-sigma row: <|m|>(beta<=0.3)={lo:.3f}, "
+    print(f"# widest-sigma row: |<m>_t|(beta<=0.3)={lo:.3f}, "
           f"(beta>=2.5)={hi:.3f}")
     assert hi > 0.7, f"ordered phase missing at wide sigma ({hi:.3f})"
     assert lo < 0.25, f"disordered phase missing at wide sigma ({lo:.3f})"

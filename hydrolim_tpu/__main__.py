@@ -51,7 +51,7 @@ def _usage() -> str:
     lines = ["usage: python -m hydrolim_tpu <command> [driver args...]", "",
              "commands:"]
     for name, (_, desc) in _COMMANDS.items():
-        lines.append(f"  {name:<18} {desc}")
+        lines.append(f"  {name:<23} {desc}")
     lines.append("")
     lines.append("e.g.: python -m hydrolim_tpu beta-sweep --small "
                  "--engine lattice_gas")

@@ -12,6 +12,10 @@ def test_run_critical_scaling_small(tmp_path):
     driver = pathlib.Path(__file__).parent.parent / "experiments" / \
         "run_critical_scaling.py"
     env = dict(os.environ)
+    # BOTH knobs (CLAUDE.md): the axon plugin registers via the profile
+    # PYTHONPATH and ignores JAX_PLATFORMS=cpu; without blanking it the
+    # smoke runs on the TPU and blocks when the worker is down
+    env["PYTHONPATH"] = ""
     env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
         [sys.executable, str(driver), "--small", "--outdir", str(tmp_path)],

@@ -24,6 +24,10 @@ def _run_driver(tmp_path, *, grid: bool):
     driver = pathlib.Path(__file__).parent.parent / "experiments" / \
         "run_large_lattice.py"
     env = dict(os.environ)
+    # BOTH knobs (CLAUDE.md): the axon plugin registers via the profile
+    # PYTHONPATH and ignores JAX_PLATFORMS=cpu; without blanking it the
+    # smoke runs on the TPU and blocks when the worker is down
+    env["PYTHONPATH"] = ""
     env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
         [sys.executable, str(driver), "--small", "--n-devices", "8",

@@ -1,6 +1,8 @@
-"""CI-time smokes of the (β × σ) phase-diagram drivers: --small runs a
-tiny grid on CPU and each driver's own check_physics asserts the ordered /
-disordered phases and the mean-field β_c bracket."""
+"""CI-time smokes of the two (β × σ) phase-diagram drivers: --small runs a
+tiny grid on CPU; the particle driver's own check_physics asserts the
+ordered/disordered phases and the mean-field β_c bracket (the PDE driver
+defers its pins to the full grid), and the tests re-assert the mean-field
+row endpoints from the saved JSON."""
 import json
 import os
 import pathlib
@@ -14,6 +16,11 @@ ROOT = pathlib.Path(__file__).parent.parent
 
 def _run(driver, tmp_path, extra=()):
     env = dict(os.environ)
+    # BOTH knobs (CLAUDE.md): the axon plugin registers via the profile
+    # PYTHONPATH and ignores JAX_PLATFORMS=cpu — without blanking it the
+    # "CPU smoke" silently runs on the TPU (engine='auto' routes to the
+    # fused kernels) and blocks indefinitely when the worker is down.
+    env["PYTHONPATH"] = ""
     env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
         [sys.executable, str(ROOT / "experiments" / driver), "--small",
@@ -33,6 +40,29 @@ def test_run_particle_phase_diagram_small(tmp_path):
     assert (tmp_path / "particle_phase_diagram.png").stat().st_size > 10_000
     # all-XLA on the CPU suite (auto falls back off-TPU)
     assert rec["engines_used"] == ["xla"] * 3
+
+
+def test_run_pde_phase_diagram_small(tmp_path):
+    """Structural smoke only: the --small grid (T=0.5, 500 steps) is too
+    short for the PDE to order from noise — the physics pins live in
+    check_physics, which the driver runs on the full grid (and the
+    committed docs/figures/phase_diagram/pde_phase_diagram.json passed)."""
+    _run("run_pde_phase_diagram.py", tmp_path)
+    rec = json.loads((tmp_path / "pde_phase_diagram.json").read_text())
+    m = np.asarray(rec["m"])
+    assert m.shape == (3, 6)
+    assert np.isfinite(m).all() and (m >= 0).all() and (m <= 1).all()
+    assert np.isfinite(np.asarray(rec["band"])).all()
+    assert (tmp_path / "pde_phase_diagram.png").stat().st_size > 10_000
+    # the committed full-grid JSON keeps passing the driver's own pins
+    full = (ROOT / "docs" / "figures" / "phase_diagram"
+            / "pde_phase_diagram.json")
+    sys.path.insert(0, str(ROOT / "experiments"))
+    try:
+        from run_pde_phase_diagram import check_physics
+    finally:
+        sys.path.pop(0)
+    check_physics(json.loads(full.read_text()))
 
 
 def test_crossing_curve_unit():
