@@ -783,7 +783,8 @@ def main():
               f"replica-steps/sec, {fsw_wall:.1f} s warm wall "
               f"(~{100 * mxu_frac:.0f}% of f32 MXU roofline on the solve "
               f"matmul + ~{100 * vpu_frac:.0f}% VPU on the step body; "
-              f"XLA batch path: ~7.6 s at the same scale)", file=sys.stderr)
+              f"XLA batch path: ~7.6 s at the same scale, round-4 "
+              f"measurement)", file=sys.stderr)
     except Exception as e:
         engines["pde_fused_sweep_aggregate"] = None
         print(f"# pde fused-sweep bench unavailable: {e}", file=sys.stderr)
