@@ -430,7 +430,15 @@ def pde_solve_fused(config: PDEConfig, params_b: PDEParams, ops: PDEOps,
     Wp = _pad(W, 8)
 
     def max_r(kc: int) -> int:
-        for cand in (8, 4, 2):
+        # The implicit solve is one (2R, Lp) @ (Lp, Lp) matmul per step, so
+        # MXU row utilization is ~2R/128: R=8 tops out at ~12% of the f32
+        # roofline no matter the batch.  The wide candidates (16/32) exist
+        # for chip-filling batches (B ≥ hundreds, e.g. the phase-diagram
+        # grid); they are gated on replica padding ≤ ~25% so a reference
+        # 33-replica sweep keeps R=8 (R=32 would pad it to 64).
+        for cand in (32, 16, 8, 4, 2):
+            if cand > 8 and -(-B // cand) * cand > B + max(B // 4, 8):
+                continue
             if _vmem_estimate(config, gamma, cand, kc) <= _VMEM_BUDGET:
                 return cand
         return 1

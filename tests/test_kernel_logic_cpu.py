@@ -495,6 +495,73 @@ def test_pde_kernel_interpret_matches_xla_stepper(m_expect, sigma, bc,
                                rtol=5e-4, atol=1e-6)
 
 
+def test_pde_kernel_r_banking_is_replica_independent():
+    """One R=4 fused-PDE program must reproduce four R=1 programs
+    bit-for-bit at matched injected draws — per-replica scalars, fields,
+    tracers and record rows.  This is the independence property the
+    production big-batch route (R up to 32 per program,
+    pde/fast_solve.max_r) relies on: R only changes how replicas are
+    banked onto MXU rows, never what any replica computes."""
+    from hydrolim_tpu.ops.pallas_pde import _pad, pde_multi_step
+    from hydrolim_tpu.pde.fast_solve import build_kernel_mats
+    from hydrolim_tpu.pde.init import pde_initialize
+
+    L, n_t, dt, gamma, lam = 128, 16, 5e-5, 0.2, 0.6
+    k_steps, window, R = 10, 4, 4
+    config = PDEConfig(L=L, T=k_steps * dt, dt=dt, bc="periodic",
+                       active_model="bidirectional", gaussian_kernel=True,
+                       kernel_sigma=2e5, snapshot_interval=k_steps,
+                       n_tracers=n_t, tracer_window_time=window * dt,
+                       diffusion_solver="dense", fft_kmax=8)
+    Lp, Ntp = _pad(L), _pad(n_t)
+    Wp = _pad(window, 8)
+    solve_mat, smooth_mat, solve_mode, solve_r, solve_wts = \
+        build_kernel_mats(config, gamma, Lp)
+
+    rng = np.random.default_rng(7)
+    bits = rng.integers(0, 2 ** 32, (1, k_steps, 3, R, Ntp),
+                        dtype=np.uint32)
+    pad_to = lambda a, n: np.pad(np.asarray(a, np.float32),
+                                 ((0, 0), (0, n - a.shape[-1])))
+    rp0, rm0, pos0, spin0 = [], [], [], []
+    for r in range(R):
+        rp, rm, tr = pde_initialize(config, jax.random.PRNGKey(10 + r),
+                                    mode="homogeneous", noise=0.3,
+                                    n_tracers=n_t)
+        rp0.append(np.asarray(rp))
+        rm0.append(np.asarray(rm))
+        pos0.append(np.asarray(tr.unwrapped))
+        spin0.append(np.asarray(tr.spin, np.float32))
+    rp0, rm0 = pad_to(np.stack(rp0), Lp), pad_to(np.stack(rm0), Lp)
+    pos0, spin0 = pad_to(np.stack(pos0), Ntp), pad_to(np.stack(spin0), Ntp)
+    scal = np.zeros((R, 4), np.float32)
+    scal[:, 0] = np.linspace(0.5, 2.0, R)       # per-replica beta
+    scal[:, 1] = lam
+    scal[:, 2] = np.float32(np.sqrt(2.0 * gamma * dt))
+
+    def run(rb, rows, noise):
+        return pde_multi_step(
+            jnp.asarray(scal[rows]), jnp.zeros((len(rows),), jnp.int32),
+            jnp.zeros((len(rows),), jnp.int32),
+            jnp.asarray(rp0[rows]), jnp.asarray(rm0[rows]),
+            jnp.asarray(pos0[rows]), jnp.asarray(spin0[rows]),
+            jnp.zeros((len(rows), Wp, Ntp), jnp.float32),
+            jnp.asarray(solve_mat), jnp.asarray(smooth_mat),
+            solve_wts=jnp.asarray(solve_wts),
+            L=L, n_t=n_t, window=window, k_steps=k_steps, r_batch=rb,
+            dt=dt, dx=config.dx, xlim=config.xlim, periodic=True,
+            m_mode="global", narrow_r=0, solve_mode=solve_mode,
+            solve_r=solve_r, bidirectional=True, has_noise=True,
+            kmax_rec=0, interpret=True, noise=jnp.asarray(noise))
+
+    banked = run(R, np.arange(R), bits)
+    for r in range(R):
+        single = run(1, np.array([r]), bits[:, :, :, r:r + 1])
+        for got, want in zip(banked, single):
+            np.testing.assert_array_equal(np.asarray(got)[r],
+                                          np.asarray(want)[0])
+
+
 @pytest.mark.parametrize("idx", range(6))
 def test_exclusion_rb_kernel_fuzzed_configs_match_slot_engine(idx):
     """Config-space fuzz of the replica-banked kernel: seeded random draws
